@@ -1,0 +1,27 @@
+"""Global numerical policy for dspeed_tpu.
+
+The reference performs its hot recursions in float64 scratch buffers even for
+float32 data (e.g. ``dspeed/processors/pole_zero.py:62-73``). TPUs have no
+native float64, so dspeed_tpu offers three accumulation policies for the
+prefix-sum / recurrence reformulations of those kernels:
+
+- ``"f64"``  — emulated float64 (requires ``jax_enable_x64``); closest to the
+  reference bit-for-bit, slow on TPU, exact on CPU.
+- ``"ds"``   — double-single compensated arithmetic (two float32 words,
+  ~49-bit effective mantissa) running at native VPU speed. Default on TPU.
+- ``"f32"``  — plain float32; fastest, adequate for many chains.
+
+``accumulation = "auto"`` picks ``"f64"`` when x64 is enabled, else ``"ds"``.
+"""
+
+from __future__ import annotations
+
+import jax
+
+accumulation: str = "auto"
+
+
+def accum_mode() -> str:
+    if accumulation != "auto":
+        return accumulation
+    return "f64" if jax.config.jax_enable_x64 else "ds"

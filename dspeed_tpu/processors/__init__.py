@@ -1,0 +1,90 @@
+"""TPU-native DSP processor library.
+
+Every processor is a :class:`~._kernel.Kernel`: a batched JAX function plus
+gufunc-style ``signature``/``types`` metadata that drives the chain compiler's
+shape/dtype/unit resolution — the same metadata contract the reference's numba
+gufuncs expose (reference ``dspeed/processors/__init__.py:66-172``).
+
+Processors are lazily imported on attribute access, mirroring the reference's
+registry, so importing :mod:`dspeed_tpu.processors` stays cheap.
+"""
+
+from __future__ import annotations
+
+import importlib
+from typing import Any
+
+from ._kernel import Kernel, kernel, parse_signature
+
+_modules = {
+    # kernel name -> module
+    "bl_subtract": "bl_subtract",
+    "mean_below_threshold": "arithmetic",
+    "pole_zero": "pole_zero",
+    "double_pole_zero": "pole_zero",
+    "rc_exp": "pole_zero",
+    "trap_filter": "trap_filters",
+    "trap_norm": "trap_filters",
+    "asym_trap_filter": "trap_filters",
+    "trap_pickoff": "trap_filters",
+    "min_max": "min_max",
+    "min_max_norm": "min_max",
+    "linear_slope_fit": "linear_slope_fit",
+    "linear_slope_diff": "linear_slope_fit",
+    "fixed_time_pickoff": "fixed_time_pickoff",
+    "time_point_thresh": "time_point_thresh",
+    "interpolated_time_point_thresh": "time_point_thresh",
+    "multi_time_point_thresh": "time_point_thresh",
+    "windower": "windower",
+    "moving_window_left": "moving_windows",
+    "moving_window_right": "moving_windows",
+    "moving_window_multi": "moving_windows",
+    "avg_current": "moving_windows",
+    "where": "where",
+    "round_to_nearest": "round_to_nearest",
+    "floor_to_nearest": "round_to_nearest",
+    "ceil_to_nearest": "round_to_nearest",
+    "trunc_to_nearest": "round_to_nearest",
+    "convert": "unit_conversion",
+    "convert_int": "unit_conversion",
+    "convert_round": "unit_conversion",
+    "convert_floor": "unit_conversion",
+    "convert_ceil": "unit_conversion",
+    "convert_trunc": "unit_conversion",
+    "get": "get",
+    "get_default": "get",
+    "time_over_threshold": "misc",
+    "saturation": "misc",
+    "presum": "misc",
+    "pad": "misc",
+    "log_check": "misc",
+    "sort": "misc",
+    "t0_filter": "kernels",
+    "moving_slope": "kernels",
+    "step": "kernels",
+    "cusp_filter": "energy_kernels",
+    "zac_filter": "energy_kernels",
+    "dplms": "energy_kernels",
+    "convolve_wf": "convolutions",
+    "fft_convolve_wf": "convolutions",
+    "reflected_convolve_wf": "convolutions",
+    "upsampler": "upsampler",
+    "interpolating_upsampler": "upsampler",
+}
+
+__all__ = ["Kernel", "kernel", "parse_signature", *sorted(set(_modules))]
+
+
+def __getattr__(name: str) -> Any:
+    try:
+        module = _modules[name]
+    except KeyError:
+        raise AttributeError(f"module {__name__!r} has no attribute {name!r}") from None
+    mod = importlib.import_module(f".{module}", __name__)
+    val = getattr(mod, name)
+    globals()[name] = val  # cache
+    return val
+
+
+def __dir__():
+    return __all__

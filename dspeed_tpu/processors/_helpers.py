@@ -1,0 +1,88 @@
+"""Shared helpers for batched kernel implementations."""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+__all__ = [
+    "cdim",
+    "isnan_any",
+    "nanmask",
+    "as_int",
+    "take_last",
+    "static_float",
+    "static_int",
+]
+
+
+def cdim(x, n: int = 1):
+    """Append ``n`` trailing broadcast dims to an array; pass scalars through.
+
+    Kernels receive scalar params shaped ``(*batch,)`` and array params shaped
+    ``(*batch, core...)``; this aligns a scalar against an array operand.
+    """
+    if hasattr(x, "ndim") and x.ndim > 0:
+        return x[(...,) + (None,) * n]
+    return x
+
+
+def isnan_any(x, core_ndim: int = 0):
+    """NaN mask reduced over the trailing ``core_ndim`` axes (keepdims=False)."""
+    if not hasattr(x, "dtype"):
+        return np.isnan(x)
+    if not jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating):
+        return False
+    m = jnp.isnan(x)
+    for _ in range(core_ndim):
+        m = jnp.any(m, axis=-1)
+    return m
+
+
+def nanmask(bad, out):
+    """Poison ``out`` with NaN where ``bad``; rank-matches from the left.
+
+    ``bad`` may be a python/numpy bool (static short-circuit) or a
+    batch-shaped array.
+    """
+    if isinstance(bad, (bool, np.bool_)):
+        return jnp.where(bad, jnp.nan, out) if bad else out
+    m = bad
+    while m.ndim < out.ndim:
+        m = m[..., None]
+    while m.ndim > out.ndim:
+        m = m[..., 0]
+    return jnp.where(m, jnp.nan, out)
+
+
+def as_int(x):
+    """Truncate-toward-zero and cast to int32 (matches numba ``int(x)``)."""
+    if isinstance(x, (int, np.integer)):
+        return int(x)
+    if isinstance(x, (float, np.floating)):
+        return int(x)
+    return jnp.trunc(x).astype(jnp.int32)
+
+
+def take_last(w, idx):
+    """Gather along the last axis with batched integer indices.
+
+    ``idx`` is clipped into range; callers mask invalid entries themselves.
+    """
+    idxc = jnp.clip(idx, 0, w.shape[-1] - 1)
+    return jnp.take_along_axis(w, idxc[..., None], axis=-1)[..., 0]
+
+
+def static_float(x, name: str, what: str) -> float:
+    from ._kernel import require_static
+
+    require_static(x, name, what)
+    return float(x)
+
+
+def static_int(x, name: str, what: str) -> int:
+    from ._kernel import require_static
+
+    require_static(x, name, what)
+    return int(x)

@@ -1,0 +1,205 @@
+"""Numerical building blocks for TPU-native DSP kernels.
+
+The reference implements its hot filters as sequential per-sample recursions
+in float64 scratch buffers (``pole_zero.py:62-73``, ``trap_filters.py:62-76``,
+``recursive_filter.py``). Those recursions do not map onto TPU vector units;
+this module provides the parallel reformulations used by the dspeed_tpu
+kernel library:
+
+- :func:`hp_cumsum` — prefix sums with selectable accumulation precision,
+  including a *double-single* (two-float32) compensated ``associative_scan``
+  that reaches ~1e-9 relative accuracy at native VPU speed.
+- :func:`iir_first_order` — blocked first-order linear recurrence
+  ``y[i] = x[i] + p*y[i-1]``: in-block work becomes a triangular matmul (MXU),
+  cross-block carries a tiny affine ``associative_scan``.
+- :func:`nan_row` / :func:`poison` — the reference's NaN-poisoning convention
+  (any NaN in an event's core input ⇒ all outputs NaN for that event).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .. import config
+
+__all__ = [
+    "nan_row",
+    "poison",
+    "hp_cumsum",
+    "PrefixSum",
+    "iir_first_order",
+    "shift_right",
+]
+
+
+def nan_row(x, core_ndim: int = 1):
+    """Boolean mask (batch-shaped, keepdims) of events with any NaN in ``x``."""
+    m = jnp.isnan(x)
+    for _ in range(core_ndim):
+        m = jnp.any(m, axis=-1, keepdims=True)
+    return m
+
+
+def poison(mask, *outs):
+    """Replace outputs with NaN where ``mask`` is true (broadcast from left).
+
+    ``mask`` has keepdims batch shape ``(..., 1)``; each output may have more
+    or fewer core dims, so the mask is re-rank-matched per output.
+    """
+    res = []
+    for o in outs:
+        m = mask
+        while m.ndim > o.ndim:
+            m = m[..., 0]
+        while m.ndim < o.ndim:
+            m = m[..., None]
+        if jnp.issubdtype(o.dtype, jnp.floating):
+            res.append(jnp.where(m, jnp.nan, o))
+        else:
+            res.append(o)
+    return res[0] if len(res) == 1 else tuple(res)
+
+
+def shift_right(x, k: int = 1, fill=0.0, axis: int = -1):
+    """Shift along axis, filling vacated leading slots."""
+    if k == 0:
+        return x
+    pad = [(0, 0)] * x.ndim
+    ax = axis % x.ndim
+    pad[ax] = (k, 0)
+    xp = jnp.pad(x, pad, constant_values=fill)
+    sl = [slice(None)] * x.ndim
+    sl[ax] = slice(0, x.shape[ax])
+    return xp[tuple(sl)]
+
+
+# ---------------------------------------------------------------------------
+# double-single (two-float) compensated arithmetic
+# ---------------------------------------------------------------------------
+
+
+def _two_sum(a, b):
+    s = a + b
+    bb = s - a
+    err = (a - (s - bb)) + (b - bb)
+    return s, err
+
+
+def _ds_combine(x, y):
+    (s1, e1), (s2, e2) = x, y
+    s, e = _two_sum(s1, s2)
+    return s, e + e1 + e2
+
+
+class PrefixSum:
+    """An inclusive prefix sum held at accumulation precision.
+
+    ``take(i)``/``diff`` evaluate windowed sums without losing the extra
+    precision until the final rounding, which is what the trapezoid filters
+    need (they subtract nearby large prefix values).
+    """
+
+    def __init__(self, hi, lo=None):
+        self.hi = hi
+        self.lo = lo
+
+    def value(self, dtype=None):
+        v = self.hi if self.lo is None else self.hi + self.lo
+        return v.astype(dtype) if dtype is not None else v
+
+    def slice(self, sl) -> "PrefixSum":
+        idx = (Ellipsis, sl)
+        return PrefixSum(self.hi[idx], None if self.lo is None else self.lo[idx])
+
+    def sub(self, other: "PrefixSum", dtype=None):
+        """(self - other) rounded to ``dtype`` (or hi dtype)."""
+        d = self.hi - other.hi
+        if self.lo is not None:
+            d = d + (self.lo - other.lo)
+        return d.astype(dtype) if dtype is not None else d
+
+    def shift_right(self, k: int) -> "PrefixSum":
+        return PrefixSum(
+            shift_right(self.hi, k),
+            None if self.lo is None else shift_right(self.lo, k),
+        )
+
+
+def hp_cumsum(x, mode: str | None = None) -> PrefixSum:
+    """Inclusive prefix sum over the last axis at accumulation precision.
+
+    ``mode``: ``"f64"``, ``"ds"``, ``"f32"`` or None (use global policy,
+    :func:`dspeed_tpu.config.accum_mode`).
+    """
+    if mode is None:
+        mode = config.accum_mode()
+    if mode == "f64":
+        return PrefixSum(jnp.cumsum(x.astype(jnp.float64), axis=-1))
+    if mode == "f32":
+        return PrefixSum(jnp.cumsum(x.astype(jnp.float32), axis=-1))
+    if mode == "ds":
+        xf = x.astype(jnp.float32)
+        hi, lo = jax.lax.associative_scan(
+            _ds_combine, (xf, jnp.zeros_like(xf)), axis=-1
+        )
+        return PrefixSum(hi, lo)
+    raise ValueError(f"unknown accumulation mode {mode!r}")
+
+
+# ---------------------------------------------------------------------------
+# first-order linear recurrence: y[i] = x[i] + p * y[i-1]
+# ---------------------------------------------------------------------------
+
+
+def _affine_combine(a, b):
+    (m1, v1), (m2, v2) = a, b
+    return m1 * m2, v2 + m2 * v1
+
+
+def iir_first_order(x, p: float, y_init=0.0, block: int = 128):
+    """Evaluate ``y[i] = x[i] + p*y[i-1]`` along the last axis, TPU-style.
+
+    ``p`` must be a static (python/numpy) scalar — in the reference this is
+    always a config/db constant. The in-block solution is a lower-triangular
+    matmul with the impulse-response matrix ``T[i,j] = p^(i-j)`` (runs on the
+    MXU); cross-block carries compose through a log-depth affine
+    ``associative_scan`` over ``n/block`` elements.
+
+    ``y_init`` is ``y[-1]`` (scalar or batch-shaped array).
+    """
+    p = float(p)
+    *lead, n = x.shape
+    nb = -(-n // block)
+    npad = nb * block - n
+    dtype = x.dtype
+    if npad:
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, npad)])
+    xb = x.reshape(*lead, nb, block)
+
+    # T[i, j] = p^(i-j) for i >= j else 0, computed in f64 host-side
+    i = np.arange(block)
+    T = np.where(i[:, None] >= i[None, :], p ** (i[:, None] - i[None, :]), 0.0)
+    T = jnp.asarray(T, dtype=dtype)
+
+    y_in = jnp.einsum(
+        "...bl,kl->...bk", xb, T, preferred_element_type=dtype
+    )
+
+    # carry c_b = y value at end of block b: c_b = p^block * c_{b-1} + y_in[b, -1]
+    mults = jnp.full(xb.shape[:-1], p**block, dtype=dtype)
+    vals = y_in[..., -1]
+    m_acc, c_in = jax.lax.associative_scan(_affine_combine, (mults, vals), axis=-1)
+    # previous-block carry (exclusive over blocks), seeded with y[-1] = y_init:
+    # c_prev[b] = c_in[b-1] + (p^block)^b * y_init   (m_acc[b] = (p^block)^(b+1))
+    y_init = jnp.asarray(y_init, dtype=dtype)
+    if y_init.ndim:
+        y_init = y_init[..., None]
+    c_prev = shift_right(c_in, 1) + y_init * shift_right(m_acc, 1, fill=1.0)
+
+    powers = jnp.asarray(p ** (i + 1), dtype=dtype)
+    y = y_in + c_prev[..., None] * powers
+    y = y.reshape(*lead, nb * block)
+    return y[..., :n] if npad else y

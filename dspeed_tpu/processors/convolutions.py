@@ -1,0 +1,132 @@
+"""Waveform convolutions (reference ``dspeed/processors/convolutions.py``).
+
+The reference loops ``np.convolve`` per event (:24 ``convolve_wf``) or calls
+scipy ``fftconvolve`` over the batch (:81 ``fft_convolve_wf``). Here both are
+single batched XLA ops: ``convolve_wf`` lowers to a TPU convolution
+(``lax.conv_general_dilated``, MXU-friendly), ``fft_convolve_wf`` to a batched
+real FFT — XLA picks the layout; both produce identical shapes/modes as
+``numpy.convolve``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..errors import DSPFatal
+from ._helpers import isnan_any, nanmask, static_int
+from ._kernel import kernel
+
+__all__ = ["convolve_wf", "fft_convolve_wf", "reflected_convolve_wf"]
+
+
+def _mode_char(mode_in, name):
+    mode = static_int(mode_in, name, "mode_in")
+    ch = chr(mode)
+    if ch not in ("f", "v", "s"):
+        raise DSPFatal("Invalid mode")
+    return ch
+
+
+def _slice_mode(full, n, m, ch):
+    """Slice the full convolution like ``numpy.convolve`` modes."""
+    if ch == "f":
+        return full
+    if ch == "v":
+        lo, hi = min(n, m) - 1, max(n, m)
+        return full[..., lo:hi]
+    # same
+    k = min(n, m)
+    lo = (k - 1) // 2
+    return full[..., lo : lo + max(n, m)]
+
+
+def _conv_full_direct(w, kern):
+    """Full convolution of batched ``w`` with a shared 1-D kernel via XLA conv."""
+    n = w.shape[-1]
+    m = kern.shape[-1]
+    lhs = w.reshape(-1, 1, n)
+    # conv_general_dilated computes correlation; flip for convolution
+    rhs = kern[::-1].reshape(1, 1, m).astype(w.dtype)
+    out = jax.lax.conv_general_dilated(
+        lhs,
+        rhs,
+        window_strides=(1,),
+        padding=[(m - 1, m - 1)],
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return out.reshape(*w.shape[:-1], n + m - 1)
+
+
+def _conv_full_fft(w, kern):
+    """Full convolution via batched real FFT (scipy.fftconvolve semantics)."""
+    n = w.shape[-1]
+    m = kern.shape[-1]
+    size = n + m - 1
+    # next power of two for FFT efficiency on TPU
+    fsize = 1 << (size - 1).bit_length()
+    wf = jnp.fft.rfft(w, fsize, axis=-1)
+    kf = jnp.fft.rfft(kern.astype(w.dtype), fsize, axis=-1)
+    out = jnp.fft.irfft(wf * kf, fsize, axis=-1)[..., :size]
+    return out.astype(w.dtype)
+
+
+def _conv_kernel_checks(w_in, kernel_arr, name):
+    n = w_in.shape[-1]
+    m = kernel_arr.shape[-1]
+    if m > n:
+        raise DSPFatal("The filter is longer than the input waveform")
+    return n, m
+
+
+@kernel("(n),(m),(),(p)", ["ffbf", "ddbd"], nout=1, static=[2], uses_dims=True)
+def convolve_wf(w_in, kernel_in, mode_in, dims):
+    """Direct convolution with modes f/v/s (reference ``convolutions.py:24``)."""
+    kern = jnp.asarray(kernel_in)
+    if kern.ndim > 1:
+        raise DSPFatal("convolve_wf expects a shared 1-D kernel")
+    n, m = _conv_kernel_checks(w_in, kern, "convolve_wf")
+    ch = _mode_char(mode_in, "convolve_wf")
+    p = dims["p"]
+    expect = {"f": n + m - 1, "v": abs(n - m) + 1, "s": max(n, m)}[ch]
+    if p != expect:
+        raise DSPFatal(f"Output waveform has length {p}; expect {expect}")
+    full = _conv_full_direct(w_in, kern)
+    out = _slice_mode(full, n, m, ch).astype(w_in.dtype)
+    bad = isnan_any(w_in, 1) | jnp.any(jnp.isnan(kern))
+    return nanmask(bad, out)
+
+
+@kernel("(n),(m),(),(p)", ["ffbf", "ddbd"], nout=1, static=[2], uses_dims=True)
+def fft_convolve_wf(w_in, kernel_in, mode_in, dims):
+    """FFT convolution with modes f/v/s (reference ``convolutions.py:81``).
+
+    NaN events are zeroed before the FFT and re-poisoned after, matching the
+    reference's NaN-row masking.
+    """
+    kern = jnp.asarray(kernel_in)
+    if kern.ndim > 1:
+        raise DSPFatal("fft_convolve_wf expects a shared 1-D kernel")
+    n, m = _conv_kernel_checks(w_in, kern, "fft_convolve_wf")
+    ch = _mode_char(mode_in, "fft_convolve_wf")
+    bad = isnan_any(w_in, 1)
+    w = jnp.where(bad[..., None] if hasattr(bad, "ndim") and bad.ndim else bad, 0.0, w_in)
+    full = _conv_full_fft(w, kern)
+    out = _slice_mode(full, n, m, ch).astype(w_in.dtype)
+    return nanmask(bad | jnp.any(jnp.isnan(kern)), out)
+
+
+@kernel("(n),(m),(p)", ["fff", "ddd"], nout=1, uses_dims=True)
+def reflected_convolve_wf(w_in, kernel_in, dims):
+    """Reflect-pad then 'same' convolve (reference ``convolutions.py:132``)."""
+    kern = jnp.asarray(kernel_in)
+    n, m = _conv_kernel_checks(w_in, kern, "reflected_convolve_wf")
+    ext = int(m / 2) + 1
+    wpad = jnp.pad(w_in, [(0, 0)] * (w_in.ndim - 1) + [(ext, ext)], mode="reflect")
+    full = _conv_full_direct(wpad, kern)
+    same = _slice_mode(full, n + 2 * ext, m, "s")
+    out = same[..., ext:-ext].astype(w_in.dtype)
+    return nanmask(isnan_any(w_in, 1), out)

@@ -1,0 +1,93 @@
+"""Fixed-time pick-off with interpolation modes
+(reference ``dspeed/processors/fixed_time_pickoff.py:20``)."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..errors import DSPFatal
+from ._helpers import isnan_any, nanmask, static_int, take_last
+from ._kernel import kernel
+from ._spline import natural_spline_w2
+
+__all__ = ["fixed_time_pickoff"]
+
+_MODES = tuple(ord(c) for c in "infclhs")
+
+
+@kernel("(n),(),()->()", ["ffb->f", "ddb->d"], static=[2])
+def fixed_time_pickoff(w_in, t_in, mode_in):
+    """Pick off the waveform value at (fractional) index ``t_in``.
+
+    Interpolation modes (static char, passed as ``ord(c)``): ``i`` integer,
+    ``n`` nearest, ``f`` floor, ``c`` ceil, ``l`` linear, ``h`` Hermite,
+    ``s`` natural cubic spline. Out-of-range or NaN index gives NaN.
+
+    Divergence from the reference: mode ``'i'`` with a non-integral ``t_in``
+    yields NaN for that event instead of raising (data-dependent ``DSPFatal``
+    cannot abort a compiled TPU program).
+    """
+    mode = static_int(mode_in, "fixed_time_pickoff", "mode_in")
+    if mode not in _MODES:
+        raise DSPFatal("Unrecognized interpolation mode")
+    n = w_in.shape[-1]
+    t = jnp.asarray(t_in, w_in.dtype)
+    if t.ndim == 0:
+        t = jnp.broadcast_to(t, w_in.shape[:-1])
+
+    i0 = jnp.floor(t).astype(jnp.int32)
+    frac = t - i0
+    exact = frac == 0
+    t0 = frac
+    t1 = 1.0 - t0
+
+    w_i = take_last(w_in, i0)
+    w_i1 = take_last(w_in, i0 + 1)
+
+    ch = chr(mode)
+    if ch == "i":
+        val = w_i
+        bad_mode = ~exact
+    elif ch == "n":
+        val = jnp.where(t0 < 0.5, w_i, w_i1)
+        bad_mode = False
+    elif ch == "f":
+        val = w_i
+        bad_mode = False
+    elif ch == "c":
+        val = jnp.where(exact, w_i, w_i1)
+        bad_mode = False
+    elif ch == "l":
+        val = jnp.where(exact, w_i, t1 * w_i + t0 * w_i1)
+        bad_mode = False
+    elif ch == "h":
+        w_im1 = take_last(w_in, i0 - 1)
+        w_i2 = take_last(w_in, i0 + 2)
+        m0 = jnp.where(i0 == 0, w_in[..., 1] - w_in[..., 0], (w_i1 - w_im1) / 2.0)
+        m1 = jnp.where(
+            i0 == n - 2, w_in[..., -1] - w_in[..., -2], (w_i2 - w_i) / 2.0
+        )
+        herm = (
+            (-2.0 * t1**3 + 3.0 * t1**2) * w_i
+            + (-2.0 * t0**3 + 3.0 * t0**2) * w_i1
+            - (t1**3 - t1**2) * m0
+            + (t0**3 - t0**2) * m1
+        )
+        val = jnp.where(exact, w_i, herm)
+        bad_mode = False
+    else:  # 's'
+        w2 = natural_spline_w2(w_in)
+        s = (
+            t1 * w_i
+            + t0 * w_i1
+            + ((t1**3 - t1) * take_last(w2, i0) + (t0**3 - t0) * take_last(w2, i0 + 1))
+            / 6.0
+        )
+        val = jnp.where(exact, w_i, s)
+        bad_mode = False
+
+    in_range = (t >= 0) & (t <= n - 1)
+    bad = isnan_any(w_in, 1) | jnp.isnan(t) | ~in_range
+    if not isinstance(bad_mode, bool):
+        bad = bad | bad_mode
+    return nanmask(bad, val.astype(w_in.dtype))

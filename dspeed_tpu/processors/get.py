@@ -1,0 +1,46 @@
+"""Indexed gather processors (reference ``dspeed/processors/get.py:31,72``)."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ._helpers import take_last
+from ._kernel import kernel
+
+__all__ = ["get", "get_default"]
+
+_T = ["b", "h", "i", "l", "B", "H", "I", "L", "f", "d", "F", "D"]
+
+
+@kernel("(n),()->()", [f"{t}l->{t}" for t in _T])
+def get(a_in, i):
+    """Value at position ``i`` (negative = from the end). Out-of-range
+    produces NaN/max-int (the reference raises ``DSPFatal``, impossible
+    per-event in a compiled program)."""
+    n = a_in.shape[-1]
+    idx = jnp.asarray(i, jnp.int32)
+    if idx.ndim == 0:
+        idx = jnp.broadcast_to(idx, a_in.shape[:-1])
+    wrapped = jnp.where(idx < 0, idx + n, idx)
+    ok = (idx >= -n) & (idx < n)
+    val = take_last(a_in, wrapped)
+    if jnp.issubdtype(a_in.dtype, jnp.floating):
+        return jnp.where(ok, val, jnp.nan)
+    return jnp.where(ok, val, jnp.iinfo(a_in.dtype).max)
+
+
+@kernel("(n),(),()->()", [f"{t}l{t}->{t}" for t in _T])
+def get_default(a_in, i, default):
+    """Value at position ``i``; ``default`` on out-of-range or NaN
+    (reference ``get.py:72``). Backs the parser's ``wf[var]`` subscripts."""
+    n = a_in.shape[-1]
+    idx = jnp.asarray(i, jnp.int32)
+    if idx.ndim == 0:
+        idx = jnp.broadcast_to(idx, a_in.shape[:-1])
+    wrapped = jnp.where(idx < 0, idx + n, idx)
+    ok = (idx >= -n) & (idx < n)
+    val = take_last(a_in, wrapped)
+    if jnp.issubdtype(a_in.dtype, jnp.floating):
+        ok = ok & ~jnp.isnan(val)
+    d = jnp.asarray(default, a_in.dtype)
+    return jnp.where(ok, val, d)

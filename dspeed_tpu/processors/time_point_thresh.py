@@ -1,0 +1,261 @@
+"""Threshold-crossing time-point finders.
+
+Reference: ``dspeed/processors/time_point_thresh.py`` — sequential early-exit
+walks (:20 ``time_point_thresh``, :103 ``interpolated_time_point_thresh``,
+:233 ``multi_time_point_thresh``, :412
+``bi_level_zero_crossing_time_points``).
+
+TPU-native reformulation: the "first crossing from ``t_start`` in direction
+``d``" searches become masked argmax/argmin reductions over a vectorized
+crossing predicate — no data-dependent control flow, fixed shapes.
+
+Divergence from the reference: data-dependent ``DSPFatal`` conditions
+(non-integer or out-of-range ``t_start``) yield NaN for the affected event
+instead of aborting, since a compiled TPU program cannot raise per-event.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..errors import DSPFatal
+from ._helpers import cdim, isnan_any, nanmask, static_int, take_last
+from ._kernel import kernel
+
+__all__ = [
+    "time_point_thresh",
+    "interpolated_time_point_thresh",
+    "multi_time_point_thresh",
+]
+
+
+def _first_true_from(mask, start, direction):
+    """Index of first true in ``mask`` walking from ``start`` (inclusive) in
+    ``direction`` (+1/-1); returns (idx, found)."""
+    n = mask.shape[-1]
+    pos = jnp.arange(n)
+    if direction > 0:
+        valid = mask & (pos >= start[..., None])
+        idx = jnp.argmax(valid, axis=-1)
+    else:
+        valid = mask & (pos <= start[..., None])
+        # last true <= start
+        idx = n - 1 - jnp.argmax(valid[..., ::-1], axis=-1)
+    found = jnp.any(valid, axis=-1)
+    return idx, found
+
+
+def _crossing_masks(w_in, a):
+    """Forward/backward threshold-crossing predicates.
+
+    fwd[i] (i in [0, n-2]): crossing between samples i and i+1, either
+    direction; reported index is i (reference ``time_point_thresh.py:76-83``).
+    bwd[i] (i in [1, n-1]): crossing between i-1 and i with the reference's
+    strict/inclusive orientation (``:85-92``); reported index is i.
+    """
+    a = a[..., None] if hasattr(a, "ndim") and a.ndim else a
+    w0 = w_in[..., :-1]
+    w1 = w_in[..., 1:]
+    up = (w0 <= a) & (a < w1)
+    dn = (w0 >= a) & (a > w1)
+    fwd = jnp.pad(up | dn, [(0, 0)] * (w_in.ndim - 1) + [(0, 1)], constant_values=False)
+    upb = (w0 < a) & (a <= w1)
+    dnb = (w0 > a) & (a >= w1)
+    bwd = jnp.pad(upb | dnb, [(0, 0)] * (w_in.ndim - 1) + [(1, 0)], constant_values=False)
+    return fwd, bwd
+
+
+@kernel("(n),(),(),()->()", ["ffff->f", "dddd->d"])
+def time_point_thresh(w_in, a_threshold, t_start, walk_forward):
+    """Index just before the threshold crossing, walking fwd/back from
+    ``t_start`` (reference ``time_point_thresh.py:20``)."""
+    n = w_in.shape[-1]
+    a = jnp.asarray(a_threshold, w_in.dtype)
+    t = jnp.asarray(t_start)
+    ti = jnp.trunc(t).astype(jnp.int32)
+    if ti.ndim == 0:
+        ti = jnp.broadcast_to(ti, w_in.shape[:-1])
+    if a.ndim == 0:
+        a = jnp.broadcast_to(a, w_in.shape[:-1])
+
+    fwd, bwd = _crossing_masks(w_in, a)
+    # forward walk scans i in [t_start, n-2]
+    idx_f, found_f = _first_true_from(fwd, ti, +1)
+    # backward walk scans i in [t_start, 1] reporting i (mask index i means
+    # crossing between i-1 and i)
+    idx_b, found_b = _first_true_from(bwd, ti, -1)
+
+    if isinstance(walk_forward, (int, float, np.integer, np.floating)):
+        idx, found = (idx_f, found_f) if int(walk_forward) == 1 else (idx_b, found_b)
+    else:
+        forward = jnp.asarray(walk_forward) == 1
+        idx = jnp.where(forward, idx_f, idx_b)
+        found = jnp.where(forward, found_f, found_b)
+
+    val = idx.astype(w_in.dtype)
+    in_range = (ti >= 0) & (ti < n)
+    integral = jnp.trunc(t) == t
+    bad = (
+        isnan_any(w_in, 1)
+        | jnp.isnan(a)
+        | isnan_any(t)
+        | ~in_range
+        | ~integral
+        | ~found
+    )
+    return nanmask(bad, val)
+
+
+@kernel("(n),(),(),(),()->()", ["fffib->f", "dddlb->d"], static=[4])
+def interpolated_time_point_thresh(w_in, a_threshold, t_start, walk_forward, mode_in):
+    """Crossing time with sub-sample interpolation
+    (reference ``time_point_thresh.py:103``)."""
+    mode = static_int(mode_in, "interpolated_time_point_thresh", "mode_in")
+    if mode not in tuple(ord(c) for c in "iabrnlfc"):
+        raise DSPFatal("Unrecognized interpolation mode")
+    n = w_in.shape[-1]
+    a = jnp.asarray(a_threshold, w_in.dtype)
+    t = jnp.asarray(t_start)
+    ti = jnp.trunc(t).astype(jnp.int32)
+    if ti.ndim == 0:
+        ti = jnp.broadcast_to(ti, w_in.shape[:-1])
+    if a.ndim == 0:
+        a = jnp.broadcast_to(a, w_in.shape[:-1])
+
+    fwd, bwd = _crossing_masks(w_in, a)
+    idx_f, found_f = _first_true_from(fwd, ti, +1)
+    # reference backward loop stops at i=2 (range(int(t_start), 1, -1)),
+    # reporting i_cross = i-1; mask index i covers i>=1 → restrict to i>=2
+    pos = jnp.arange(n)
+    bwd = bwd & (pos >= 2)
+    idx_b, found_b = _first_true_from(bwd, ti, -1)
+    idx_b = idx_b - 1
+
+    wf = jnp.asarray(walk_forward)
+    if wf.ndim == 0 and isinstance(walk_forward, (int, float, np.integer, np.floating)):
+        if walk_forward > 0:
+            i_cross, found = idx_f, found_f
+        else:
+            i_cross, found = idx_b, found_b
+    else:
+        cond = wf > 0
+        i_cross = jnp.where(cond, idx_f, idx_b)
+        found = jnp.where(cond, found_f, found_b)
+
+    w_c = take_last(w_in, i_cross)
+    w_c1 = take_last(w_in, i_cross + 1)
+    ch = chr(mode)
+    if ch == "i":
+        val = i_cross.astype(w_in.dtype)
+    elif ch in ("a", "f"):
+        val = (i_cross + 1).astype(w_in.dtype)
+    elif ch in ("b", "c"):
+        val = i_cross.astype(w_in.dtype)
+    elif ch == "r":
+        val = jnp.where(
+            jnp.abs(a - w_c) < jnp.abs(a - w_c1), i_cross, i_cross + 1
+        ).astype(w_in.dtype)
+    elif ch == "n":
+        val = i_cross.astype(w_in.dtype) + w_in.dtype.type(0.5)
+    else:  # 'l'
+        val = i_cross.astype(w_in.dtype) + (a - w_c) / (w_c1 - w_c)
+
+    in_range = (t >= 0) & (t < n)
+    bad = isnan_any(w_in, 1) | jnp.isnan(a) | isnan_any(t) | ~in_range | ~found
+    return nanmask(bad, val)
+
+
+@kernel("(n),(m),(),(),()->(m)", ["ffffb->f", "ddddb->d"], static=[4])
+def multi_time_point_thresh(w_in, a_threshold, t_start, polarity, mode_in):
+    """All thresholds in one sweep (reference ``time_point_thresh.py:233``).
+
+    For each threshold, the reference walks away from ``t_start`` (up-side
+    thresholds walk along ``polarity``, down-side against it) and records the
+    first monotone crossing ``w[i] <= thr < w[i+polarity]``. Vectorized here
+    as two masked reductions per threshold.
+    """
+    mode = static_int(mode_in, "multi_time_point_thresh", "mode_in")
+    if mode not in tuple(ord(c) for c in "iabrnlfc"):
+        raise DSPFatal("Unrecognized interpolation mode")
+    n = w_in.shape[-1]
+    a = jnp.asarray(a_threshold, w_in.dtype)
+    t = jnp.asarray(t_start)
+    ti = jnp.trunc(t).astype(jnp.int32)
+    if ti.ndim == 0:
+        ti = jnp.broadcast_to(ti, w_in.shape[:-1])
+
+    pol = polarity
+    if isinstance(pol, (int, float, np.integer, np.floating)):
+        if pol == 0:
+            raise DSPFatal("polarity cannot be 0")
+        pol = 1 if pol > 0 else -1
+        pols = (pol,)
+    else:
+        pols = None
+
+    a_start = take_last(w_in, ti)
+
+    def search(pol_static):
+        """Crossing predicate cross[i] = w[i] <= thr < w[i+pol]."""
+        pos = jnp.arange(n)
+        thr = a[..., :, None]  # [..., m, 1]
+        w = w_in[..., None, :]  # [..., 1, n]
+        w_next = jnp.roll(w_in, -pol_static, axis=-1)[..., None, :]
+        valid_i = (pos >= 0) & (pos + pol_static >= 0) & (pos + pol_static < n)
+        cross = (w <= thr) & (thr < w_next) & valid_i
+        # up-side thresholds (thr >= w[t_start]) search from t_start along pol;
+        # down-side search from t_start-1 against pol.
+        up_side = a >= a_start[..., None]  # [..., m]
+        ts = ti[..., None]
+        if pol_static > 0:
+            up_valid = cross & (pos >= ts)
+            up_idx = jnp.argmax(up_valid, axis=-1)
+            up_found = jnp.any(up_valid, axis=-1)
+            dn_valid = cross & (pos <= ts - 1)
+            dn_idx = n - 1 - jnp.argmax(dn_valid[..., ::-1], axis=-1)
+            dn_found = jnp.any(dn_valid, axis=-1)
+        else:
+            up_valid = cross & (pos <= ts)
+            up_idx = n - 1 - jnp.argmax(up_valid[..., ::-1], axis=-1)
+            up_found = jnp.any(up_valid, axis=-1)
+            dn_valid = cross & (pos >= ts - 1)
+            dn_idx = jnp.argmax(dn_valid, axis=-1)
+            dn_found = jnp.any(dn_valid, axis=-1)
+        idx = jnp.where(up_side, up_idx, dn_idx)
+        found = jnp.where(up_side, up_found, dn_found)
+        return idx, found
+
+    if pols is not None:
+        idx, found = search(pols[0])
+        pol_val = pols[0]
+    else:
+        raise DSPFatal("multi_time_point_thresh requires a static polarity")
+
+    w_c = take_last(w_in, idx)
+    w_cp = take_last(w_in, idx + pol_val)
+    ch = chr(mode)
+    fi = idx.astype(w_in.dtype)
+    if ch == "i":
+        val = fi
+    elif ch in ("a", "f"):
+        val = fi if pol_val < 0 else fi + 1
+    elif ch in ("b", "c"):
+        val = fi if pol_val > 0 else fi - 1
+    elif ch == "r":
+        val = jnp.where(a - w_c < w_cp - a, fi, fi + pol_val)
+    elif ch == "n":
+        val = fi + 0.5 * pol_val
+    else:  # 'l'
+        val = fi + (a - w_c) / (w_cp - w_c)
+
+    in_range = (t >= 0) & (t < n)
+    bad = (
+        isnan_any(w_in, 1)
+        | isnan_any(a, 1)
+        | isnan_any(t)
+        | ~in_range
+    )
+    val = jnp.where(found, val, jnp.nan)
+    return nanmask(bad, val)
