@@ -1,0 +1,2620 @@
+"""The dspeed_tpu processing-chain engine: a trace-time DSP-graph compiler.
+
+The reference implementation (``dspeed/processing_chain.py``) interprets a
+list of pre-bound numba gufunc calls over persistent, 16-event numpy block
+buffers. This rebuild keeps the same *front-end semantics* — named variables
+with shape/dtype/unit/coordinate-grid metadata, an expression sub-language,
+gufunc-signature driven broadcasting and type resolution, automatic unit
+conversions — but compiles the whole DAG into a list of functional *steps*
+traced into ONE jitted XLA program per (chain, chunk-shape):
+
+- :class:`ProcChainVar` holds metadata only (no buffers); every variable is a
+  key into a traced environment ``dict[str, jnp.ndarray]`` of batched values
+  ``(block, *shape)``. Constants are host numpy values, closed over at trace
+  time so kernels can specialize on them (reference: buffers + is_const,
+  ``processing_chain.py:147-377``).
+- :class:`KernelStep` is the analog of the reference's ``ProcessorManager``
+  (``processing_chain.py:1485-1803``): built once at chain-construction time,
+  it performs the same dims/type/unit resolution against the kernel's gufunc
+  signature, then at trace time pulls its inputs from the environment,
+  reshapes/casts, calls the batched JAX kernel, and binds outputs.
+- Unit conversions between representations (e.g. ``tp_0`` computed in clock
+  ticks, written out in ns) are :class:`ConvertStep`\\ s, the analog of
+  ``UnitConversionManager`` (``processing_chain.py:1806-1908``); each variable
+  tracks its materialized representations in ``ProcChainVar.reps``.
+- I/O managers (``processing_chain.py:1911-2360``) translate LGDO buffers to
+  environment inputs / from environment outputs on the host, once per chunk
+  (not per 16-event block): the Python<->numba boundary of the reference
+  becomes the host<->device boundary here, and XLA fuses what the reference
+  ran as ~40 separate kernel passes.
+
+``build_processing_chain`` (reference ``processing_chain.py:2363-2873``)
+keeps the exact config schema: JSON/YAML, multi-output keys, ``db.*``
+substitution with defaults, dependency resolution with cycle detection,
+``init_args`` factories, and build-time const folding.
+"""
+
+from __future__ import annotations
+
+import ast
+import importlib
+import itertools as it
+import json
+import re
+import time
+from copy import deepcopy
+from numbers import Real
+from typing import Any, Collection, Mapping, MutableMapping
+
+import numpy as np
+
+from . import lh5 as lgdo
+from .errors import DSPFatal, ProcessingChainError
+from .units import Quantity, Unit, ureg
+
+import logging
+
+log = logging.getLogger("dspeed_tpu.processing_chain")
+
+__all__ = [
+    "auto",
+    "CoordinateGrid",
+    "ProcChainVar",
+    "ProcessingChain",
+    "build_processing_chain",
+]
+
+
+class _Auto:
+    """Sentinel for deduce-me-later metadata (the reference's ``auto``)."""
+
+    _instance = None
+
+    def __new__(cls):
+        if cls._instance is None:
+            cls._instance = super().__new__(cls)
+        return cls._instance
+
+    def __repr__(self) -> str:
+        return "auto"
+
+    def __bool__(self) -> bool:
+        return False
+
+
+auto = _Auto()
+
+
+def is_in_ureg(unit) -> bool:
+    """True if ``unit`` is a known physical unit (pint lookup in the ref)."""
+    return isinstance(unit, (Unit, Quantity)) or (
+        isinstance(unit, str) and bool(unit) and unit in ureg
+    )
+
+
+class CoordinateGrid:
+    """A (period, offset) pair describing a variable's sample axis.
+
+    ``period`` is a unitted :class:`Quantity`; ``offset`` is a
+    :class:`Quantity` in compatible units or a :class:`ProcChainVar` holding a
+    per-event offset (reference ``processing_chain.py:67-144``).
+    """
+
+    def __init__(self, period, offset=0) -> None:
+        if isinstance(period, CoordinateGrid):
+            offset = period.offset
+            period = period.period
+        elif isinstance(period, ProcChainVar):
+            if period.grid in (None, auto):
+                raise ProcessingChainError(
+                    f"{period} does not have an assigned coordinate grid"
+                )
+            offset = period.grid.offset
+            period = period.grid.period
+        elif isinstance(period, (tuple, list)):
+            period, offset = period
+
+        if isinstance(period, str):
+            period = Quantity(1.0, period)
+        elif isinstance(period, Unit):
+            period = Quantity(1, period)
+
+        if isinstance(offset, Real) and not isinstance(offset, bool):
+            offset = offset * period
+        if not isinstance(period, Quantity) or not isinstance(
+            offset, (Quantity, ProcChainVar)
+        ):
+            raise ProcessingChainError(
+                f"cannot construct CoordinateGrid from ({period}, {offset})"
+            )
+        self.period = period
+        self.offset = offset
+
+    def __eq__(self, other) -> bool:
+        if not isinstance(other, CoordinateGrid):
+            return NotImplemented
+        if isinstance(self.offset, ProcChainVar) or isinstance(
+            other.offset, ProcChainVar
+        ):
+            off_eq = self.offset is other.offset
+        else:
+            off_eq = self.offset == other.offset
+        return self.period == other.period and off_eq
+
+    def __hash__(self):
+        off = self.offset
+        off_id = id(off) if isinstance(off, ProcChainVar) else off
+        return hash((self.period, off_id))
+
+    def unit_str(self) -> str:
+        return format(self.period.u, "~") or str(self.period.u)
+
+    def get_period(self, unit) -> float:
+        if isinstance(unit, str):
+            unit = ureg.Quantity(unit)
+        return float(self.period / unit)
+
+    def get_offset(self, unit=None):
+        """Offset converted to ``unit`` (default: periods). If the offset is a
+        per-event variable, returns the *env key* of its converted values."""
+        if unit is None:
+            unit = self.period
+        elif isinstance(unit, str):
+            unit = ureg.Quantity(unit)
+        if isinstance(self.offset, ProcChainVar):
+            return self.offset.value_in(CoordinateGrid(unit))
+        return float(self.offset / unit)
+
+    def __str__(self) -> str:
+        off = (
+            self.offset.name
+            if isinstance(self.offset, ProcChainVar)
+            else str(self.offset)
+        )
+        return f"({self.period},{off})"
+
+    __repr__ = __str__
+
+
+def _rep_id(rep) -> Any:
+    """Hashable identity of a representation (unit / grid / opaque string)."""
+    if rep is None or rep is auto:
+        return None
+    if isinstance(rep, CoordinateGrid):
+        off = rep.offset
+        off_key = id(off) if isinstance(off, ProcChainVar) else str(off)
+        return ("grid", str(rep.period), off_key)
+    if isinstance(rep, Quantity):
+        return ("unit", rep.u.dims, rep.u.scale, rep.m)
+    if isinstance(rep, Unit):
+        return ("unit", rep.dims, rep.scale, 1)
+    if isinstance(rep, str):
+        if rep in ureg:
+            q = ureg.Quantity(rep)
+            return ("unit", q.u.dims, q.u.scale, q.m)
+        return ("str", rep)
+    return ("other", str(rep))
+
+
+class ProcChainVar:
+    """Named chain variable: metadata + an environment key (no host buffer).
+
+    Mirrors the reference's ``ProcChainVar`` (``processing_chain.py:147-377``)
+    minus the numpy block buffers: values live in the traced environment under
+    ``self.key``, in the variable's *native* representation; other unit/grid
+    representations are added as :class:`ConvertStep`\\ s on demand
+    (reference: multi-representation buffer list, ``:271-313``).
+    """
+
+    _counter = it.count()
+
+    def __init__(
+        self,
+        proc_chain: "ProcessingChain",
+        name: str,
+        shape=auto,
+        dtype=auto,
+        grid=auto,
+        unit=auto,
+        is_coord=auto,
+        vector_len=None,
+        is_const: bool = False,
+    ) -> None:
+        self.proc_chain = proc_chain
+        self.name = name
+        self.key = f"{name}#{next(self._counter)}"
+        self.shape = shape
+        self.dtype = dtype
+        self.grid = grid
+        self.unit = unit
+        self.is_coord = is_coord
+        self.vector_len = vector_len
+        self.is_const = is_const
+        self.const_value: np.ndarray | None = None
+        # rep_id -> env key holding this var converted to that representation
+        self.reps: dict[Any, str] = {}
+        self.defined = False  # set once some step/input binds self.key
+        log.debug("added variable: %s", self.description())
+
+    def __setattr__(self, name: str, value: Any) -> None:
+        if value is auto:
+            pass
+        elif name == "shape":
+            value = tuple(value) if hasattr(value, "__iter__") else (int(value),)
+            if not all(isinstance(d, (int, np.integer)) for d in value):
+                raise ProcessingChainError(f"bad shape {value} for {self}")
+            value = tuple(int(d) for d in value)
+        elif name == "dtype" and value is not None and not isinstance(value, np.dtype):
+            value = np.dtype(value)
+        elif (
+            name == "grid"
+            and value is not None
+            and not isinstance(value, CoordinateGrid)
+        ):
+            value = (
+                CoordinateGrid(*value)
+                if isinstance(value, (tuple, list))
+                else CoordinateGrid(value, 0)
+            )
+        elif name == "is_coord" and value is not auto:
+            value = bool(value)
+        elif name == "vector_len" and value is not None:
+            if not isinstance(value, ProcChainVar):
+                value = self.proc_chain.get_variable(value)
+            value.update_auto(shape=(), grid=None, unit=None, is_coord=False)
+        super().__setattr__(name, value)
+
+    @property
+    def period(self):
+        return self.grid.period if isinstance(self.grid, CoordinateGrid) else None
+
+    @property
+    def offset(self):
+        return self.grid.offset if isinstance(self.grid, CoordinateGrid) else None
+
+    @property
+    def buffer(self):  # API parity; not a numpy buffer here
+        return self.key
+
+    def native_rep(self):
+        """The representation env[self.key] is stored in: the coordinate grid
+        for coords, else the unit (reference ``get_buffer``, ``:271-313``)."""
+        if self.is_coord is True and isinstance(self.grid, CoordinateGrid):
+            return self.grid
+        return None if self.unit in (auto, None) else self.unit
+
+    def value_in(self, rep) -> str:
+        """Env key of this variable converted into representation ``rep``,
+        inserting a :class:`ConvertStep` on first use (the analog of
+        ``get_buffer(unit)`` + ``UnitConversionManager``)."""
+        if rep is None or rep is auto:
+            return self.key
+        native = self.native_rep()
+        if self.is_coord is True and not isinstance(self.grid, CoordinateGrid):
+            # un-gridded coordinate adopts the requested grid as native
+            if isinstance(rep, CoordinateGrid):
+                self.grid = rep
+            else:
+                self.grid = CoordinateGrid(rep)
+            return self.key
+        if _rep_id(rep) == _rep_id(native):
+            return self.key
+        if not isinstance(rep, CoordinateGrid) and not is_in_ureg(rep):
+            return self.key  # opaque target: no conversion possible
+        if not isinstance(native, CoordinateGrid) and not is_in_ureg(native):
+            return self.key  # opaque source: no conversion possible
+        key = self.reps.get(_rep_id(rep))
+        if key is None:
+            step = ConvertStep(self, rep)
+            self.proc_chain._steps.append(step)
+            self.reps[_rep_id(rep)] = step.out_key
+            log.debug("added conversion: %s", step)
+            key = step.out_key
+        return key
+
+    def update_auto(
+        self,
+        shape=auto,
+        dtype=auto,
+        grid=auto,
+        unit=auto,
+        is_coord=auto,
+        period=None,
+        offset=0,
+        vector_len=None,
+    ) -> None:
+        """Fill in any metadata still set to ``auto``; leave the rest alone
+        (reference ``processing_chain.py:332-371``)."""
+        updated = False
+        if grid is auto and period is not None:
+            if isinstance(offset, str):
+                offset = self.proc_chain.get_variable(offset, expr_only=True)
+            grid = CoordinateGrid(period, offset)
+        if self.shape is auto and shape is not auto:
+            self.shape = shape
+            updated = True
+        if self.dtype is auto and dtype is not auto:
+            self.dtype = dtype
+            updated = True
+        if self.grid is auto and grid is not auto:
+            self.grid = grid
+            updated = True
+        if self.unit is auto and unit is not auto:
+            self.unit = unit
+            updated = True
+        if self.is_coord is auto and is_coord is not auto:
+            self.is_coord = is_coord
+            updated = True
+        if self.vector_len is None and vector_len is not None:
+            self.vector_len = vector_len
+        if updated:
+            log.debug("updated variable: %s", self.description())
+
+    def description(self) -> str:
+        return (
+            f"{self.name}(shape: {self.shape}, dtype: {self.dtype}, "
+            f"grid: {self.grid}, unit: {self.unit}, is_coord: {self.is_coord})"
+        )
+
+    def __str__(self) -> str:
+        return self.name
+
+    def __repr__(self) -> str:
+        return f"ProcChainVar({self.description()})"
+
+# ---------------------------------------------------------------------------
+# Steps: the functional program the chain compiles to
+# ---------------------------------------------------------------------------
+
+
+class Step:
+    """One traced operation: reads env keys, writes env keys."""
+
+    name: str = "step"
+    time_total: float = 0.0
+
+    def run(self, env: dict) -> None:
+        raise NotImplementedError
+
+    def __str__(self) -> str:
+        return self.name
+
+
+def _np_to_jnp_ufunc(func):
+    """Map a numpy ufunc (used by the expression parser) to its jnp twin."""
+    import jax.numpy as jnp
+
+    name = func.__name__
+    fn = getattr(jnp, name, None)
+    if fn is None:
+        raise ProcessingChainError(f"no JAX equivalent for ufunc {name}")
+    return fn
+
+
+_SAFE_TYPECHARS = set("?bBhHiIlLqQefdFD")
+
+
+def _ufunc_types(func) -> list[str]:
+    """A numpy ufunc's type signatures, filtered to numeric/bool chars."""
+    return [
+        t
+        for t in func.types
+        if all(c in _SAFE_TYPECHARS for c in t.replace("->", ""))
+    ]
+
+
+class _ArgSpec:
+    """How one kernel argument is fetched at trace time."""
+
+    __slots__ = ("kind", "key", "value", "reshape", "dtype")
+
+    def __init__(self, kind, key=None, value=None, reshape=None, dtype=None):
+        self.kind = kind  # "env" | "const"
+        self.key = key
+        self.value = value
+        self.reshape = reshape  # target ndim (with batch); None = as-is
+        self.dtype = dtype
+
+
+class _OutSpec:
+    __slots__ = ("var", "key", "dtype", "shape")
+
+    def __init__(self, var, key, dtype, shape):
+        self.var = var
+        self.key = key
+        self.dtype = dtype
+        self.shape = shape
+
+
+class _DimInfo:
+    __slots__ = ("length", "grid")
+
+    def __init__(self, length, grid):
+        self.length = length
+        self.grid = grid
+
+
+class KernelStep(Step):
+    """A processor bound to chain variables: the ``ProcessorManager`` analog.
+
+    All shape/dtype/unit resolution happens here at construction time,
+    mirroring the reference pass (``processing_chain.py:1485-1803``):
+    gufunc-signature dims are broadcast against variable shapes (with an
+    implicit outer block dimension), the first castable type signature is
+    selected, ``auto`` variable metadata is deduced and filled in, and unitted
+    scalars are converted to grid sample counts via the pi-theorem exponent
+    search. At trace time :meth:`run` fetches/reshapes/casts inputs, invokes
+    the batched JAX kernel, and binds the outputs into the environment.
+    """
+
+    def __init__(
+        self,
+        proc_chain: "ProcessingChain",
+        func,
+        params: list,
+        kw_params: dict | None = None,
+        signature: str | None = None,
+        types: list[str] | None = None,
+        grid: CoordinateGrid | None = None,
+    ) -> None:
+        from .processors import Kernel
+
+        kw_params = kw_params or {}
+        self.proc_chain = proc_chain
+        self.params = list(params)
+        self.kw_params = dict(kw_params)
+        self.time_total = 0.0
+
+        # normalize the callable into a Kernel with metadata
+        if isinstance(func, Kernel):
+            kern = func
+        elif isinstance(func, np.ufunc):
+            sig = signature or (
+                ",".join(["()"] * func.nin) + "->" + ",".join(["()"] * func.nout)
+            )
+            kern = Kernel(
+                _np_to_jnp_ufunc(func),
+                sig,
+                types or _ufunc_types(func),
+                name=func.__name__,
+            )
+        elif callable(func):
+            if signature is None or types is None:
+                raise ProcessingChainError(
+                    f"must provide signature and types for {func}"
+                )
+            kern = Kernel(func, signature, types, name=getattr(func, "__name__", "fn"))
+        else:
+            raise ProcessingChainError(f"cannot use {func!r} as a processor")
+        if signature is not None and signature != kern.signature:
+            kern = Kernel(
+                kern.fn, signature, types or kern.types, name=kern.__name__,
+                nout=kern.nout, static=kern.static, uses_dims=kern.uses_dims,
+            )
+        self.kernel = kern
+        self.name = str(self)
+
+        all_params = list(it.chain(self.params, self.kw_params.values()))
+        dims_list = kern.dims_list
+        if len(dims_list) != len(all_params):
+            raise ProcessingChainError(
+                f"expected {len(dims_list)} arguments from signature "
+                f"{kern.signature}; found {len(all_params)}: "
+                f"({', '.join(str(p) for p in all_params)})"
+            )
+
+        found_types = [t.replace("->", "") for t in (types or kern.types)]
+
+        # --- pass 1: dims broadcasting + type filtering ------------------
+        dims_dict: dict[str, _DimInfo] = {}
+        outerdims: list[_DimInfo] = []
+        for ipar, (dims, param) in enumerate(zip(dims_list, all_params)):
+            if not isinstance(param, (ProcChainVar, np.ndarray)):
+                continue
+            if getattr(param, "dtype", auto) is not auto:
+                ch = param.dtype.char
+                found_types = [
+                    ts for ts in found_types if np.can_cast(ch, ts[ipar])
+                ]
+            if getattr(param, "shape", auto) is auto:
+                continue
+            fun_dims: list = list(outerdims) + list(dims)
+            arr_dims = list(param.shape)
+            if (
+                isinstance(param, ProcChainVar)
+                and isinstance(param.grid, CoordinateGrid)
+                and param.is_coord is not True
+            ):
+                arr_grid = param.grid
+            else:
+                arr_grid = None
+            if not grid:
+                grid = arr_grid
+
+            for i in range(max(len(fun_dims), len(arr_dims))):
+                fd = fun_dims[-i - 1] if i < len(fun_dims) else None
+                if i < len(arr_dims):
+                    ad = arr_dims[-i - 1]
+                elif i == len(arr_dims):
+                    ad = -1  # the implicit outer block dimension
+                else:
+                    ad = None
+
+                if isinstance(fd, str):
+                    if fd in dims_dict:
+                        this_dim = dims_dict[fd]
+                        if not ad or this_dim.length != ad:
+                            raise ProcessingChainError(
+                                f"failed to broadcast array dimensions for "
+                                f"{kern.__name__}: inconsistent dim {fd}"
+                            )
+                        if not this_dim.grid:
+                            this_dim.grid = arr_grid
+                    else:
+                        dims_dict[fd] = _DimInfo(ad, arr_grid)
+                elif fd is None:
+                    outerdims.insert(0, _DimInfo(ad, arr_grid))
+                elif ad is None:
+                    continue
+                elif fd.length != ad:
+                    if len(fun_dims) > len(arr_dims):
+                        arr_dims.insert(len(arr_dims) - i, 1)
+                    elif len(fun_dims) < len(arr_dims):
+                        outerdims.insert(len(fun_dims) - i, _DimInfo(ad, arr_grid))
+                        fun_dims.insert(len(fun_dims) - i, ad)
+                    else:
+                        raise ProcessingChainError(
+                            f"failed to broadcast array dimensions for "
+                            f"{kern.__name__}: require "
+                            f"{tuple(d.length for d in outerdims)}+core, found "
+                            f"{tuple(arr_dims)} for {param}"
+                        )
+                elif not fd.grid:
+                    fd.grid = arr_grid
+                arr_grid = None  # only the innermost dim carries the grid
+
+        if not found_types:
+            raise ProcessingChainError(
+                f"could not find a type signature matching the types of the "
+                f"variables given for {self} (types: {types or kern.types})"
+            )
+        self.types = [np.dtype(c) for c in found_types[0]]
+
+        # fall back to a coordinate param's grid
+        if not grid:
+            for param in all_params:
+                if isinstance(param, ProcChainVar) and param.is_coord is True:
+                    if isinstance(param.grid, CoordinateGrid):
+                        grid = param.grid
+                        break
+        self.grid = grid
+
+        # --- pass 2: bind each argument ----------------------------------
+        self.arg_specs: list[_ArgSpec] = []
+        self.kwarg_specs: dict[str, _ArgSpec] = {}
+        self.out_specs: list[_OutSpec] = []
+        self.dims = {d: info.length for d, info in dims_dict.items()}
+
+        names_iter = it.chain(
+            zip(it.repeat(None), self.params), self.kw_params.items()
+        )
+        nin = kern.nin
+        for ipar, ((arg_name, param), dims, dtype) in enumerate(
+            zip(names_iter, dims_list, self.types)
+        ):
+            dim_list = list(outerdims)
+            for d in dims:
+                if d not in dims_dict:
+                    if isinstance(param, np.ndarray):
+                        dims_dict[d] = _DimInfo(param.shape[-1], None)
+                        self.dims[d] = param.shape[-1]
+                    else:
+                        raise ProcessingChainError(
+                            f"could not deduce dimension {d} for {param}"
+                        )
+                dim_list.append(dims_dict[d])
+            shape = tuple(d.length for d in dim_list)
+            this_grid = dim_list[-1].grid if dim_list else None
+            is_output = ipar >= nin
+
+            spec = self._bind_param(
+                param, shape, this_grid, np.dtype(dtype), is_output
+            )
+            if is_output:
+                continue
+            if arg_name is None:
+                self.arg_specs.append(spec)
+            else:
+                self.kwarg_specs[arg_name] = spec
+
+    # -- binding helpers ---------------------------------------------------
+
+    def _bind_param(self, param, shape, this_grid, dtype, is_output):
+        grid = self.grid
+        if isinstance(param, ProcChainVar):
+            # deduce auto metadata exactly as the reference does
+            # (processing_chain.py:1702-1723)
+            unit = auto
+            is_coord = False
+            if param.is_coord is True and grid is not None:
+                unit = str(grid.period.u)
+                this_grid = grid
+            elif (
+                is_in_ureg(param.unit)
+                and grid is not None
+                and ureg.is_compatible_with(grid.period, param.unit)
+            ):
+                is_coord = True
+                this_grid = grid
+            param.update_auto(
+                shape=shape[1:] if shape and shape[0] == -1 else shape,
+                dtype=dtype,
+                grid=this_grid if this_grid is not None else auto,
+                unit=unit,
+                is_coord=is_coord,
+            )
+            if is_output:
+                key = (
+                    param.value_in(grid)
+                    if param.is_coord is True and grid is not None
+                    else param.key
+                )
+                self.out_specs.append(_OutSpec(param, key, param.dtype, param.shape))
+                param.defined = True
+                return None
+            key = param.value_in(grid if param.is_coord is True else None)
+            if param.is_const:
+                return _ArgSpec("const", value=self._const_payload(param, dtype))
+            # target core shape (outer + core dims); batch dim prepended at run
+            return _ArgSpec("env", key=key, reshape=shape, dtype=dtype)
+
+        if is_output:
+            raise ProcessingChainError(
+                f"output argument of {self.kernel.__name__} must be a "
+                f"chain variable, got {param!r}"
+            )
+        if isinstance(param, np.ndarray):
+            v = param.astype(dtype) if param.dtype != dtype else param
+            return _ArgSpec("const", value=v[None, ...])  # broadcast over block
+        if isinstance(param, str):
+            if np.issubdtype(dtype, np.integer):
+                try:
+                    v = np.frombuffer(param.encode("ascii"), dtype).reshape(
+                        shape[1:] if shape and shape[0] == -1 else shape
+                    )
+                except ValueError:
+                    raise ProcessingChainError(
+                        f"could not convert string '{param}' into byte-array "
+                        f"of type {dtype}"
+                    )
+                return _ArgSpec("const", value=v if v.shape else v[()])
+            return _ArgSpec("const", value=param)  # static mode string
+        if param is None:
+            return _ArgSpec("const", value=None)
+        # scalar, possibly unitted (reference :1747-1770)
+        if isinstance(param, (Quantity, Unit)):
+            q = Quantity(1, param) if isinstance(param, Unit) else param
+            if q.dimensionless:
+                param = float(q)
+            elif not isinstance(grid, CoordinateGrid):
+                raise ProcessingChainError(
+                    f"could not find valid conversion for {param}; "
+                    f"no coordinate grid available"
+                )
+            else:
+                k = ureg.pi_exponent(grid.period, q)
+                if k is None:
+                    raise ProcessingChainError(
+                        f"could not find valid conversion for {param}; "
+                        f"CoordinateGrid is {grid}"
+                    )
+                param = float(q * grid.period**k)
+        if np.issubdtype(dtype, np.integer):
+            return _ArgSpec("const", value=dtype.type(np.round(param)))
+        return _ArgSpec("const", value=dtype.type(param))
+
+    @staticmethod
+    def _const_payload(var: ProcChainVar, dtype):
+        val = var.const_value
+        if val is None:
+            raise ProcessingChainError(f"constant {var} has no value yet")
+        val = np.asarray(val)
+        if val.dtype != dtype:
+            val = val.astype(dtype)
+        if val.ndim == 0:
+            return val[()]  # python-level scalar: static for the kernel
+        return val[None, ...]  # broadcastable over the block dimension
+
+    # -- trace-time execution ---------------------------------------------
+
+    def _fetch(self, spec: _ArgSpec, env: dict):
+        if spec.kind == "const":
+            return spec.value
+        v = env[spec.key]
+        if spec.reshape is not None and hasattr(v, "ndim"):
+            # align core dims against the target shape from the right,
+            # inserting singleton axes at mismatches (reference :1726-1732)
+            target = spec.reshape
+            arshape = list(v.shape)
+            for idim in range(-1, -1 - len(target), -1):
+                if len(arshape) < -idim or (
+                    target[idim] != -1 and arshape[idim] != target[idim]
+                ):
+                    arshape.insert(len(arshape) + idim + 1, 1)
+            if tuple(arshape) != v.shape:
+                v = v.reshape(arshape)
+        if spec.dtype is not None and hasattr(v, "dtype"):
+            want = _device_dtype(spec.dtype)
+            if v.dtype != want:
+                v = v.astype(want)
+        return v
+
+    def run(self, env: dict) -> None:
+        args = [self._fetch(s, env) for s in self.arg_specs]
+        kwargs = {k: self._fetch(s, env) for k, s in self.kwarg_specs.items()}
+        if kwargs:
+            outs = self.kernel.fn(*args, **kwargs)
+            if not isinstance(outs, tuple):
+                outs = (outs,)
+        else:
+            outs = self.kernel(
+                *args, dims=self.dims if self.kernel.uses_dims else None
+            ) if self.kernel.uses_dims else self.kernel(*args)
+        if len(outs) != len(self.out_specs):
+            raise ProcessingChainError(
+                f"{self.kernel.__name__} returned {len(outs)} outputs; "
+                f"expected {len(self.out_specs)}"
+            )
+        for spec, val in zip(self.out_specs, outs):
+            want = _device_dtype(spec.dtype)
+            if hasattr(val, "dtype") and val.dtype != want:
+                val = val.astype(want)
+            env[spec.key] = val
+            if spec.var.is_const:
+                spec.var.const_value = np.asarray(val)
+
+    def __str__(self) -> str:
+        return (
+            self.kernel.__name__
+            + "("
+            + ", ".join(
+                [str(p) for p in self.params]
+                + [f"{k}={v}" for k, v in self.kw_params.items()]
+            )
+            + ")"
+        )
+
+def _device_dtype(dtype: np.dtype) -> np.dtype:
+    """The dtype actually used on device for a declared numpy dtype.
+
+    Without ``jax_enable_x64``, 64-bit declarations demote to 32-bit on
+    device; the I/O managers restore the declared dtype host-side.
+    """
+    import jax
+
+    if jax.config.jax_enable_x64:
+        return dtype
+    demote = {"float64": "float32", "int64": "int32", "uint64": "uint32",
+              "complex128": "complex64"}
+    return np.dtype(demote.get(dtype.name, dtype.name))
+
+
+class ConvertStep(Step):
+    """Convert a variable between unit systems / coordinate grids.
+
+    The ``UnitConversionManager`` analog (``processing_chain.py:1806-1908``):
+    computes ``(x + from_offset) * ratio - to_offset`` where offsets may be
+    per-event values read from the environment (waveform ``t0``).
+    """
+
+    def __init__(self, var: ProcChainVar, rep, mode: str | None = None,
+                 out_var: ProcChainVar | None = None) -> None:
+        from .processors import unit_conversion as uc
+
+        self.var = var
+        self.rep = rep
+        if mode is None:
+            self.kernel = (
+                uc.convert
+                if var.dtype is not auto and np.issubdtype(var.dtype, np.floating)
+                else uc.convert_int
+            )
+        else:
+            try:
+                self.kernel = getattr(uc, f"convert_{mode}")
+            except AttributeError:
+                raise ProcessingChainError(
+                    "Mode must be round, floor, ceil or trunc"
+                )
+
+        to_offset: Any = 0.0
+        unit = rep
+        if isinstance(rep, CoordinateGrid):
+            to_offset = rep.get_offset()  # float or env key
+            unit = rep.period
+
+        native = var.native_rep()
+        if isinstance(native, str) and native in ureg:
+            native = ureg.Quantity(native)
+        if isinstance(native, CoordinateGrid):
+            ratio = native.get_period(unit)
+            from_offset = native.get_offset()
+        elif isinstance(native, (Unit, Quantity)):
+            if isinstance(unit, str):
+                unit = ureg.Quantity(unit)
+            ratio = float(Quantity(1, native) / unit) if isinstance(
+                native, Unit
+            ) else float(native / unit)
+            from_offset = 0.0
+        else:
+            raise ProcessingChainError(
+                f"cannot convert {var} from opaque representation {native!r}"
+            )
+
+        self.ratio = ratio
+        self.from_offset = from_offset  # float or env key (str)
+        self.to_offset = to_offset  # float or env key (str)
+        self.in_key = var.key
+        self.out_key = out_var.key if out_var is not None else f"{var.key}@{rep}"
+        self.out_var = out_var
+        self.name = str(self)
+
+    def _offset_val(self, off, env):
+        if isinstance(off, str):
+            v = env[off]
+            return v
+        return off
+
+    def run(self, env: dict) -> None:
+        import jax.numpy as jnp
+
+        x = env[self.in_key]
+        f_off = self._offset_val(self.from_offset, env)
+        t_off = self._offset_val(self.to_offset, env)
+
+        def align(v):
+            if hasattr(v, "ndim") and v.ndim and hasattr(x, "ndim"):
+                while v.ndim < x.ndim:
+                    v = v[..., None]
+            return v
+
+        (out,) = self.kernel(x, align(f_off), align(t_off), self.ratio)
+        if self.out_var is not None and self.out_var.dtype is not auto:
+            want = _device_dtype(self.out_var.dtype)
+            if out.dtype != want:
+                out = out.astype(want)
+        env[self.out_key] = out
+        if self.out_var is not None:
+            self.out_var.defined = True
+
+    def __str__(self) -> str:
+        return f"{self.kernel.__name__}({self.var}, from={self.var.native_rep()}, to={self.rep})"
+
+
+class AliasStep(Step):
+    """Bind one env key to another (expression-node output sharing)."""
+
+    def __init__(self, src_key: str, dst_key: str, name: str = "") -> None:
+        self.src_key = src_key
+        self.dst_key = dst_key
+        self.name = name or f"{dst_key} = {src_key}"
+
+    def run(self, env: dict) -> None:
+        env[self.dst_key] = env[self.src_key]
+
+
+class SliceStep(Step):
+    """A subscript view ``var[slice]`` (reference: numpy buffer views)."""
+
+    def __init__(self, src: ProcChainVar, out: ProcChainVar, sl) -> None:
+        self.src_key = src.key
+        self.out_key = out.key
+        self.sl = sl
+        self.name = out.name
+
+    def run(self, env: dict) -> None:
+        env[self.out_key] = env[self.src_key][(Ellipsis, self.sl)]
+
+
+class FuncStep(Step):
+    """A step applying an arbitrary traced function to env values.
+
+    Used for builtins (astype, isnan, comparisons on already-bound values)
+    where the full ``KernelStep`` machinery is unnecessary.
+    """
+
+    def __init__(self, fn, in_keys: list, out_key: str, name: str,
+                 out_dtype=None) -> None:
+        self.fn = fn
+        self.in_keys = in_keys
+        self.out_key = out_key
+        self.name = name
+        self.out_dtype = out_dtype
+
+    def run(self, env: dict) -> None:
+        args = [env[k] if isinstance(k, str) else k for k in self.in_keys]
+        out = self.fn(*args)
+        if self.out_dtype is not None and hasattr(out, "astype"):
+            want = _device_dtype(np.dtype(self.out_dtype))
+            if out.dtype != want:
+                out = out.astype(want)
+        env[self.out_key] = out
+
+# ---------------------------------------------------------------------------
+# ProcessingChain
+# ---------------------------------------------------------------------------
+
+# AST operators of the expression sub-language (reference :46-59)
+ast_ops_dict = {
+    ast.Add: (np.add, "{}+{}"),
+    ast.Sub: (np.subtract, "{}-{}"),
+    ast.Mult: (np.multiply, "{}*{}"),
+    ast.Div: (np.divide, "{}/{}"),
+    ast.FloorDiv: (np.floor_divide, "{}//{}"),
+    ast.USub: (np.negative, "-{}"),
+    ast.Lt: (np.less, "{}<{}"),
+    ast.LtE: (np.less_equal, "{}<={}"),
+    ast.Gt: (np.greater, "{}>{}"),
+    ast.GtE: (np.greater_equal, "{}>={}"),
+    ast.Eq: (np.equal, "{}=={}"),
+    ast.NotEq: (np.not_equal, "{}!={}"),
+}
+
+
+class EndExecute(Exception):
+    """Raised by input managers when the input buffer is exhausted."""
+
+
+class ProcessingChain:
+    """A compiled sequence of DSP transforms over batched waveform tables.
+
+    Front-end API matches the reference (``processing_chain.py:380-716``):
+    ``add_variable`` / ``set_constant`` / ``link_input_buffer`` /
+    ``add_processor`` / ``link_output_buffer`` / ``execute`` / ``__call__``.
+    Back-end: one jitted XLA program over the whole step list per chunk
+    shape, instead of an interpreted block loop.
+    """
+
+    def __init__(self, block_width: int = 8, buffer_len: int = None) -> None:
+        self._vars_dict: dict[str, ProcChainVar] = {}
+        self._steps: list[Step] = []
+        self._input_managers: dict[str, Any] = {}
+        self._output_managers: dict[str, Any] = {}
+        self._block_width = block_width  # kept for API parity; TPU batches chunks
+        self._buffer_len = buffer_len
+        self._compiled = None
+        self._compiled_nsteps = -1
+        self.time_total = 0.0
+
+    # -- variables ---------------------------------------------------------
+
+    def add_variable(
+        self,
+        name: str,
+        dtype=auto,
+        shape=auto,
+        grid=auto,
+        unit=auto,
+        is_coord=auto,
+        period=None,
+        offset=0,
+        vector_len=None,
+    ) -> ProcChainVar:
+        self._validate_name(name, raise_exception=True)
+        if name in self._vars_dict:
+            raise ProcessingChainError(name + " is already in variable list")
+        if grid is auto and period is not None:
+            if isinstance(offset, str):
+                offset = self.get_variable(offset, expr_only=True)
+            grid = CoordinateGrid(period, offset)
+        var = ProcChainVar(
+            self, name, shape=shape, dtype=dtype, grid=grid, unit=unit,
+            is_coord=is_coord, vector_len=vector_len,
+        )
+        self._vars_dict[name] = var
+        return var
+
+    def set_constant(self, varname: str, val, dtype=None, unit=None) -> ProcChainVar:
+        param = self.get_variable(varname)
+        if not param.is_const and param.defined:
+            raise ProcessingChainError(
+                f"{param} is already defined, cannot set_constant"
+            )
+        param.is_const = True
+        if isinstance(val, Quantity):
+            unit = val.u
+            val = val.m
+        val = np.array(val, dtype=dtype)
+        param.update_auto(shape=val.shape, dtype=val.dtype, unit=unit, is_coord=False)
+        param.const_value = val.astype(param.dtype) if val.dtype != param.dtype else val
+        param.defined = True
+        log.debug("set constant: %s = %s", param.description(), val)
+        return param
+
+    # -- processors --------------------------------------------------------
+
+    def add_processor(
+        self, func, *args, signature=None, types=None, coord_grid=None
+    ) -> None:
+        params = []
+        kw_params = {}
+        for param in args:
+            if isinstance(param, str):
+                param = self.get_variable(param)
+            if isinstance(param, MutableMapping):
+                kw_params.update(param)
+            else:
+                params.append(param)
+        if coord_grid is not None:
+            coord_grid = CoordinateGrid(coord_grid)
+        step = KernelStep(self, func, params, kw_params, signature, types, coord_grid)
+        self._steps.append(step)
+        self._invalidate()
+        log.debug("added processor: %s", step)
+
+    def _add_step(self, step: Step) -> None:
+        self._steps.append(step)
+        self._invalidate()
+        log.debug("added step: %s", step)
+
+    def _invalidate(self) -> None:
+        self._compiled = None
+
+    # -- I/O buffers -------------------------------------------------------
+
+    def link_io_buffer(self, varname: str, buff=None, output: bool = False):
+        self._validate_name(varname, raise_exception=True)
+        var = self.get_variable(varname, expr_only=True)
+        if var is None:
+            var = self.add_variable(varname)
+        if not isinstance(var, ProcChainVar):
+            raise ProcessingChainError(
+                "Must link an io buffer to a processing chain variable"
+            )
+        io_managers = self._output_managers if output else self._input_managers
+
+        if buff is None:
+            dtype = var.dtype
+            if isinstance(var.grid, CoordinateGrid) and not var.is_coord:
+                if var.vector_len is None:
+                    buff = lgdo.WaveformTable(
+                        size=self._buffer_len, wf_len=var.shape[0], dtype=dtype
+                    )
+                else:
+                    buff = lgdo.WaveformTable(
+                        values=lgdo.VectorOfVectors(
+                            shape_guess=(self._buffer_len, 0), dtype=dtype
+                        )
+                    )
+            elif var.shape is not auto and len(var.shape) == 0:
+                buff = lgdo.Array(shape=(self._buffer_len,), dtype=dtype)
+            elif var.vector_len is not None:
+                buff = lgdo.VectorOfVectors(
+                    shape_guess=(self._buffer_len, 0), dtype=dtype
+                )
+            elif var.shape is not auto:
+                buff = lgdo.ArrayOfEqualSizedArrays(
+                    shape=(self._buffer_len, *var.shape), dtype=dtype
+                )
+            else:
+                raise ProcessingChainError(
+                    f"{varname} does not exist and no buffer was provided"
+                )
+
+        if varname in io_managers:
+            io_managers[varname].set_buffer(buff)
+            return buff
+
+        if isinstance(buff, np.ndarray):
+            man = NumpyIOManager(buff, var, output)
+        elif isinstance(buff, lgdo.ArrayOfEqualSizedArrays):
+            man = LGDOArrayOfEqualSizedArraysIOManager(buff, var, output)
+        elif isinstance(buff, lgdo.VectorOfVectors):
+            man = LGDOVectorOfVectorsIOManager(buff, var, output)
+        elif isinstance(buff, lgdo.Array):
+            man = LGDOArrayIOManager(buff, var, output)
+        elif isinstance(buff, lgdo.WaveformTable):
+            man = LGDOWaveformIOManager(buff, var, output)
+        else:
+            raise ProcessingChainError(
+                f"Could not link io buffer of unknown type {buff!r}"
+            )
+        io_managers[varname] = man
+        self._invalidate()
+        log.debug("added %s buffer: %s", "output" if output else "input", man)
+        return buff
+
+    def link_input_buffer(self, varname: str, buff=None):
+        return self.link_io_buffer(varname, buff, output=False)
+
+    def link_output_buffer(self, varname: str, buff=None):
+        return self.link_io_buffer(varname, buff, output=True)
+
+    # -- execution ---------------------------------------------------------
+
+    def _build_fn(self):
+        """Trace closure: env-in, env-out over the full step list."""
+        out_keys = sorted(
+            {k for man in self._output_managers.values() for k in man.out_keys()}
+        )
+        steps = list(self._steps)
+
+        def chain_fn(inputs: dict):
+            env = dict(inputs)
+            for step in steps:
+                try:
+                    step.run(env)
+                except DSPFatal as e:
+                    e.processor = str(step)
+                    raise
+            return {k: env[k] for k in out_keys}
+
+        return chain_fn
+
+    def _get_compiled(self):
+        import jax
+
+        if self._compiled is None or self._compiled_nsteps != len(self._steps):
+            self._compiled = jax.jit(self._build_fn())
+            self._compiled_nsteps = len(self._steps)
+        return self._compiled
+
+    def execute(self, start: int = 0, stop: int = None) -> None:
+        """Run the chain over rows ``[start, stop)`` of the linked buffers."""
+        if stop is None:
+            stop = self._buffer_len
+        try:
+            inputs, n = self._gather_inputs(start, stop)
+        except EndExecute:
+            return
+        if n <= 0:
+            return
+        results = self._run_device(inputs, n)
+        for man in self._output_managers.values():
+            man.write(results, start, start + n)
+
+    def _gather_inputs(self, start: int, stop: int):
+        inputs: dict[str, np.ndarray] = {}
+        n = stop - start
+        for man in self._input_managers.values():
+            arrs, n_avail = man.read(start, stop)
+            n = min(n, n_avail)
+            inputs.update(arrs)
+        if self._input_managers and n < stop - start:
+            # clip all arrays to the shortest input
+            inputs = {k: v[:n] for k, v in inputs.items()}
+        return inputs, n
+
+    def _run_device(self, inputs: dict, n: int) -> dict:
+        """Pad to the nominal buffer length, run the jitted program, unpad."""
+        import jax
+
+        t0 = time.time()
+        pad_to = self._buffer_len if self._buffer_len else n
+        if n < pad_to:
+            inputs = {
+                k: np.pad(v, [(0, pad_to - n)] + [(0, 0)] * (v.ndim - 1))
+                for k, v in inputs.items()
+            }
+        fn = self._get_compiled()
+        out = fn(inputs)
+        out = jax.tree_util.tree_map(np.asarray, out)
+        if n < pad_to:
+            out = {k: v[:n] for k, v in out.items()}
+        self.time_total += time.time() - t0
+        return out
+
+    def execute_profiled(self, start: int = 0, stop: int = None) -> None:
+        """Eager per-step execution with timing (``get_timing`` support)."""
+        import jax
+
+        if stop is None:
+            stop = self._buffer_len
+        try:
+            inputs, n = self._gather_inputs(start, stop)
+        except EndExecute:
+            return
+        if n <= 0:
+            return
+        env = {k: jax.device_put(v) for k, v in inputs.items()}
+        for step in self._steps:
+            t0 = time.time()
+            try:
+                step.run(env)
+            except DSPFatal as e:
+                e.processor = str(step)
+                e.wf_range = (start, stop)
+                raise
+            for man in self._output_managers.values():
+                pass
+            jax.block_until_ready(
+                {k: v for k, v in env.items() if hasattr(v, "block_until_ready")}
+            )
+            step.time_total += time.time() - t0
+        results = {
+            k: np.asarray(env[k])
+            for man in self._output_managers.values()
+            for k in man.out_keys()
+        }
+        for man in self._output_managers.values():
+            man.write(results, start, start + n)
+
+    def get_timing(self) -> dict[str, float]:
+        """Per-step cumulative wall time; populated by ``execute_profiled``
+        (under jit the steps fuse into one program — see ``self.time_total``)."""
+        return {str(step): step.time_total for step in self._steps}
+
+    def __call__(self, tb_in: lgdo.Table, out: lgdo.Table = None) -> lgdo.Table:
+        self._buffer_len = len(tb_in)
+        for varname in list(self._input_managers):
+            if varname not in tb_in:
+                raise ProcessingChainError(f"Require column {varname} in tb_in")
+            self.link_input_buffer(varname, tb_in[varname])
+        if out is None:
+            out = lgdo.Table(
+                {
+                    varname: self.link_output_buffer(varname)
+                    for varname in self._output_managers
+                },
+                size=self._buffer_len,
+            )
+        else:
+            for varname in self._output_managers:
+                if varname not in out:
+                    raise ProcessingChainError(f"Require column {varname} in out")
+                self.link_output_buffer(varname, out[varname])
+        self.execute()
+        return out
+
+    def __str__(self) -> str:
+        return (
+            "Input variables:\n  "
+            + "\n  ".join(str(m) for m in self._input_managers.values())
+            + "\nProcessors:\n  "
+            + "\n  ".join(str(s) for s in self._steps)
+            + "\nOutput variables:\n  "
+            + "\n  ".join(str(m) for m in self._output_managers.values())
+        )
+
+    # -- expression sub-language ------------------------------------------
+
+    def get_variable(self, expr: str, get_names_only=False, expr_only=False):
+        """Parse ``expr`` into a variable / value / kwarg dict; see the
+        reference docstring (``processing_chain.py:718-772``) for the syntax.
+        """
+        names: list[str] = []
+        try:
+            stmt = ast.parse(expr).body[0]
+            var = self._parse_expr(stmt.value, expr, get_names_only, names)
+        except ProcessingChainError:
+            raise
+        except Exception as e:
+            raise ProcessingChainError(
+                "Could not parse expression:\n  " + expr
+            ) from e
+        if get_names_only:
+            return names
+        if isinstance(stmt, ast.Expr):
+            return var
+        if isinstance(stmt, ast.Assign) and len(stmt.targets) == 1:
+            if expr_only:
+                raise ProcessingChainError(
+                    "kwarg assignment is not allowed in this context\n  " + expr
+                )
+            return {stmt.targets[0].id: var}
+        raise ProcessingChainError("Could not parse expression:\n  " + expr)
+
+    def _parse_expr(self, node, expr: str, dry_run: bool, names: list[str]):
+        if node is None:
+            return None
+
+        if isinstance(node, ast.List):
+            return np.array(
+                ast.literal_eval(expr[node.col_offset : node.end_col_offset])
+            )
+
+        if isinstance(node, ast.Constant):
+            return node.value
+
+        if isinstance(node, ast.Name):
+            if node.id in ureg:
+                return ureg(node.id)
+            names.append(node.id)
+            if dry_run:
+                return None
+            val = self._vars_dict.get(node.id)
+            if val is None:
+                val = self.add_variable(node.id)
+            return val
+
+        if isinstance(node, ast.BinOp):
+            lhs = self._parse_expr(node.left, expr, dry_run, names)
+            rhs = self._parse_expr(node.right, expr, dry_run, names)
+            if lhs is None or rhs is None:
+                return None
+            op, op_form = ast_ops_dict[type(node.op)]
+            if not (isinstance(lhs, ProcChainVar) or isinstance(rhs, ProcChainVar)):
+                ret = op(lhs, rhs) if not isinstance(
+                    lhs, (Quantity, Unit)
+                ) and not isinstance(rhs, (Quantity, Unit)) else _quantity_op(
+                    type(node.op), lhs, rhs
+                )
+                if isinstance(ret, Quantity) and ret.u.dimensionless:
+                    ret = float(ret)
+                return ret
+            name = "(" + op_form.format(str(lhs), str(rhs)) + ")"
+            if isinstance(lhs, ProcChainVar) and isinstance(rhs, ProcChainVar):
+                if is_in_ureg(lhs.unit) and is_in_ureg(rhs.unit):
+                    unit = _quantity_op(
+                        type(node.op), Quantity(1, lhs.unit), Quantity(1, rhs.unit)
+                    ).u
+                    if unit.dimensionless and unit.scale == 1:
+                        unit = None
+                elif lhs.unit not in (None, auto) and rhs.unit not in (None, auto):
+                    if type(node.op) in (ast.Mult, ast.Div, ast.FloorDiv):
+                        unit = op_form.format(str(lhs.unit), str(rhs.unit))
+                    else:
+                        unit = str(lhs.unit)
+                elif lhs.unit not in (None, auto):
+                    unit = lhs.unit
+                else:
+                    unit = rhs.unit
+                out = ProcChainVar(
+                    self,
+                    name,
+                    grid=None if lhs.is_coord is True and rhs.is_coord is True else auto,
+                    is_coord=(
+                        False
+                        if lhs.is_coord is True and rhs.is_coord is True
+                        else auto
+                    ),
+                    unit=unit,
+                )
+            elif isinstance(lhs, ProcChainVar):
+                out = ProcChainVar(
+                    self, name, unit=lhs.unit, is_coord=lhs.is_coord
+                )
+            else:
+                out = ProcChainVar(
+                    self, name, unit=rhs.unit, is_coord=rhs.is_coord
+                )
+            self._add_step(KernelStep(self, op, [lhs, rhs, out]))
+            return out
+
+        if isinstance(node, ast.UnaryOp):
+            operand = self._parse_expr(node.operand, expr, dry_run, names)
+            if operand is None:
+                return None
+            op, op_form = ast_ops_dict[type(node.op)]
+            name = "(" + op_form.format(str(operand)) + ")"
+            if isinstance(operand, ProcChainVar):
+                out = ProcChainVar(
+                    self,
+                    name,
+                    operand.shape,
+                    operand.dtype,
+                    operand.grid,
+                    operand.unit,
+                    operand.is_coord,
+                )
+                self._add_step(KernelStep(self, op, [operand, out]))
+                return out
+            if isinstance(operand, (Quantity, Unit)):
+                return -Quantity(1, operand) if isinstance(operand, Unit) else -operand
+            return op(operand)
+
+        if isinstance(node, ast.Compare):
+            lhs = self._parse_expr(node.left, expr, dry_run, names)
+            if len(node.comparators) != 1:
+                raise ProcessingChainError("Compound comparisons are not supported.")
+            rhs = self._parse_expr(node.comparators[0], expr, dry_run, names)
+            if lhs is None or rhs is None:
+                return None
+            op, op_form = ast_ops_dict[type(node.ops[0])]
+            if not (isinstance(lhs, ProcChainVar) or isinstance(rhs, ProcChainVar)):
+                return op(lhs, rhs)
+            out = ProcChainVar(self, "(" + op_form.format(str(lhs), str(rhs)) + ")")
+            self._add_step(KernelStep(self, op, [lhs, rhs, out]))
+            return out
+
+        if isinstance(node, ast.Subscript):
+            return self._parse_subscript(node, expr, dry_run, names)
+
+        if isinstance(node, ast.IfExp):
+            condition = self._parse_expr(node.test, expr, dry_run, names)
+            a = self._parse_expr(node.body, expr, dry_run, names)
+            b = self._parse_expr(node.orelse, expr, dry_run, names)
+            if dry_run:
+                return None
+            return self._where(condition, a, b)
+
+        if isinstance(node, ast.Attribute):
+            module = expr[node.value.col_offset : node.value.end_col_offset]
+            if module in self.module_list:
+                attr = getattr(self.module_list[module], node.attr)
+                if not isinstance(attr, Real):
+                    raise ProcessingChainError(
+                        f"Attribute {node.attr} of {module} is not a number"
+                    )
+                return attr
+            val = self._parse_expr(node.value, expr, dry_run, names)
+            if val is None:
+                return None
+            return getattr(val, node.attr)
+
+        if isinstance(node, ast.Call):
+            func = self.func_list.get(node.func.id, None)
+            args = [self._parse_expr(a, expr, dry_run, names) for a in node.args]
+            kwargs = {
+                kw.arg: self._parse_expr(kw.value, expr, dry_run, names)
+                for kw in node.keywords
+            }
+            if func is not None:
+                return func(self, *args, **kwargs) if not dry_run else None
+            if self._validate_name(node.func.id):
+                var_name = node.func.id
+                names.append(var_name)
+                if var_name in self._vars_dict:
+                    var = self._vars_dict[var_name]
+                    var.update_auto(*args, **kwargs)
+                    return var
+                if not dry_run:
+                    return self.add_variable(var_name, *args, **kwargs)
+                return None
+            raise ProcessingChainError(
+                f"do not recognize call to {node.func.id}"
+            )
+
+        raise ProcessingChainError(f"cannot parse AST node {node!r}")
+
+    def _parse_subscript(self, node, expr, dry_run, names):
+        val = self._parse_expr(node.value, expr, dry_run, names)
+        if val is None:
+            return None
+        if not isinstance(val, ProcChainVar) or (
+            val.shape is not auto and len(val.shape) == 0
+        ):
+            raise ProcessingChainError(f"Cannot apply subscript to {val}")
+
+        def get_index(slice_value, var_len=None):
+            ret = self._parse_expr(slice_value, expr, dry_run, names)
+            if ret is None:
+                return None
+            if isinstance(ret, ProcChainVar):
+                return ret
+            if isinstance(ret, (Quantity, Unit)):
+                q = Quantity(1, ret) if isinstance(ret, Unit) else ret
+                ret = float(q / val.period)
+            if isinstance(ret, Real):
+                round_ret = int(round(ret))
+                if abs(ret - round_ret) > 0.0001:
+                    log.warning(
+                        "slice value %s is non-integer; rounding to %d",
+                        ret, round_ret,
+                    )
+                ret = round_ret
+            if isinstance(ret, int) and ret < 0 and var_len is not None:
+                ret = self.get_variable(f"{var_len}{ret}")
+            return ret
+
+        if not isinstance(node.slice, (ast.Slice, ast.Tuple)):
+            index = get_index(node.slice, val.vector_len)
+            if dry_run:
+                return None
+            if isinstance(index, ProcChainVar):
+                from .processors import get_default
+
+                out = ProcChainVar(
+                    self,
+                    name=f"{val}[{index}]",
+                    shape=(),
+                    dtype=val.dtype,
+                    grid=val.grid if val.is_coord is True else None,
+                    unit=val.unit,
+                    is_coord=val.is_coord,
+                )
+                default = (
+                    np.nan
+                    if np.issubdtype(val.dtype, np.floating)
+                    else np.iinfo(val.dtype).max
+                )
+                self._add_step(KernelStep(self, get_default, [val, index, default, out]))
+                return out
+            out_name = f"{val}[{index}]"
+            out_shape = val.shape[:-1]
+            out_grid = val.grid if val.is_coord is True else None
+            out = ProcChainVar(
+                self, out_name, shape=out_shape, dtype=val.dtype,
+                grid=out_grid, unit=val.unit, is_coord=val.is_coord,
+            )
+            self._add_step(SliceStep(val, out, index))
+            out.defined = True
+            return out
+
+        if isinstance(node.slice, ast.Tuple):
+            raise ProcessingChainError("Tuple subscripts are not implemented")
+
+        sl = slice(
+            get_index(node.slice.lower),
+            get_index(node.slice.upper),
+            get_index(node.slice.step),
+        )
+        if dry_run:
+            return None
+        if any(isinstance(s, ProcChainVar) for s in (sl.start, sl.stop, sl.step)):
+            raise ProcessingChainError("Slice values must be constants")
+        if val.shape is auto:
+            raise ProcessingChainError(
+                f"cannot slice {val} before its shape is known"
+            )
+        n = val.shape[-1]
+        start, stop, step = sl.indices(n)
+        out_len = max(0, -(-(stop - start) // step)) if step > 0 else max(
+            0, -(-(start - stop) // -step)
+        )
+        out_name = "{}[{}:{}{}]".format(
+            val,
+            "" if sl.start is None else sl.start,
+            "" if sl.stop is None else sl.stop,
+            "" if sl.step is None else f":{sl.step}",
+        )
+
+        if val.grid in (None, auto):
+            out_grid = val.grid
+        else:
+            pd = val.period
+            if sl.step is not None:
+                pd = pd * sl.step
+            off = val.offset
+            if sl.start is not None and sl.start > 0:
+                shift = sl.start * val.period
+                if isinstance(off, ProcChainVar):
+                    new_off = ProcChainVar(
+                        self, name=f"({off}+{shift})", is_coord=True
+                    )
+                    self._add_step(KernelStep(self, np.add, [off, shift, new_off]))
+                    off = new_off
+                else:
+                    off = off + shift
+            out_grid = CoordinateGrid(pd, off)
+
+        out = ProcChainVar(
+            self,
+            out_name,
+            shape=val.shape[:-1] + (out_len,),
+            dtype=val.dtype,
+            grid=out_grid,
+            unit=val.unit,
+            is_coord=val.is_coord,
+        )
+        self._add_step(SliceStep(val, out, sl))
+        out.defined = True
+        return out
+
+    def _validate_name(self, name: str, raise_exception: bool = False) -> bool:
+        isgood = bool(
+            re.match(r"\A\w+$", name)
+            and name not in self.func_list
+            and name not in ureg
+            and name not in self.module_list
+        )
+        if raise_exception and not isgood:
+            raise ProcessingChainError(f"{name} is not a valid variable name")
+        return isgood
+
+    # -- builtin chain functions (reference :1177-1482) --------------------
+
+    def _length(self, var):
+        if var is None:
+            return None
+        if not isinstance(var, ProcChainVar):
+            raise ProcessingChainError(f"cannot call len() on {var}")
+        if var.vector_len is not None:
+            return var.vector_len
+        if var.shape is auto or len(var.shape) != 1:
+            raise ProcessingChainError(f"{var} has wrong number of dims")
+        return var.shape[0]
+
+    def _round(self, var, to_nearest=1, dtype=None, mode="round"):
+        from . import processors
+
+        fun = {
+            "round": processors.round_to_nearest,
+            "floor": processors.floor_to_nearest,
+            "ceil": processors.ceil_to_nearest,
+            "trunc": processors.trunc_to_nearest,
+        }.get(mode)
+        if fun is None:
+            raise ProcessingChainError("Mode must be round, floor, ceil or trunc")
+        if var is None:
+            return None
+        if not isinstance(var, ProcChainVar):
+            if isinstance(var, (Quantity, Unit)) and isinstance(
+                to_nearest, (Quantity, Unit)
+            ):
+                q = Quantity(1, var) if isinstance(var, Unit) else var
+                t = Quantity(1, to_nearest) if isinstance(to_nearest, Unit) else to_nearest
+                rounded = _py_round(float(q / Quantity(1, t.u)), t.m, mode)
+                return rounded * t.u
+            return _py_round(var, to_nearest, mode)
+
+        name = f"{mode}({var}, {to_nearest})"
+        dtype = np.dtype(dtype) if dtype is not None else var.dtype
+        if var.is_coord is True:
+            if isinstance(to_nearest, Real):
+                grid = CoordinateGrid(var.grid.period * to_nearest, var.grid.offset)
+            elif isinstance(to_nearest, (Unit, Quantity)):
+                grid = CoordinateGrid(to_nearest, var.grid.offset)
+            else:
+                grid = CoordinateGrid(to_nearest)
+            out = ProcChainVar(
+                self, name, var.shape, dtype, grid, var.unit, var.is_coord
+            )
+            step = ConvertStep(var, grid, mode=mode, out_var=out)
+            self._add_step(step)
+            out.reps[_rep_id(grid)] = step.out_key
+            return out
+        out = ProcChainVar(
+            self, name, var.shape, dtype, var.grid, var.unit, var.is_coord
+        )
+        self._add_step(KernelStep(self, fun, [var, to_nearest, out]))
+        return out
+
+    def _astype(self, var, dtype):
+        import jax.numpy as jnp
+
+        dtype = np.dtype(dtype)
+        if var is None:
+            return None
+        if not isinstance(var, ProcChainVar):
+            raise ProcessingChainError(f"cannot call astype() on {var}")
+        name = f"{var}.astype(`{dtype.char}`)"
+        out = ProcChainVar(
+            self, name, var.shape, dtype, var.grid, var.unit, var.is_coord
+        )
+        dev = _device_dtype(dtype)
+        self._add_step(
+            FuncStep(
+                lambda x: jnp.asarray(x).astype(dev), [var.key], out.key, name
+            )
+        )
+        out.defined = True
+        return out
+
+    def _isnan(self, var):
+        return self._nan_check(var, "isnan")
+
+    def _isfinite(self, var):
+        return self._nan_check(var, "isfinite")
+
+    def _nan_check(self, var, fn_name):
+        import jax.numpy as jnp
+
+        if var is None:
+            return None
+        if not isinstance(var, ProcChainVar):
+            return getattr(np, fn_name)(var)
+        name = f"{fn_name}({var})"
+        out = ProcChainVar(
+            self, name, var.shape, np.dtype("bool"), var.grid, var.unit, var.is_coord
+        )
+        fn = getattr(jnp, fn_name)
+        self._add_step(FuncStep(lambda x: fn(x), [var.key], out.key, name))
+        out.defined = True
+        return out
+
+    def _where(self, condition, a, b, dtype=auto):
+        from . import processors
+
+        if condition is None:
+            return None
+        if not (
+            isinstance(condition, ProcChainVar)
+            and (condition.dtype is auto or condition.dtype == np.dtype("bool"))
+        ):
+            raise ProcessingChainError(f"{condition} must be a boolean variable")
+
+        name = f"where({condition}, {a}, {b})"
+        if isinstance(a, ProcChainVar) and isinstance(b, ProcChainVar):
+            if a.period != b.period:
+                raise ProcessingChainError(
+                    f"Cannot select between {a} and {b} with different periods"
+                )
+            if a.is_coord != b.is_coord:
+                raise ProcessingChainError(
+                    f"Cannot select between {a} and {b} with different is_coord"
+                )
+            is_coord = a.is_coord
+            if a.offset == b.offset or (
+                isinstance(a.offset, ProcChainVar) and a.offset is b.offset
+            ):
+                grid = a.grid
+            elif a.grid in (None, auto) or b.grid in (None, auto):
+                grid = None
+            else:
+                grid = CoordinateGrid(
+                    a.period, self._where(condition, a.offset, b.offset)
+                )
+            unit_a = Unit(a.unit) if is_in_ureg(a.unit) else a.unit
+            unit_b = Unit(b.unit) if is_in_ureg(b.unit) else b.unit
+            if unit_a == unit_b or unit_b in (None, auto):
+                unit = unit_a
+            elif unit_a in (None, auto):
+                unit = unit_b
+            else:
+                raise ProcessingChainError(
+                    f"{a} and {b} do not have compatible units"
+                )
+        elif isinstance(a, ProcChainVar) or isinstance(b, ProcChainVar):
+            var, const = (a, b) if isinstance(a, ProcChainVar) else (b, a)
+            grid = var.grid
+            is_coord = var.is_coord
+            if var.unit in (None, auto):
+                unit = var.unit
+            elif not isinstance(const, (Quantity, Unit)):
+                unit = var.unit
+            elif is_in_ureg(var.unit):
+                q = Quantity(1, const) if isinstance(const, Unit) else const
+                ref = var.period if is_coord is True else Quantity(1, var.unit)
+                unit = var.unit
+                conv = float(q / ref)
+                if isinstance(a, ProcChainVar):
+                    b = conv
+                else:
+                    a = conv
+            else:
+                raise ProcessingChainError(
+                    f"{a} and {b} do not have compatible units"
+                )
+        else:
+            grid = None
+            is_coord = False
+            if isinstance(a, Quantity) and isinstance(b, Quantity):
+                unit = a.u
+                b = float(b / Quantity(1, unit))
+                a = a.m
+            elif isinstance(a, Quantity):
+                unit = a.u
+                a = a.m
+            elif isinstance(b, Quantity):
+                unit = b.u
+                b = b.m
+            else:
+                unit = None
+
+        out = ProcChainVar(self, name, auto, dtype, grid, unit, is_coord)
+        self._add_step(KernelStep(self, processors.where, [condition, a, b, out]))
+        return out
+
+    def _loadlh5(self, path_to_file, path_in_file):
+        from .lh5 import Scalar, read
+
+        try:
+            loaded = read(path_in_file, path_to_file)
+        except (OSError, KeyError, ValueError) as e:
+            raise ProcessingChainError(
+                f"could not load {path_in_file} from {path_to_file}"
+            ) from e
+        if isinstance(loaded, Scalar):
+            return loaded.value
+        return loaded.nda
+
+    func_list = {
+        "len": _length,
+        "isfinite": _isfinite,
+        "isnan": _isnan,
+        "round": _round,
+        "floor": lambda self, *a, **k: self._round(*a, mode="floor", **k),
+        "ceil": lambda self, *a, **k: self._round(*a, mode="ceil", **k),
+        "trunc": lambda self, *a, **k: self._round(*a, mode="trunc", **k),
+        "astype": _astype,
+        "where": _where,
+        "loadlh5": _loadlh5,
+    }
+    module_list = {"np": np, "numpy": np}
+
+
+def _py_round(val, to_nearest, mode: str):
+    fn = {
+        "round": np.round,
+        "floor": np.floor,
+        "ceil": np.ceil,
+        "trunc": np.trunc,
+    }[mode]
+    return float(fn(np.asarray(val) / to_nearest) * to_nearest)
+
+
+def _quantity_op(op_type, lhs, rhs):
+    """Apply an AST arithmetic op to operands that may be Quantities."""
+    import operator as _op
+
+    table = {
+        ast.Add: _op.add, ast.Sub: _op.sub, ast.Mult: _op.mul,
+        ast.Div: _op.truediv, ast.FloorDiv: _op.floordiv,
+        ast.Lt: _op.lt, ast.LtE: _op.le, ast.Gt: _op.gt,
+        ast.GtE: _op.ge, ast.Eq: _op.eq, ast.NotEq: _op.ne,
+    }
+    if isinstance(lhs, Unit):
+        lhs = Quantity(1, lhs)
+    if isinstance(rhs, Unit):
+        rhs = Quantity(1, rhs)
+    return table[op_type](lhs, rhs)
+
+# ---------------------------------------------------------------------------
+# I/O managers: LGDO buffers <-> environment arrays (reference :1911-2360)
+# ---------------------------------------------------------------------------
+
+
+def _resolve_io_unit(var: ProcChainVar, unit):
+    """Reconcile a buffer's ``units`` attr with the variable's unit and return
+    the representation the buffer holds (reference ``LGDOArrayIOManager``
+    ``:1984-2056``)."""
+    if isinstance(var.unit, (CoordinateGrid, Quantity, Unit)):
+        if isinstance(var.unit, CoordinateGrid):
+            var_u = var.unit.period.u
+        elif isinstance(var.unit, Quantity):
+            var_u = var.unit.u
+        else:
+            var_u = var.unit
+        if unit is None:
+            unit = var_u
+        elif ureg.is_compatible_with(var_u, unit):
+            unit = ureg.Quantity(unit).u
+        else:
+            raise ProcessingChainError(
+                f"buffer and variable {var} have incompatible units "
+                f"({var_u} and {unit})"
+            )
+    elif isinstance(var.unit, str) and unit is None:
+        unit = var.unit
+    return unit
+
+
+def _set_units_attr(buff, var: ProcChainVar) -> None:
+    if "units" not in buff.attrs and var.unit not in (None, auto):
+        u = var.unit
+        buff.attrs["units"] = str(u.u) if isinstance(u, Quantity) else str(u)
+
+
+class IOManager:
+    """Translates between an external buffer and environment arrays."""
+
+    def set_buffer(self, buff) -> None:
+        raise NotImplementedError
+
+    def read(self, start: int, stop: int):
+        """Return ``({env_key: np.ndarray}, n_available)``."""
+        raise NotImplementedError
+
+    def write(self, results: dict, start: int, end: int) -> None:
+        raise NotImplementedError
+
+    def out_keys(self) -> list[str]:
+        return []
+
+
+class NumpyIOManager(IOManager):
+    def __init__(self, io_buf: np.ndarray, var: ProcChainVar, output: bool) -> None:
+        var.update_auto(dtype=io_buf.dtype, shape=io_buf.shape[1:])
+        self.var = var
+        self.key = var.key
+        if not output:
+            var.defined = True
+        self.set_buffer(io_buf)
+
+    def set_buffer(self, io_buf) -> None:
+        if not isinstance(io_buf, np.ndarray):
+            raise ProcessingChainError(f"{self.var} must be set using a numpy array")
+        if self.var.shape != io_buf.shape[1:] or self.var.dtype != io_buf.dtype:
+            raise ProcessingChainError(
+                f"numpy.array(shape={io_buf.shape}, dtype={io_buf.dtype}) "
+                f"is not compatible with variable {self.var}"
+            )
+        self.io_buf = io_buf
+
+    def read(self, start, stop):
+        stop = min(stop, self.io_buf.shape[0])
+        return {self.key: self.io_buf[start:stop]}, max(0, stop - start)
+
+    def write(self, results, start, end):
+        res = results[self.key][: end - start]
+        self.io_buf[start:end, ...] = res.astype(self.io_buf.dtype, copy=False)
+
+    def out_keys(self):
+        return [self.key]
+
+    def __str__(self):
+        return (
+            f"{self.var} linked to numpy.array(shape={self.io_buf.shape}, "
+            f"dtype={self.io_buf.dtype})"
+        )
+
+
+class LGDOArrayIOManager(IOManager):
+    def __init__(self, io_array, var: ProcChainVar, output: bool) -> None:
+        unit = io_array.attrs.get("units", None)
+        var.update_auto(
+            dtype=io_array.dtype, shape=io_array.nda.shape[1:], unit=unit
+        )
+        self.var = var
+        unit = _resolve_io_unit(var, unit)
+        self.key = var.value_in(unit)
+        if not output:
+            var.defined = True
+        self.set_buffer(io_array)
+
+    def set_buffer(self, io_array) -> None:
+        if not isinstance(io_array, lgdo.Array):
+            raise ProcessingChainError(f"{self.var} must be set using an lgdo.Array")
+        _set_units_attr(io_array, self.var)
+        if self.var.shape != io_array.nda.shape[1:]:
+            raise ProcessingChainError(
+                f"LGDO object {io_array.form_datatype()} is incompatible "
+                f"with {self.var}"
+            )
+        self.io_array = io_array
+
+    def read(self, start, stop):
+        if start >= len(self.io_array):
+            raise EndExecute
+        stop = min(stop, len(self.io_array))
+        return {self.key: self.io_array.nda[start:stop]}, stop - start
+
+    def write(self, results, start, end):
+        if len(self.io_array) < end:
+            self.io_array.resize(end)
+        res = results[self.key]
+        if self.var.is_const:
+            self.io_array.nda[start:end, ...] = np.asarray(res).astype(
+                self.io_array.dtype, copy=False
+            )
+        else:
+            self.io_array.nda[start:end, ...] = res[: end - start].astype(
+                self.io_array.dtype, copy=False
+            )
+
+    def out_keys(self):
+        return [self.key]
+
+    def __str__(self):
+        return (
+            f"{self.var} linked to lgdo.Array(shape={self.io_array.shape}, "
+            f"dtype={self.io_array.dtype}, attrs={self.io_array.attrs})"
+        )
+
+
+class LGDOArrayOfEqualSizedArraysIOManager(LGDOArrayIOManager):
+    def set_buffer(self, io_array) -> None:
+        if not isinstance(io_array, lgdo.ArrayOfEqualSizedArrays):
+            raise ProcessingChainError(
+                f"{self.var} must be set using an lgdo.ArrayOfEqualSizedArrays"
+            )
+        _set_units_attr(io_array, self.var)
+        if self.var.shape != io_array.nda.shape[1:]:
+            raise ProcessingChainError(
+                f"LGDO object {io_array.form_datatype()} is incompatible "
+                f"with {self.var}"
+            )
+        self.io_array = io_array
+
+    def __str__(self):
+        return (
+            f"{self.var} linked to lgdo.ArrayOfEqualSizedArrays"
+            f"(shape={self.io_array.shape}, dtype={self.io_array.dtype}, "
+            f"attrs={self.io_array.attrs})"
+        )
+
+
+class LGDOVectorOfVectorsIOManager(IOManager):
+    """Variable-length rows <-> (padded-dense array, length variable).
+
+    The reference flattens/pads with a numba kernel (``_vov2nda``,
+    ``processing_chain.py:2198-2235``); here padding is vectorized numpy on
+    the host and the device sees fixed shapes only.
+    """
+
+    def __init__(self, io_vov, var: ProcChainVar, output: bool) -> None:
+        if var.vector_len is None:
+            var.vector_len = ProcChainVar(
+                var.proc_chain,
+                f"len({var.name})",
+                shape=(),
+                dtype=np.dtype("uint32"),
+                grid=None,
+                unit=None,
+            )
+        if var.vector_len.dtype is not auto and not np.issubdtype(
+            var.vector_len.dtype, np.integer
+        ):
+            raise ProcessingChainError(
+                f"{var.vector_len} must be an integer to act as a vector len"
+            )
+        unit = io_vov.attrs.get("units", None)
+        var.update_auto(dtype=io_vov.dtype, unit=unit)
+        self.var = var
+        self.unit = _resolve_io_unit(var, unit)
+        self.key = None  # resolved lazily once var.shape is known
+        self.len_key = var.vector_len.key
+        self.output = output
+        if not output:
+            var.defined = True
+            var.vector_len.defined = True
+        self.set_buffer(io_vov)
+
+    def set_buffer(self, io_vov) -> None:
+        if not isinstance(io_vov, lgdo.VectorOfVectors):
+            raise ProcessingChainError(
+                f"{self.var} must be set using an lgdo.VectorOfVectors"
+            )
+        _set_units_attr(io_vov, self.var)
+        if self.var.dtype != io_vov.dtype:
+            raise ProcessingChainError(
+                f"LGDO object {io_vov.form_datatype()} is incompatible "
+                f"with {self.var}"
+            )
+        self.io_vov = io_vov
+
+    def _resolve_key(self, start, stop):
+        if self.key is not None:
+            return
+        if self.var.shape is auto:
+            cl = self.io_vov.cumulative_length.nda
+            lens = np.diff(cl[start:stop], prepend=cl[start - 1] if start else 0)
+            maxlen = 2 * int(lens.max()) if len(lens) else 2
+            self.var.update_auto(shape=maxlen)
+            log.warning(
+                "No maximum length provided for VectorOfVectors %s; using %d "
+                "(twice the maximum of the first batch)", self.var, maxlen
+            )
+        self.key = self.var.value_in(self.unit)
+
+    def read(self, start, stop):
+        if start >= len(self.io_vov):
+            raise EndExecute
+        stop = min(stop, len(self.io_vov))
+        self._resolve_key(start, stop)
+        n = stop - start
+        maxlen = self.var.shape[-1]
+        cl = self.io_vov.cumulative_length.nda
+        flat = self.io_vov.flattened_data.nda
+        starts = np.empty(n, dtype="int64")
+        starts[0] = cl[start - 1] if start > 0 else 0
+        starts[1:] = cl[start : stop - 1]
+        lens = cl[start:stop] - starts
+        if lens.max(initial=0) > maxlen:
+            raise DSPFatal(
+                "VectorOfVectors entry has length larger than array variable "
+                "length"
+            )
+        fill = 0 if np.issubdtype(self.var.dtype, np.integer) else np.nan
+        padded = np.full((n, maxlen), fill, dtype=self.var.dtype)
+        idx = starts[:, None] + np.arange(maxlen)[None, :]
+        mask = np.arange(maxlen)[None, :] < lens[:, None]
+        np.copyto(padded, flat[np.clip(idx, 0, len(flat) - 1)], where=mask)
+        return {
+            self.key: padded,
+            self.len_key: lens.astype(self.var.vector_len.dtype),
+        }, n
+
+    def write(self, results, start, end):
+        self._resolve_key(start, end)
+        n = end - start
+        arr = np.asarray(results[self.key][:n])
+        lens = np.asarray(results[self.len_key][:n]).astype("int64")
+        lens = np.clip(lens, 0, arr.shape[1])
+        if len(self.io_vov) < end:
+            self.io_vov.resize(end)
+        self.io_vov._set_vector_unsafe(
+            start, arr.astype(self.io_vov.dtype, copy=False), lens
+        )
+
+    def out_keys(self):
+        if self.key is None:
+            self._resolve_key(0, 0)
+        return [self.key, self.len_key]
+
+    def __str__(self):
+        return (
+            f"{self.var} linked to lgdo.VectorOfVectors"
+            f"(vector_len={self.var.vector_len}, dtype={self.io_vov.dtype}, "
+            f"attrs={self.io_vov.attrs})"
+        )
+
+
+class LGDOWaveformIOManager(IOManager):
+    """WaveformTable <-> (values array, per-event t0 offset variable).
+
+    Wires ``dt``/``t0`` into the variable's :class:`CoordinateGrid` with a
+    per-event offset variable (reference ``processing_chain.py:2263-2360``).
+    """
+
+    def __init__(self, wf_table, var: ProcChainVar, output: bool) -> None:
+        dt_units = wf_table.dt_units
+        t0_units = wf_table.t0_units
+        if dt_units is None:
+            dt_units = t0_units
+        elif t0_units is None:
+            t0_units = dt_units
+
+        self.wf_var = var
+        if (
+            var.grid is auto
+            and isinstance(dt_units, str)
+            and dt_units in ureg
+            and isinstance(t0_units, str)
+            and t0_units in ureg
+        ):
+            offset_var = ProcChainVar(
+                var.proc_chain,
+                var.name + "_dt",
+                shape=(),
+                dtype=wf_table.t0.dtype,
+                grid=None,
+                unit=dt_units,
+                is_coord=True,
+            )
+            var.update_auto(
+                grid=CoordinateGrid(
+                    ureg.Quantity(float(wf_table.dt[0]), dt_units), offset_var
+                ),
+                is_coord=False,
+            )
+        else:
+            var.update_auto(grid=None, is_coord=False)
+
+        if isinstance(wf_table.values, lgdo.VectorOfVectors):
+            self.val_ioman = LGDOVectorOfVectorsIOManager(
+                wf_table.values, var, output
+            )
+        else:
+            self.val_ioman = LGDOArrayOfEqualSizedArraysIOManager(
+                wf_table.values, var, output
+            )
+        if dt_units is None:
+            dt_units = var.grid.unit_str()
+            t0_units = var.grid.unit_str()
+        self.t0_units = t0_units
+        self.output = output
+
+        # env key of the per-event offset in t0 units, or a fixed float
+        self.t0_ref = (
+            var.grid.get_offset(t0_units) if var.grid not in (None, auto) else 0.0
+        )
+        self.variable_t0 = isinstance(self.t0_ref, str)
+        if self.variable_t0 and not output:
+            offset_var.defined = True
+        self.set_buffer(wf_table)
+
+    def set_buffer(self, wf_table) -> None:
+        if not isinstance(wf_table, lgdo.WaveformTable):
+            raise ProcessingChainError(
+                f"IO buffer for {self.wf_var} is not a WaveformTable"
+            )
+        _set_units_attr(wf_table, self.wf_var)
+        self.io_wf = wf_table
+        self.val_ioman.set_buffer(wf_table.values)
+        if self.wf_var.grid not in (None, auto):
+            if not self.variable_t0:
+                wf_table.t0.nda[:] = self.t0_ref
+            dt_units = self.wf_var.grid.period.u
+            wf_table.dt.nda[:] = self.wf_var.grid.get_period(dt_units)
+            wf_table.dt_units = str(dt_units)
+            wf_table.t0_units = str(dt_units)
+
+    def read(self, start, stop):
+        if start >= len(self.io_wf):
+            raise EndExecute
+        stop = min(stop, len(self.io_wf))
+        arrs, n = self.val_ioman.read(start, stop)
+        if self.variable_t0:
+            arrs[self.t0_ref] = self.io_wf.t0.nda[start:stop]
+        return arrs, n
+
+    def write(self, results, start, end):
+        if len(self.io_wf) < end:
+            self.io_wf.resize(end)
+        self.val_ioman.write(results, start, end)
+        if self.variable_t0:
+            self.io_wf.t0.nda[start:end] = np.asarray(
+                results[self.t0_ref][: end - start]
+            ).astype(self.io_wf.t0.dtype, copy=False)
+
+    def out_keys(self):
+        keys = list(self.val_ioman.out_keys())
+        if self.variable_t0:
+            keys.append(self.t0_ref)
+        return keys
+
+    def __str__(self):
+        return f"{self.wf_var} linked to lgdo.WaveformTable({self.val_ioman})"
+
+# ---------------------------------------------------------------------------
+# build_processing_chain: config -> compiled chain (reference :2363-2873)
+# ---------------------------------------------------------------------------
+
+_DB_PARSER = re.compile(r"(?![^\w_.])db\.[\w_.]+")
+
+
+def _db_substitute(arg: str, db_dict, defaults, context: str):
+    """Replace ``db.x.y`` tokens in ``arg`` with database values."""
+    for db_var in _DB_PARSER.findall(arg):
+        try:
+            db_node = db_dict
+            for db_key in db_var[3:].split("."):
+                db_node = db_node[db_key]
+            log.debug("database lookup: found %s for %s", db_node, db_var)
+        except (KeyError, TypeError):
+            try:
+                db_node = defaults[db_var]
+                log.debug(
+                    "database lookup: using default value of %s for %s",
+                    db_node, db_var,
+                )
+            except (KeyError, TypeError):
+                raise ProcessingChainError(
+                    f"did not find {db_var} in database and could not find "
+                    f"default value ({context})"
+                )
+        if arg == db_var:
+            arg = db_node
+        else:
+            arg = arg.replace(db_var, str(db_node))
+    return arg
+
+
+def _load_config(processors):
+    if isinstance(processors, str):
+        with open(processors) as f:
+            if processors.endswith((".yaml", ".yml")):
+                import yaml
+
+                return yaml.safe_load(f)
+            text = f.read()
+        try:
+            return json.loads(text)
+        except json.JSONDecodeError:
+            import yaml
+
+            return yaml.safe_load(text)
+    if processors is None:
+        return {}
+    if isinstance(processors, MutableMapping):
+        return deepcopy(processors)
+    raise ValueError("processors must be a dict, json/yaml file, or None")
+
+
+def build_processing_chain(
+    processors,
+    tb_in: lgdo.Table = None,
+    db_dict: dict = None,
+    outputs: list[str] = None,
+    block_width: int = 16,
+) -> tuple[ProcessingChain, list[str], lgdo.Table]:
+    """Compile a JSON/YAML DSP recipe into a :class:`ProcessingChain` plus an
+    output table. Config schema, ``db.*`` substitution, dependency
+    resolution, const folding and ``init_args`` factory semantics match the
+    reference (``processing_chain.py:2363-2873``); see its docstring for the
+    recipe format.
+    """
+    processors = _load_config(processors)
+
+    if outputs is None:
+        if "outputs" not in processors:
+            raise ValueError("outputs not provided")
+        outputs = processors["outputs"]
+    if "processors" in processors:
+        processors = processors["processors"]
+    processors = dict(processors)
+
+    buffer_len = len(tb_in) if tb_in is not None else 1
+    proc_chain = ProcessingChain(block_width, buffer_len)
+
+    # ---- pass 1: normalize nodes, substitute db values, find prereqs ----
+    multi_out_procs = {}
+    for key, node in processors.items():
+        keys = [k for k in re.split(",| ", key) if k != ""]
+        if len(keys) > 1:
+            for k in keys:
+                multi_out_procs[k] = key
+
+        if isinstance(node, str):
+            node = {"function": node}
+            processors[key] = node
+        if "function" not in node:
+            raise ProcessingChainError(f"no function for parameter {key}")
+        function = node["function"]
+        f_parse = ast.parse(function, mode="eval").body
+
+        mod_err = f"Module specified twice for parameter {key}"
+        args_err = f"Cannot specify arguments if function is expr for parameter {key}"
+        if isinstance(f_parse, ast.Name):
+            pass
+        elif isinstance(f_parse, ast.Attribute):
+            module = function[f_parse.value.col_offset : f_parse.value.end_col_offset]
+            if module in ProcessingChain.module_list and "args" not in node:
+                node["module"] = None
+                node["args"] = [function]
+            else:
+                node["function"] = f_parse.attr
+                if "module" in node:
+                    raise ProcessingChainError(mod_err)
+                node["module"] = module
+        elif isinstance(f_parse, ast.Call):
+            if "args" in node:
+                raise ProcessingChainError(args_err)
+            if (
+                isinstance(f_parse.func, ast.Name)
+                and f_parse.func.id in ProcessingChain.func_list
+                and "module" not in node
+            ):
+                node["module"] = None
+                node["args"] = [function]
+            elif isinstance(f_parse.func, ast.Name):
+                node["function"] = f_parse.func.id
+                node["args"] = [
+                    function[a.col_offset : a.end_col_offset]
+                    for a in f_parse.args + f_parse.keywords
+                ]
+            elif isinstance(f_parse.func, ast.Attribute):
+                node["function"] = f_parse.func.attr
+                if "module" in node:
+                    raise ProcessingChainError(mod_err)
+                mod = f_parse.func.value
+                node["module"] = function[mod.col_offset : mod.end_col_offset]
+                node["args"] = [
+                    function[a.col_offset : a.end_col_offset]
+                    for a in f_parse.args + f_parse.keywords
+                ]
+        else:
+            if "args" in node:
+                raise ProcessingChainError(args_err)
+            if "module" in node:
+                raise ProcessingChainError(mod_err)
+            node["module"] = None
+            node["args"] = [function]
+
+        if "module" not in node:
+            raise ProcessingChainError(f"Could not find module for parameter {key}")
+        if "args" not in node:
+            raise ProcessingChainError(f"Could not find args for parameter {key}")
+
+        args = node["args"] = list(node["args"])
+        for i, arg in enumerate(args):
+            if isinstance(arg, str):
+                args[i] = _db_substitute(
+                    arg, db_dict, node.get("defaults"), f"parameter {key}"
+                )
+
+        if "prereqs" not in node:
+            prereqs = []
+            for arg in args:
+                if not isinstance(arg, str):
+                    continue
+                for prereq in proc_chain.get_variable(arg, True):
+                    if prereq not in prereqs and prereq not in keys:
+                        prereqs.append(prereq)
+            node["prereqs"] = prereqs
+        log.debug("prereqs for %s are %s", key, node["prereqs"])
+
+    processors.update(multi_out_procs)
+
+    # ---- dependency resolution (DFS with cycle detection, ref :2601) ----
+    def resolve_dependencies(par, resolved, leafs, unresolved=None):
+        if unresolved is None:
+            unresolved = []
+        if par in resolved:
+            return
+        if par in unresolved:
+            raise ProcessingChainError(
+                f"Circular references detected for parameter '{par}'"
+            )
+        node = processors.get(par)
+        if node is None:
+            if par not in leafs:
+                leafs.append(par)
+            return
+        if isinstance(node, str):
+            resolve_dependencies(node, resolved, leafs, unresolved)
+            return
+        unresolved.append(par)
+        for edge in node["prereqs"]:
+            resolve_dependencies(edge, resolved, leafs, unresolved)
+        resolved.append(par)
+        unresolved.remove(par)
+
+    proc_par_list: list[str] = []
+    input_par_list: list[str] = []
+    copy_par_list: list[str] = []
+    out_par_list: list[str] = []
+    for out_par in outputs:
+        if out_par not in processors:
+            copy_par_list.append(out_par)
+        else:
+            resolve_dependencies(out_par, proc_par_list, input_par_list)
+            out_par_list.append(out_par)
+
+    log.debug("processing parameters: %s", proc_par_list)
+    log.debug("required input parameters: %s", input_par_list)
+    log.debug("copied output parameters: %s", copy_par_list)
+    log.debug("processed output parameters: %s", out_par_list)
+
+    # ---- link inputs ----------------------------------------------------
+    for input_par in input_par_list:
+        if tb_in is None or input_par not in tb_in:
+            log.warning("'%s' not found in input files or dsp config", input_par)
+            continue
+        try:
+            proc_chain.link_input_buffer(input_par, tb_in[input_par])
+        except Exception as e:
+            raise ProcessingChainError(
+                f"Exception raised while linking input buffer '{input_par}'."
+            ) from e
+
+    # ---- pass 2: add processors in dependency order ---------------------
+    for proc_par in proc_par_list:
+        recipe = processors[proc_par]
+        try:
+            if recipe["module"] is None:
+                # built-in expression: alias its value under the output name
+                assert len(recipe["args"]) == 1
+                fun_var = proc_chain.get_variable(recipe["args"][0])
+                if isinstance(fun_var, ProcChainVar):
+                    new_var = proc_chain.add_variable(
+                        name=proc_par,
+                        dtype=fun_var.dtype,
+                        shape=fun_var.shape,
+                        grid=fun_var.grid,
+                        unit=fun_var.unit,
+                        is_coord=fun_var.is_coord,
+                    )
+                    if fun_var.is_const:
+                        new_var.is_const = True
+                        new_var.const_value = fun_var.const_value
+                        new_var.defined = True
+                    else:
+                        proc_chain._add_step(
+                            AliasStep(fun_var.key, new_var.key, f"{proc_par} = {fun_var}")
+                        )
+                        new_var.reps = fun_var.reps
+                        new_var.defined = True
+                else:
+                    new_var = proc_chain.set_constant(varname=proc_par, val=fun_var)
+                log.debug("setting %s = %s", new_var, fun_var)
+                continue
+
+            module = importlib.import_module(recipe["module"])
+            func = getattr(module, recipe["function"])
+
+            args = recipe["args"]
+            new_vars = [k for k in re.split(",| ", proc_par) if k != ""]
+
+            if "unit" in recipe:
+                for i, name in enumerate(new_vars):
+                    unit = recipe.get("unit", auto)
+                    if isinstance(unit, list):
+                        unit = unit[i]
+                    proc_chain.add_variable(name, unit=unit)
+
+            kwargs = recipe.get("kwargs", {})
+            kwargs.update(
+                {
+                    k: recipe[k]
+                    for k in ("signature", "types", "coord_grid")
+                    if k in recipe
+                }
+            )
+
+            if "init_args" in recipe:
+                init_args = []
+                init_kwargs = {}
+                for arg in recipe["init_args"]:
+                    if isinstance(arg, str):
+                        arg = _db_substitute(
+                            arg, db_dict, recipe.get("defaults"),
+                            f"init_args of {proc_par}",
+                        )
+                        if isinstance(arg, str):
+                            arg = proc_chain.get_variable(arg)
+                    if isinstance(arg, MutableMapping):
+                        init_kwargs.update(arg)
+                    else:
+                        init_args.append(arg)
+                log.debug(
+                    "building function from init_args: %s(%s)",
+                    recipe["function"],
+                    ", ".join(
+                        [str(a) for a in init_args]
+                        + [f"{k}={v}" for k, v in init_kwargs.items()]
+                    ),
+                )
+                func = func(*init_args, **init_kwargs)
+
+            # classify args; decide const folding (reference :2775-2820)
+            params = []
+            kw_params = {}
+            out_params = []
+            is_const = True
+            for param in args:
+                if isinstance(param, str):
+                    param = proc_chain.get_variable(param)
+                if isinstance(param, MutableMapping):
+                    kw_params.update(param)
+                    param = list(param.values())[0]
+                elif isinstance(param, str):
+                    params.append(param)
+                else:
+                    params.append(param)
+                if isinstance(param, ProcChainVar):
+                    if param.name in new_vars:
+                        out_params.append(param)
+                    elif not param.is_const:
+                        is_const = False
+
+            if is_const:
+                if out_params:
+                    for param in out_params:
+                        param.is_const = True
+                    step = KernelStep(
+                        proc_chain, func, params, kw_params,
+                        kwargs.get("signature"), kwargs.get("types"),
+                    )
+                    step.run({})  # executes eagerly; fills const_value
+                    for param in out_params:
+                        log.debug(
+                            "set constant: %s = %s",
+                            param.description(), param.const_value,
+                        )
+                else:
+                    const_val = func(*params, **kw_params)
+                    if len(new_vars) == 1:
+                        const_val = [const_val]
+                    for var, val in zip(new_vars, const_val):
+                        proc_chain.set_constant(var, np.asarray(val))
+            else:
+                proc_chain.add_processor(func, *params, kw_params, **kwargs)
+
+        except Exception as e:
+            raise ProcessingChainError(
+                "Exception raised while attempting to add processor:\n"
+                + json.dumps(recipe, indent=2, default=str)
+            ) from e
+
+    # ---- output table ---------------------------------------------------
+    tb_out = lgdo.Table(size=buffer_len)
+
+    for copy_par in copy_par_list:
+        if tb_in is None or copy_par not in tb_in:
+            log.warning(
+                "'%s' not found in input files or dsp config; building output "
+                "without it", copy_par,
+            )
+            continue
+        try:
+            proc_chain.link_input_buffer(copy_par, tb_in[copy_par])
+            buf_out = proc_chain.link_output_buffer(copy_par)
+            buf_out.attrs.update(tb_in[copy_par].attrs)
+            buf_out.resize(len(tb_out))
+            tb_out.add_field(copy_par, buf_out)
+        except Exception as e:
+            raise ProcessingChainError(
+                f"Exception raised while linking copy buffer '{copy_par}'."
+            ) from e
+
+    for out_par in out_par_list:
+        try:
+            buf_out = proc_chain.link_output_buffer(out_par)
+            recipe = processors[out_par]
+            if isinstance(recipe, str):
+                recipe = processors[recipe]
+            buf_out.attrs.update(recipe.get("lh5_attrs", {}))
+            if recipe.get("description"):
+                buf_out.attrs["description"] = recipe["description"]
+            buf_out.resize(len(tb_out))
+            tb_out.add_field(out_par, buf_out)
+        except Exception as e:
+            raise ProcessingChainError(
+                f"Exception raised while linking output buffer {out_par}."
+            ) from e
+
+    field_mask = input_par_list + copy_par_list
+    return proc_chain, field_mask, tb_out
