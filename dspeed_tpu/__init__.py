@@ -25,9 +25,15 @@ def __getattr__(name):
     if name == "build_dsp":
         from .build_dsp import build_dsp
 
+        # the submodule import binds `dspeed_tpu.build_dsp` to the module;
+        # rebind to the function so repeated `from dspeed_tpu import
+        # build_dsp` stays callable
+        globals()["build_dsp"] = build_dsp
         return build_dsp
     if name in ("ProcessingChain", "build_processing_chain"):
         from . import processing_chain
 
-        return getattr(processing_chain, name)
+        val = getattr(processing_chain, name)
+        globals()[name] = val
+        return val
     raise AttributeError(name)

@@ -1,0 +1,320 @@
+"""Bulk-production driver: raw-tier LH5 in, dsp-tier LH5 out.
+
+Mirrors the reference driver's surface and behavior (``dspeed/build_dsp.py:
+27-452``): filename / Table / LH5Iterator inputs, wildcard table discovery
+with nested ``raw`` groups, per-channel ``chan_config`` matching (first
+``fnmatch`` wins), per-channel database slices, "friend" aux-input tables
+with ``db.*`` overrides, chunked streaming through the compiled chain, block
+writes with ``write_start``, write modes ``None``/``'r'``/``'a'``/``'u'``,
+and an in-memory ``Struct`` return when ``dsp_out`` is ``None``.
+
+TPU difference: each chunk is one jitted device dispatch (events-batched),
+so ``buffer_len`` is the device batch size — thousands of waveforms per
+dispatch rather than the reference's 16-event numba blocks.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import re
+import time
+from copy import deepcopy
+from fnmatch import fnmatch
+from typing import Collection, Mapping
+
+from . import lh5
+from .errors import DSPFatal, ProcessingChainError
+from .lh5 import LGDO, LH5Iterator, LH5Store, Struct, Table
+from .processing_chain import build_processing_chain
+
+log = logging.getLogger("dspeed_tpu")
+
+__all__ = ["build_dsp"]
+
+_DB_PARSER = re.compile(r"(?![^\w_.])db\.[\w_.]+")
+
+
+def _load_mapping(obj, what: str):
+    if isinstance(obj, str):
+        with open(os.path.expandvars(os.path.expanduser(obj))) as f:
+            text = f.read()
+        try:
+            import json
+
+            return json.loads(text)
+        except ValueError:
+            import yaml
+
+            return yaml.safe_load(text)
+    return obj
+
+
+def _db_lookup(token: str, db_dict, what: str):
+    try:
+        node = db_dict
+        for key in token.split(".")[1:]:
+            node = node[key]
+        log.debug("database lookup: found %s for %s", node, token)
+        return node
+    except (KeyError, TypeError):
+        raise ProcessingChainError(f"did not find {token} in database ({what}).")
+
+
+def build_dsp(
+    raw_in: str | LGDO,
+    dsp_out: str | None = None,
+    dsp_config: str | Mapping = None,
+    lh5_tables: Collection[str] | str = None,
+    base_group: str = None,
+    database: str | Mapping = None,
+    outputs: Collection[str] = None,
+    write_mode: str = None,
+    entry_list: Collection[int] = None,
+    entry_mask: Collection[bool] = None,
+    i_start: int = 0,
+    n_entries: int | None = None,
+    buffer_len: int = 3200,
+    block_width: int = 16,
+    chan_config: str | Mapping[str, str] = None,
+):
+    """Run a DSP recipe over raw waveform data; see the reference docstring
+    (``build_dsp.py:27-126``) for parameter semantics, which are preserved.
+    """
+    if isinstance(lh5_tables, str):
+        lh5_tables = [lh5_tables]
+
+    if isinstance(raw_in, (Table, LH5Iterator)):
+        if base_group is None:
+            base_group = ""
+        if lh5_tables is None:
+            lh5_tables = [""]
+        elif len(lh5_tables) > 1:
+            raise RuntimeError(
+                "Cannot have more than one value in lh5_tables for input of "
+                "type Table or LH5Iterator"
+            )
+    elif isinstance(raw_in, str):
+        if base_group is None:
+            base_group = "raw" if lh5.ls(raw_in, "raw") else ""
+        prefix = f"{base_group}/" if base_group else ""
+        if lh5_tables is None:
+            lh5_tables = lh5.ls(raw_in, f"{prefix}*")
+        else:
+            lh5_tables = [
+                tab for tab_wc in lh5_tables for tab in lh5.ls(raw_in, f"{prefix}{tab_wc}")
+            ]
+        # sometimes 'raw' is nested, e.g. ch024/raw
+        tbs_new = []
+        for tb in lh5_tables:
+            if lh5.ls(raw_in, f"{tb}/*") == [f"{tb}/raw"]:
+                tbs_new.append(f"{tb}/raw")
+            elif lh5.ls(raw_in, tb):
+                tbs_new.append(tb)
+        lh5_tables = tbs_new
+        if len(lh5_tables) == 0:
+            raise RuntimeError(f"could not find any valid LH5 table in {raw_in}")
+    else:
+        raise RuntimeError(
+            f"raw_in was not a file name, Table, or LH5Iterator: {raw_in}"
+        )
+
+    dsp_config = _load_mapping(dsp_config, "dsp_config")
+    chan_config = _load_mapping(chan_config, "chan_config") or {}
+    chan_config = {
+        chan: _load_mapping(cfg, f"chan_config[{chan}]")
+        for chan, cfg in chan_config.items()
+    }
+    database = _load_mapping(database, "database")
+    if database and not isinstance(database, Mapping):
+        raise ValueError("input database is not a valid JSON or YAML file or dict")
+
+    if dsp_out is None:
+        dsp_st = Struct()
+    else:
+        if write_mode is None and os.path.isfile(dsp_out):
+            raise FileExistsError(
+                f"output file {dsp_out} exists. Set the 'write_mode' keyword"
+            )
+        if write_mode == "r" and os.path.isfile(dsp_out):
+            os.remove(dsp_out)
+        dsp_st = LH5Store(keep_open=True)
+
+    for tb in lh5_tables:
+        this_config = dsp_config
+        for pat, config in chan_config.items():
+            if fnmatch(tb, pat):
+                this_config = config
+                break
+        if this_config is None:
+            log.info("no config for table %s; skipping", tb)
+            continue
+
+        # per-channel database slice (reference :247-253)
+        if tb not in ("", "raw"):
+            chan_name = next(k for k in tb.split("/") if k not in ("", "raw"))
+            db_dict = database.get(chan_name) if database else None
+            if db_dict is not None:
+                log.info("Found database for %s", chan_name)
+        else:
+            db_dict = database
+
+        if isinstance(raw_in, str):
+            lh5_in = LH5Iterator(
+                raw_in,
+                tb,
+                entry_list=entry_list,
+                entry_mask=entry_mask,
+                i_start=i_start,
+                n_entries=n_entries,
+                buffer_len=buffer_len,
+            )
+        else:
+            lh5_in = raw_in
+
+        # "friend" aux inputs (reference :271-330)
+        config_inputs = this_config.get("inputs", [])
+        if isinstance(config_inputs, Mapping):
+            config_inputs = [config_inputs]
+        for ci in config_inputs:
+            file, group = ci["file"], ci["group"]
+            prefix_, suffix_ = ci.get("prefix", ""), ci.get("suffix", "")
+            if _DB_PARSER.fullmatch(file):
+                file = _db_lookup(file, db_dict, "friend file")
+            if _DB_PARSER.fullmatch(group):
+                group = _db_lookup(group, db_dict, "friend group")
+            if isinstance(lh5_in, LH5Iterator):
+                lh5_in.add_friend(
+                    LH5Iterator(
+                        file,
+                        group,
+                        entry_list=entry_list,
+                        entry_mask=entry_mask,
+                        i_start=i_start,
+                        n_entries=n_entries,
+                        buffer_len=buffer_len,
+                    ),
+                    prefix=prefix_,
+                    suffix=suffix_,
+                )
+            else:
+                lh5_in.join(
+                    lh5.read(group, file, n_rows=len(lh5_in)),
+                    prefix=prefix_,
+                    suffix=suffix_,
+                )
+
+        processors = this_config["processors"]
+        _outputs = this_config["outputs"] if outputs is None else outputs
+
+        if n_entries is None:
+            tot_n_rows = len(lh5_in)
+        else:
+            tot_n_rows = min(n_entries, len(lh5_in))
+
+        if isinstance(lh5_in, LH5Iterator):
+            lh5_it = lh5_in
+            lh5_it.n_entries = tot_n_rows
+            tb_in = lh5_in.read(0)
+        else:
+            tb_in = lh5_in[i_start : i_start + tot_n_rows]
+            lh5_it = [tb_in]
+
+        log.info("Processing table %s with %d rows", tb, tot_n_rows)
+        loading_time = 0.0
+        write_time = 0.0
+        start = time.time()
+
+        proc_chain, field_mask, tb_out = build_processing_chain(
+            processors,
+            tb_in,
+            db_dict=db_dict,
+            outputs=_outputs,
+            block_width=block_width,
+        )
+        if isinstance(lh5_it, LH5Iterator):
+            lh5_it.reset_field_mask(field_mask)
+
+        progress_bar = None
+        if log.isEnabledFor(logging.INFO):
+            try:
+                from tqdm.auto import tqdm
+
+                progress_bar = tqdm(
+                    desc=f"Processing table {tb}",
+                    total=tot_n_rows,
+                    delay=2,
+                    unit=" rows",
+                )
+            except ImportError:
+                pass
+
+        curr = time.time()
+        loading_time += curr - start
+        processing_time = 0.0
+
+        dsp_name = tb.replace("raw", "dsp")
+        tb_fill = None
+        if isinstance(dsp_st, Struct):
+            tb_fill = deepcopy(tb_out)
+            tb_fill.resize(0)
+            if dsp_name != "":
+                groups = dsp_name.split("/")
+                tb_name = groups.pop(-1)
+                node = dsp_st
+                for gr in groups:
+                    node = node.setdefault(gr, Struct())
+                node[tb_name] = tb_fill
+            else:
+                dsp_st = tb_fill
+
+        for tb_in in lh5_it:
+            loading_time += time.time() - curr
+            t_proc = time.time()
+            i_entry = (
+                lh5_it.current_i_entry if isinstance(lh5_it, LH5Iterator) else 0
+            )
+            try:
+                proc_chain(tb_in, tb_out)
+            except DSPFatal as e:
+                e.wf_range = (i_entry, i_entry + len(tb_in))
+                raise e
+            processing_time += time.time() - t_proc
+
+            t_write = time.time()
+            if isinstance(dsp_st, LH5Store):
+                out_view = tb_out[0 : len(tb_in)] if len(tb_in) != len(tb_out) else tb_out
+                dsp_st.write(
+                    obj=out_view,
+                    name=dsp_name,
+                    lh5_file=dsp_out,
+                    wo_mode="o" if write_mode == "u" else "a",
+                    write_start=i_start + i_entry,
+                    n_rows=len(tb_in),
+                )
+            else:
+                tb_fill.append(
+                    tb_out[0 : len(tb_in)] if len(tb_in) != len(tb_out) else tb_out
+                )
+            write_time += time.time() - t_write
+            if progress_bar is not None:
+                progress_bar.update(len(tb_in))
+            curr = time.time()
+
+        if progress_bar is not None:
+            progress_bar.close()
+
+        log.info("Table %s processed in %.2f seconds", tb, time.time() - start)
+        log.debug("Table %s loading time: %.2f seconds", tb, loading_time)
+        log.debug("Table %s write time: %.2f seconds", tb, write_time)
+        log.debug("Table %s processing time: %.2f seconds", tb, processing_time)
+        if log.isEnabledFor(logging.DEBUG):
+            times = proc_chain.get_timing()
+            log.debug("Processor timing info (eager profile mode only): ")
+            for proc, t in sorted(times.items(), key=lambda kv: kv[1], reverse=True):
+                log.debug("%s: %.3f s", proc, t)
+
+    # in lgdo, Table subclasses Struct; here they are distinct types
+    if isinstance(dsp_st, (Struct, Table)):
+        return dsp_st
+    dsp_st.close()

@@ -483,7 +483,14 @@ class KernelStep(Step):
                 raise ProcessingChainError(
                     f"must provide signature and types for {func}"
                 )
-            kern = Kernel(func, signature, types, name=getattr(func, "__name__", "fn"))
+            fname = getattr(func, "__name__", "fn")
+            if getattr(func, "__module__", "").split(".")[0] == "numpy":
+                import jax.numpy as jnp
+
+                jfn = getattr(jnp, fname, None)
+                if jfn is not None:
+                    func = jfn
+            kern = Kernel(func, signature, types, name=fname)
         else:
             raise ProcessingChainError(f"cannot use {func!r} as a processor")
         if signature is not None and signature != kern.signature:
@@ -580,13 +587,15 @@ class KernelStep(Step):
             )
         self.types = [np.dtype(c) for c in found_types[0]]
 
-        # fall back to a coordinate param's grid
+        # fall back to a coordinate param's grid, then the chain's default
         if not grid:
             for param in all_params:
                 if isinstance(param, ProcChainVar) and param.is_coord is True:
                     if isinstance(param.grid, CoordinateGrid):
                         grid = param.grid
                         break
+        if not grid:
+            grid = proc_chain._default_grid
         self.grid = grid
 
         # --- pass 2: bind each argument ----------------------------------
@@ -675,7 +684,7 @@ class KernelStep(Step):
             )
         if isinstance(param, np.ndarray):
             v = param.astype(dtype) if param.dtype != dtype else param
-            return _ArgSpec("const", value=v[None, ...])  # broadcast over block
+            return _ArgSpec("const", value=v)  # shared across the block
         if isinstance(param, str):
             if np.issubdtype(dtype, np.integer):
                 try:
@@ -723,7 +732,7 @@ class KernelStep(Step):
             val = val.astype(dtype)
         if val.ndim == 0:
             return val[()]  # python-level scalar: static for the kernel
-        return val[None, ...]  # broadcastable over the block dimension
+        return val  # shared (un-batched) array: kernels broadcast it
 
     # -- trace-time execution ---------------------------------------------
 
@@ -982,6 +991,10 @@ class ProcessingChain:
         self._output_managers: dict[str, Any] = {}
         self._block_width = block_width  # kept for API parity; TPU batches chunks
         self._buffer_len = buffer_len
+        # grid of the first linked waveform input: last-resort fallback for
+        # unitted-scalar conversion when a processor has no gridded array arg
+        # (e.g. const kernel generators like cusp_filter taking tau/period)
+        self._default_grid: CoordinateGrid | None = None
         self._compiled = None
         self._compiled_nsteps = -1
         self.time_total = 0.0
@@ -1139,8 +1152,15 @@ class ProcessingChain:
         )
         steps = list(self._steps)
 
+        const_env = {
+            var.key: var.const_value
+            for var in self._vars_dict.values()
+            if var.is_const and var.const_value is not None
+        }
+
         def chain_fn(inputs: dict):
             env = dict(inputs)
+            env.update(const_env)
             for step in steps:
                 try:
                     step.run(env)
@@ -1245,7 +1265,10 @@ class ProcessingChain:
         return {str(step): step.time_total for step in self._steps}
 
     def __call__(self, tb_in: lgdo.Table, out: lgdo.Table = None) -> lgdo.Table:
-        self._buffer_len = len(tb_in)
+        # only grow the nominal buffer length: short (final) chunks are padded
+        # up to it so the jitted program is not retraced per chunk shape
+        if self._buffer_len is None or self._buffer_len < len(tb_in):
+            self._buffer_len = len(tb_in)
         for varname in list(self._input_managers):
             if varname not in tb_in:
                 raise ProcessingChainError(f"Require column {varname} in tb_in")
@@ -2162,6 +2185,9 @@ class LGDOWaveformIOManager(IOManager):
         else:
             var.update_auto(grid=None, is_coord=False)
 
+        if var.grid not in (None, auto) and var.proc_chain._default_grid is None:
+            var.proc_chain._default_grid = var.grid
+
         if isinstance(wf_table.values, lgdo.VectorOfVectors):
             self.val_ioman = LGDOVectorOfVectorsIOManager(
                 wf_table.values, var, output
@@ -2541,7 +2567,7 @@ def build_processing_chain(
                     kw_params.update(param)
                     param = list(param.values())[0]
                 elif isinstance(param, str):
-                    params.append(param)
+                    params.append(f"'{param}'")
                 else:
                     params.append(param)
                 if isinstance(param, ProcChainVar):
