@@ -1,0 +1,79 @@
+"""dspeed_tpu benchmark: waveforms/sec on the flagship HPGe energy+timing chain.
+
+Prints ONE JSON line:
+``{"metric": ..., "value": N, "unit": "waveforms/sec/chip", "vs_baseline": N}``
+
+The chain is the full 43-processor config (baseline, pole-zero, trap/CUSP/ZAC
+energies, tp_0..tp_100 timing, A_max, QDrift) — the BASELINE.md canonical
+workload. The reference publishes no numbers (BASELINE.json.published == {}),
+so ``vs_baseline`` is measured against a single-host CPU run of the same
+chain via JAX's CPU backend on this machine (a stand-in for the reference's
+single-threaded numba engine, which is not installable here — no numba in the
+image). Both numbers are reported in the JSON for transparency.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _bench_backend(backend: str, n_ev: int, iters: int) -> float:
+    """Sustained waveforms/sec of the flagship chain on one device."""
+    import jax
+
+    from __graft_entry__ import _build_chain
+
+    device = jax.devices(backend)[0]
+    chain, inputs, _, _ = _build_chain(n_ev=n_ev)
+    with jax.default_device(device):
+        fn = jax.jit(chain._build_fn())
+        inputs = {k: jax.device_put(v, device) for k, v in inputs.items()}
+
+        out = fn(inputs)  # compile + warm up
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(inputs)
+        jax.block_until_ready(out)
+        dt = time.perf_counter() - t0
+    return n_ev * iters / dt
+
+
+def main() -> None:
+    import jax
+
+    platform = jax.default_backend()
+    on_accel = platform not in ("cpu",)
+
+    n_ev = 8192 if on_accel else 1024
+    iters = 20 if on_accel else 3
+    wfps = _bench_backend(platform, n_ev, iters)
+
+    cpu_wfps = None
+    vs_baseline = 1.0
+    if on_accel:
+        try:
+            cpu_wfps = _bench_backend("cpu", 256, 2)
+            vs_baseline = wfps / cpu_wfps
+        except Exception as e:  # CPU backend unavailable: report raw number
+            print(f"# cpu baseline failed: {e}", file=sys.stderr)
+
+    result = {
+        "metric": "waveforms/sec/chip, full HPGe energy+timing chain "
+        "(43 processors, 4096-sample f32 waveforms)",
+        "value": round(wfps, 1),
+        "unit": "waveforms/sec",
+        "vs_baseline": round(vs_baseline, 2),
+        "platform": platform,
+        "events_per_dispatch": n_ev,
+        "cpu_same_chain_wfps": round(cpu_wfps, 1) if cpu_wfps else None,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -393,6 +393,12 @@ def _np_to_jnp_ufunc(func):
 
 _SAFE_TYPECHARS = set("?bBhHiIlLqQefdFD")
 
+# numpy reduction functions whose axis argument needs core-relative remapping
+_REDUCTIONS = frozenset(
+    "amax amin max min sum mean std var prod median argmax argmin "
+    "nanmax nanmin nansum nanmean nanstd nanargmax nanargmin".split()
+)
+
 
 def _ufunc_types(func) -> list[str]:
     """A numpy ufunc's type signatures, filtered to numeric/bool chars."""
@@ -457,7 +463,7 @@ class KernelStep(Step):
         types: list[str] | None = None,
         grid: CoordinateGrid | None = None,
     ) -> None:
-        from .processors import Kernel
+        from .processors import Kernel, parse_signature
 
         kw_params = kw_params or {}
         self.proc_chain = proc_chain
@@ -490,6 +496,17 @@ class KernelStep(Step):
                 jfn = getattr(jnp, fname, None)
                 if jfn is not None:
                     func = jfn
+                if fname in _REDUCTIONS:
+                    # the reference's axis arg counts from its (block, core...)
+                    # buffer layout; remap to a negative, core-relative axis so
+                    # the traced kernel is rank-polymorphic over extra batch
+                    # dims (stacked channels)
+                    ncore0 = len(parse_signature(signature)[0][0])
+                    red = func
+
+                    def func(x, axis, *rest, _red=red, _nc=ncore0):
+                        return _red(x, axis=int(axis) - 1 - _nc, *rest)
+
             kern = Kernel(func, signature, types, name=fname)
         else:
             raise ProcessingChainError(f"cannot use {func!r} as a processor")
@@ -998,6 +1015,36 @@ class ProcessingChain:
         self._compiled = None
         self._compiled_nsteps = -1
         self.time_total = 0.0
+        self._mesh = None
+        self._batch_axes: tuple[str, ...] = ("data",)
+
+    def set_sharding(self, mesh, batch_axes=("data",)) -> None:
+        """Shard execution over a :class:`jax.sharding.Mesh`.
+
+        The leading batch dimensions of every environment array are laid out
+        over ``batch_axes`` of the mesh (events over ``"data"``; with stacked
+        multi-channel inputs, channels over ``"channel"``). The chain body is
+        collective-free, so XLA SPMD partitions it with zero communication —
+        the TPU-native replacement for the reference's single-host block loop
+        (SURVEY.md §5: distributed backend absent in the reference).
+        """
+        self._mesh = mesh
+        self._batch_axes = tuple(batch_axes)
+        self._invalidate()
+
+    def _shard_inputs(self, inputs: dict) -> dict:
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        if self._mesh is None:
+            return inputs
+        nb = len(self._batch_axes)
+        out = {}
+        for k, v in inputs.items():
+            axes = self._batch_axes[: min(nb, v.ndim)]
+            spec = PartitionSpec(*axes, *([None] * (v.ndim - len(axes))))
+            out[k] = jax.device_put(v, NamedSharding(self._mesh, spec))
+        return out
 
     # -- variables ---------------------------------------------------------
 
@@ -1211,13 +1258,16 @@ class ProcessingChain:
 
         t0 = time.time()
         pad_to = self._buffer_len if self._buffer_len else n
+        if self._mesh is not None:
+            nd = self._mesh.shape[self._batch_axes[-1]]
+            pad_to = -(-pad_to // nd) * nd
         if n < pad_to:
             inputs = {
                 k: np.pad(v, [(0, pad_to - n)] + [(0, 0)] * (v.ndim - 1))
                 for k, v in inputs.items()
             }
         fn = self._get_compiled()
-        out = fn(inputs)
+        out = fn(self._shard_inputs(inputs))
         out = jax.tree_util.tree_map(np.asarray, out)
         if n < pad_to:
             out = {k: v[:n] for k, v in out.items()}

@@ -68,10 +68,14 @@ def _conv_full_fft(w, kern):
     size = n + m - 1
     # next power of two for FFT efficiency on TPU
     fsize = 1 << (size - 1).bit_length()
-    wf = jnp.fft.rfft(w, fsize, axis=-1)
+    # flatten leading batch dims: XLA's CPU FFT thunk requires a
+    # dim0-major layout, which sharded >2-D operands can violate
+    lead = w.shape[:-1]
+    w2 = w.reshape(-1, n)
+    wf = jnp.fft.rfft(w2, fsize, axis=-1)
     kf = jnp.fft.rfft(kern.astype(w.dtype), fsize, axis=-1)
     out = jnp.fft.irfft(wf * kf, fsize, axis=-1)[..., :size]
-    return out.astype(w.dtype)
+    return out.reshape(*lead, size).astype(w.dtype)
 
 
 def _conv_kernel_checks(w_in, kernel_arr, name):
