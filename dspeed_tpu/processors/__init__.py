@@ -35,6 +35,12 @@ _modules = {
     "time_point_thresh": "time_point_thresh",
     "interpolated_time_point_thresh": "time_point_thresh",
     "multi_time_point_thresh": "time_point_thresh",
+    "bi_level_zero_crossing_time_points": "time_point_thresh",
+    "get_multi_local_extrema": "peak_finding",
+    "peak_snr_threshold": "peak_finding",
+    "multi_t_filter": "peak_finding",
+    "remove_duplicates": "peak_finding",
+    "multi_a_filter": "peak_finding",
     "windower": "windower",
     "moving_window_left": "moving_windows",
     "moving_window_right": "moving_windows",

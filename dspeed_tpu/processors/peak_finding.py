@@ -1,0 +1,300 @@
+"""Multi-peak finding: Billauer peakdet and companions.
+
+Reference semantics: ``dspeed/processors/get_multi_local_extrema.py:20``
+(delta-hysteresis max/min finder with 4 search modes),
+``peak_snr_threshold.py:19``, ``multi_t_filter.py:22,88``,
+``multi_a_filter.py:20``.
+
+TPU-native design: the hysteresis state machine is inherently sequential, so
+it becomes a ``lax.scan`` with a small fixed carry — {running argmax/argmin,
+find_max flag, slot counters, bounded output slots} — ``vmap``-ed over
+events. Everything around it (direction merging, duplicate removal, SNR
+windows) is vectorized O(m²) mask algebra over the fixed slot arrays.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..errors import DSPFatal
+from ._helpers import isnan_any, nanmask, static_float, static_int, take_last
+from ._kernel import kernel
+
+__all__ = [
+    "get_multi_local_extrema",
+    "peak_snr_threshold",
+    "multi_t_filter",
+    "remove_duplicates",
+    "multi_a_filter",
+]
+
+
+def _cdim(x):
+    """Append a slot axis to batch-shaped scalars for broadcasting."""
+    if hasattr(x, "ndim") and getattr(x, "ndim", 0):
+        return jnp.asarray(x)[..., None]
+    return x
+
+
+def _peakdet_scan(w, delta_max, delta_min, abs_max, abs_min, m_max, m_min):
+    """One-direction Billauer sweep over a single waveform ``w`` (1-D).
+
+    Returns (vt_max (m_max,), vt_min (m_min,), n_max, n_min) with NaN-padded
+    slot arrays holding *sample indices* in declaration order.
+    """
+    n = w.shape[-1]
+
+    def step(carry, i):
+        imax, imin, find_max, nmx, nmn, vmax, vmin = carry
+        wi = w[i]
+        imax = jnp.where(wi > w[imax], i, imax)
+        imin = jnp.where(wi < w[imin], i, imin)
+
+        decl_max = (
+            find_max
+            & (wi < w[imax] - delta_max)
+            & (nmx < m_max)
+            & (w[imax] > abs_max)
+        )
+        decl_min = (
+            (~find_max)
+            & (wi > w[imin] + delta_min)
+            & (nmn < m_min)
+            & (w[imin] < abs_min)
+        )
+        vmax = vmax.at[jnp.where(decl_max, nmx, m_max)].set(
+            imax.astype(w.dtype), mode="drop"
+        )
+        vmin = vmin.at[jnp.where(decl_min, nmn, m_min)].set(
+            imin.astype(w.dtype), mode="drop"
+        )
+        nmx = nmx + decl_max
+        nmn = nmn + decl_min
+        imin = jnp.where(decl_max, i, imin)
+        imax = jnp.where(decl_min, i, imax)
+        find_max = jnp.where(decl_max, False, jnp.where(decl_min, True, find_max))
+        return (imax, imin, find_max, nmx, nmn, vmax, vmin), None
+
+    init = (
+        jnp.int32(0),
+        jnp.int32(0),
+        jnp.bool_(True),
+        jnp.int32(0),
+        jnp.int32(0),
+        jnp.full(m_max, jnp.nan, w.dtype),
+        jnp.full(m_min, jnp.nan, w.dtype),
+    )
+    (imax, imin, fm, nmx, nmn, vmax, vmin), _ = jax.lax.scan(
+        step, init, jnp.arange(n, dtype=jnp.int32)
+    )
+    return vmax, vmin, nmx, nmn
+
+
+def _compact_sorted_unique(vals, m):
+    """Sorted-unique of a NaN-padded array, NaN-compacted to ``m`` slots."""
+    s = jnp.sort(vals)  # NaNs go last
+    first = jnp.concatenate([jnp.ones(1, bool), s[1:] != s[:-1]])
+    keep = first & ~jnp.isnan(s)
+    kept = jnp.where(keep, s, jnp.nan)
+    order = jnp.argsort(~keep, stable=True)  # keepers first, stable
+    return kept[order][:m]
+
+
+def _coincidence(left, right, m):
+    """Left values that also appear in right, in left order (mode 2)."""
+    eq = left[:, None] == right[None, :]
+    keep = jnp.any(eq, axis=1) & ~jnp.isnan(left)
+    kept = jnp.where(keep, left, jnp.nan)
+    order = jnp.argsort(~keep, stable=True)
+    return kept[order][:m]
+
+
+@kernel(
+    "(n),(),(),(),(),(),(m),(p),(),()",
+    ["ffffff" + "ffff", "dddddd" + "dddd"],
+    nout=4,
+    static=[3],
+    uses_dims=True,
+)
+def get_multi_local_extrema(
+    w_in, a_delta_max_in, a_delta_min_in, search_direction, a_abs_max_in,
+    a_abs_min_in, dims,
+):
+    """Billauer peakdet: NaN-padded index lists of local maxima/minima plus
+    counts (reference ``get_multi_local_extrema.py:20``). ``search_direction``
+    0 = L→R sweep, 1 = R→L, 2 = AND of both, 3 = OR of both.
+
+    Divergence from the reference: mode 2's minima coincidence uses the
+    *minima* arrays (the reference indexes ``right_vt_max`` by the minima NaN
+    mask — ``get_multi_local_extrema.py:255-256`` — a manifest copy-paste
+    slip); mode 3's union is NaN-compacted.
+    """
+    direction = static_int(
+        search_direction, "get_multi_local_extrema", "search_direction"
+    )
+    if direction not in (0, 1, 2, 3):
+        raise DSPFatal("search direction type not found.")
+    m_max, m_min = dims["m"], dims["p"]
+    n = w_in.shape[-1]
+    if m_max >= n or m_min >= n:
+        raise DSPFatal(
+            "The length of your return array must be smaller than the "
+            "length of your waveform"
+        )
+
+    def scalar(x):
+        v = jnp.asarray(x, w_in.dtype)
+        return jnp.broadcast_to(v, w_in.shape[:-1]) if v.ndim == 0 else v
+
+    dmax, dmin = scalar(a_delta_max_in), scalar(a_delta_min_in)
+    amax_, amin_ = scalar(a_abs_max_in), scalar(a_abs_min_in)
+
+    lead = w_in.shape[:-1]
+    wf = w_in.reshape(-1, n)
+    args = [x.reshape(-1) for x in (dmax, dmin, amax_, amin_)]
+
+    def one(w, dm, dn, am, an):
+        vl_max = vl_min = vr_max = vr_min = None
+        if direction in (0, 2, 3):
+            vl_max, vl_min, nl_max, nl_min = _peakdet_scan(
+                w, dm, dn, am, an, m_max, m_min
+            )
+        if direction in (1, 2, 3):
+            vr_max_r, vr_min_r, nr_max, nr_min = _peakdet_scan(
+                w[::-1], dm, dn, am, an, m_max, m_min
+            )
+            # map reversed positions back to forward indices
+            vr_max = jnp.where(
+                jnp.isnan(vr_max_r), jnp.nan, (n - 1) - vr_max_r
+            )
+            vr_min = jnp.where(
+                jnp.isnan(vr_min_r), jnp.nan, (n - 1) - vr_min_r
+            )
+        if direction == 0:
+            return vl_max, vl_min, nl_max, nl_min
+        if direction == 1:
+            return vr_max, vr_min, nr_max, nr_min
+        if direction == 2:
+            out_max = _coincidence(vl_max, jnp.sort(vr_max), m_max)
+            out_min = _coincidence(vl_min, jnp.sort(vr_min), m_min)
+        else:
+            out_max = _compact_sorted_unique(
+                jnp.concatenate([vl_max, vr_max]), m_max
+            )
+            out_min = _compact_sorted_unique(
+                jnp.concatenate([vl_min, vr_min]), m_min
+            )
+        return (
+            out_max,
+            out_min,
+            jnp.sum(~jnp.isnan(out_max)).astype(jnp.int32),
+            jnp.sum(~jnp.isnan(out_min)).astype(jnp.int32),
+        )
+
+    vmax, vmin, nmx, nmn = jax.vmap(one)(wf, *args)
+    vmax = vmax.reshape(*lead, m_max)
+    vmin = vmin.reshape(*lead, m_min)
+    nmx = nmx.reshape(lead)
+    nmn = nmn.reshape(lead)
+
+    bad = isnan_any(w_in, 1) | isnan_any(dmax) | isnan_any(dmin)
+    vmax = nanmask(bad, vmax)
+    vmin = nanmask(bad, vmin)
+    zero = jnp.zeros_like(nmx)
+    nmx = jnp.where(bad, zero, nmx).astype(w_in.dtype)
+    nmn = jnp.where(bad, zero, nmn).astype(w_in.dtype)
+    return vmax, vmin, nmx, nmn
+
+
+@kernel("(n),(m),(),(),(m),()", ["fffff" + "f", "ddddd" + "d"], nout=2)
+def peak_snr_threshold(w_in, idx_in, ratio_in, width_in):
+    """Keep candidate peaks whose windowed-local-min / peak ratio is below
+    ``ratio_in`` (reference ``peak_snr_threshold.py:19``)."""
+    width = static_int(width_in, "peak_snr_threshold", "width_in")
+    n = w_in.shape[-1]
+    m = idx_in.shape[-1]
+    idx = jnp.nan_to_num(idx_in, nan=0.0).astype(jnp.int32)
+    valid = ~jnp.isnan(idx_in)
+
+    a = jnp.clip(idx - width, 0, n - 1)
+    b = jnp.clip(idx + width, 0, n - 1)  # exclusive bound clipped like ref
+    # window positions a..a+2w-1, masked to < b (ref loops range(a, b))
+    offs = jnp.arange(2 * width)
+    pos = a[..., None] + offs  # (..., m, 2w)
+    in_win = pos < b[..., None]
+    wvals = jnp.take_along_axis(
+        jnp.broadcast_to(w_in[..., None, :], (*pos.shape[:-1], n)),
+        jnp.clip(pos, 0, n - 1),
+        axis=-1,
+    )
+    wvals = jnp.where(in_win, wvals, jnp.inf)
+    # empty window (b <= a) -> min at a, like the reference's init
+    wmin = jnp.minimum(jnp.min(wvals, axis=-1), jnp.take_along_axis(w_in, a, axis=-1))
+    peak = jnp.take_along_axis(w_in, jnp.clip(idx, 0, n - 1), axis=-1)
+    passing = valid & (jnp.abs(wmin / peak) < _cdim(ratio_in))
+    kept = jnp.where(passing, idx_in, jnp.nan)
+    order = jnp.argsort(~passing, axis=-1, stable=True)
+    idx_out = jnp.take_along_axis(kept, order, axis=-1)
+    n_out = jnp.sum(passing, axis=-1).astype(w_in.dtype)
+    return idx_out, n_out
+
+
+@kernel("(n),(n)->(n)", ["ff->f", "dd->d"])
+def remove_duplicates(t_in, vt_min_in):
+    """De-duplicate time points, replacing repeats with the matching minima
+    (reference ``multi_t_filter.py:22``); shifts out a leading index 0."""
+    m = t_in.shape[-1]
+    i1 = jnp.arange(m)
+    eq = (t_in[..., :, None] == t_in[..., None, :]) & (i1[:, None] < i1[None, :])
+    # last i1 < i2 with equal values wins (reference loop order)
+    src = jnp.where(eq, i1[:, None], -1)
+    best = jnp.max(src, axis=-2)
+    dup = best >= 0
+    repl = jnp.take_along_axis(vt_min_in, jnp.clip(best, 0, m - 1), axis=-1)
+    t_out = jnp.where(dup, repl, jnp.where(jnp.isnan(t_in), jnp.nan, t_in))
+    # if the first entry is index 0, shift everything left
+    shift = t_out[..., 0] == 0
+    shifted = jnp.concatenate(
+        [t_out[..., 1:], jnp.full_like(t_out[..., :1], jnp.nan)], axis=-1
+    )
+    t_out = jnp.where(shift[..., None], shifted, t_out)
+    all_nan = jnp.all(jnp.isnan(t_in), axis=-1) & jnp.all(
+        jnp.isnan(vt_min_in), axis=-1
+    )
+    return nanmask(all_nan, t_out)
+
+
+@kernel("(n),(),(m),(m),(m)", ["fffff", "ddddd"], nout=1)
+def multi_t_filter(w_in, a_threshold_in, vt_max_in, vt_min_in):
+    """Leading-edge times for each found maximum: vectorized
+    ``time_point_thresh`` walking back from each maximum, then duplicate
+    removal (reference ``multi_t_filter.py:88``)."""
+    from .time_point_thresh import time_point_thresh
+
+    m = vt_max_in.shape[-1]
+    n = w_in.shape[-1]
+    if m > n:
+        raise DSPFatal(
+            "The length of your return array must be smaller than the "
+            "length of your waveform"
+        )
+    (tp,) = time_point_thresh(
+        w_in[..., None, :], _cdim(a_threshold_in), vt_max_in, 0
+    )
+    (t_out,) = remove_duplicates(tp, vt_min_in)
+    bad = isnan_any(w_in, 1) | isnan_any(a_threshold_in)
+    return nanmask(bad, t_out)
+
+
+@kernel("(n),(m)->(m)", ["ff->f", "dd->d"])
+def multi_a_filter(w_in, vt_max_in):
+    """Amplitudes at the found maxima (reference ``multi_a_filter.py:20``)."""
+    n = w_in.shape[-1]
+    idx = jnp.nan_to_num(vt_max_in, nan=0.0).astype(jnp.int32)
+    valid = ~jnp.isnan(vt_max_in) & (idx >= 0) & (idx < n)
+    vals = jnp.take_along_axis(w_in, jnp.clip(idx, 0, n - 1), axis=-1)
+    out = jnp.where(valid, vals, jnp.nan).astype(w_in.dtype)
+    return nanmask(isnan_any(w_in, 1), out)

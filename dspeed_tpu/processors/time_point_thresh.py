@@ -259,3 +259,128 @@ def multi_time_point_thresh(w_in, a_threshold, t_start, polarity, mode_in):
     )
     val = jnp.where(found, val, jnp.nan)
     return nanmask(bad, val)
+
+
+@kernel(
+    "(n),(),(),(),(),(),(m),(m)",
+    ["fffff" + "Iff", "ddddd" + "Idd"],
+    nout=3,
+    uses_dims=True,
+)
+def bi_level_zero_crossing_time_points(
+    w_in, a_pos_threshold_in, a_neg_threshold_in, gate_time_in, t_start_in, dims
+):
+    """Gated bipolar-threshold zero-crossing trigger finder (reference
+    ``time_point_thresh.py:412``): find zero crossings that are bracketed by
+    a crossing of one threshold and a return through the opposite threshold
+    within ``gate_time`` samples. Companion of the RC-CR² filter for pileup.
+
+    Outputs ``(n_crossings, polarity (m,), t_trig_times (m,))``; counts keep
+    incrementing past the slot capacity, matching the reference.
+
+    TPU-native form: the five-flag state machine becomes a ``lax.scan`` whose
+    carry holds {above/below activation indices, zero-crossed flag,
+    candidates, count, slot arrays}.
+    """
+    import jax
+
+    m = dims["m"]
+    n = w_in.shape[-1]
+    gate = jnp.asarray(gate_time_in)
+    tstart = jnp.asarray(t_start_in)
+    pos_th = jnp.asarray(a_pos_threshold_in, w_in.dtype)
+    neg_th = jnp.asarray(a_neg_threshold_in, w_in.dtype)
+
+    lead = w_in.shape[:-1]
+    wf = w_in.reshape(-1, n)
+
+    def bshape(x):
+        x = jnp.broadcast_to(x, lead) if getattr(x, "ndim", 0) == 0 else x
+        return x.reshape(-1)
+
+    gate_b, tstart_b = bshape(gate), bshape(tstart)
+    pos_b, neg_b = bshape(pos_th), bshape(neg_th)
+
+    def one(w, pos, neg, gt, ts):
+        gt = jnp.trunc(gt).astype(jnp.int32)
+        tsi = jnp.trunc(ts).astype(jnp.int32)
+
+        def step(c, i):
+            above, below, crossed, pos_cand, neg_cand, nc, pol, trig = c
+            act = i >= tsi
+            w0, w1 = w[i], w[i + 1]
+            below_on = below >= 0
+            zneg = below_on & (w0 <= 0) & (0 < w1)
+            crossed = crossed | (act & zneg)
+            neg_cand = jnp.where(act & zneg, i, neg_cand)
+
+            # positive-threshold crossing
+            pcross = act & (w0 <= pos) & (pos < w1)
+            emit_neg = pcross & crossed & below_on & ((i - below) < gt)
+            retrig_a = pcross & crossed & below_on & ~((i - below) < gt)
+            plain_a = pcross & ~(crossed & below_on)
+            pol = pol.at[jnp.where(emit_neg & (nc < m), nc, m)].set(0, mode="drop")
+            trig = trig.at[jnp.where(emit_neg & (nc < m), nc, m)].set(
+                neg_cand.astype(w.dtype), mode="drop"
+            )
+            nc = nc + emit_neg
+            above = jnp.where(retrig_a | plain_a, i, above)
+            below = jnp.where(pcross & crossed & below_on, -1, below)
+            crossed = jnp.where(pcross & below_on, False, crossed)
+
+            above_on = above >= 0
+            zpos = act & above_on & (w0 >= 0) & (0 > w1)
+            crossed = crossed | zpos
+            pos_cand = jnp.where(zpos, i, pos_cand)
+
+            # negative-threshold crossing
+            ncross = act & (w0 >= neg) & (neg > w1)
+            emit_pos = ncross & crossed & above_on & ((i - above) < gt)
+            retrig_b = ncross & crossed & above_on & ~((i - above) < gt)
+            plain_b = ncross & ~(crossed & above_on)
+            pol = pol.at[jnp.where(emit_pos & (nc < m), nc, m)].set(1, mode="drop")
+            trig = trig.at[jnp.where(emit_pos & (nc < m), nc, m)].set(
+                pos_cand.astype(w.dtype), mode="drop"
+            )
+            nc = nc + emit_pos
+            below = jnp.where(retrig_b | plain_b, i, below)
+            above = jnp.where(ncross & crossed & above_on, -1, above)
+            crossed = jnp.where(ncross & above_on, False, crossed)
+
+            return (above, below, crossed, pos_cand, neg_cand, nc, pol, trig), None
+
+        init = (
+            jnp.int32(-1),
+            jnp.int32(-1),
+            jnp.bool_(False),
+            jnp.int32(0),
+            jnp.int32(0),
+            jnp.int32(0),
+            jnp.full(m, jnp.nan, w.dtype),
+            jnp.full(m, jnp.nan, w.dtype),
+        )
+        (_, _, _, _, _, nc, pol, trig), _ = jax.lax.scan(
+            step, init, jnp.arange(n - 1, dtype=jnp.int32)
+        )
+        return nc, pol, trig
+
+    nc, pol, trig = jax.vmap(one)(wf, pos_b, neg_b, gate_b, tstart_b)
+    nc = nc.reshape(lead)
+    pol = pol.reshape(*lead, m)
+    trig = trig.reshape(*lead, m)
+
+    tstart_f = jnp.broadcast_to(jnp.asarray(t_start_in, jnp.float64 if w_in.dtype == jnp.float64 else jnp.float32), lead)
+    bad = (
+        isnan_any(w_in, 1)
+        | isnan_any(pos_th)
+        | isnan_any(neg_th)
+        | isnan_any(gate)
+        | isnan_any(tstart)
+        | (jnp.floor(tstart_f) != tstart_f)
+        | (jnp.trunc(tstart_f).astype(jnp.int32) < 0)
+        | (jnp.trunc(tstart_f).astype(jnp.int32) >= n)
+    )
+    pol = nanmask(bad, pol)
+    trig = nanmask(bad, trig)
+    nc_out = jnp.where(bad, 0, nc).astype(jnp.uint32)
+    return nc_out, pol, trig
