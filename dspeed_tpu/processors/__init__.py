@@ -23,6 +23,21 @@ _modules = {
     "pole_zero": "pole_zero",
     "double_pole_zero": "pole_zero",
     "rc_exp": "pole_zero",
+    "convolve_exp": "pole_zero",
+    "convolve_damped_oscillator": "pole_zero",
+    "inject_damped_oscillation": "pole_zero",
+    "rc_cr2": "rc_cr2",
+    "recursive_filter": "recursive_filter",
+    "iir_filter": "iir_filter",
+    "notch_filter": "iir_filter",
+    "peak_filter": "iir_filter",
+    "fft": "fft",
+    "ifft": "fft",
+    "psd": "fft",
+    "abs2norm": "fft",
+    "gaussian_filter1d": "gaussian_filter1d",
+    "wiener_filter": "wiener_filter",
+    "discrete_wavelet_transform": "dwt",
     "trap_filter": "trap_filters",
     "trap_norm": "trap_filters",
     "asym_trap_filter": "trap_filters",

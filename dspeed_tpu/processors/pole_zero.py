@@ -32,7 +32,7 @@ from ._helpers import cdim, isnan_any, nanmask, static_float
 from ._kernel import kernel
 from ._numerics import hp_cumsum, iir_first_order, shift_right
 
-__all__ = ["pole_zero", "double_pole_zero", "rc_exp"]
+__all__ = ["pole_zero", "double_pole_zero", "rc_exp", "convolve_exp", "convolve_damped_oscillator", "inject_damped_oscillation"]
 
 
 @kernel("()->()", ["f->d", "d->d"])
@@ -105,3 +105,67 @@ def double_pole_zero(w_in, t_tau1, t_tau2, frac):
 
     bad = isnan_any(w_in, 1) | np.isnan(tau1) | np.isnan(tau2) | np.isnan(fr)
     return nanmask(bad, y.astype(dtype))
+
+
+def _rc(tau):
+    tau = jnp.asarray(tau)
+    return jnp.where(tau != 0, jnp.exp(-1.0 / jnp.where(tau != 0, tau, 1.0)), 0.0)
+
+
+@kernel("(n),()->(n)", ["fd->f", "dd->d"])
+def convolve_exp(w_in, tau):
+    """Convolve with a peak-normalized decaying exponential via the recursive
+    filter (reference ``pole_zero.py:207``)."""
+    from .recursive_filter import recursive_filter_impl
+
+    a = jnp.ones((1,))
+    b = jnp.stack(jnp.broadcast_arrays(jnp.ones(()), -_rc(tau)), axis=-1)
+    return recursive_filter_impl(w_in, a, b, w_in[..., 0], w_in[..., 0])
+
+
+@kernel("(n),(),(),()->(n)", ["fddd->f", "dddd->d"])
+def convolve_damped_oscillator(w_in, tau, omega, phase):
+    """Convolve with a peak-normalized damped oscillator
+    (reference ``pole_zero.py:242``)."""
+    from .recursive_filter import recursive_filter_impl
+
+    rc = _rc(tau)
+    omega = jnp.asarray(omega)
+    phase = jnp.asarray(phase)
+    one = jnp.ones(())
+    a = jnp.stack(
+        jnp.broadcast_arrays(jnp.cos(phase), -rc * jnp.cos(omega - phase)),
+        axis=-1,
+    )
+    b = jnp.stack(
+        jnp.broadcast_arrays(one, -2.0 * rc * jnp.cos(omega), rc * rc), axis=-1
+    )
+    return recursive_filter_impl(w_in, a, b, w_in[..., 0], w_in[..., 0])
+
+
+@kernel("(n),(),(),(),()->(n)", ["fdddd->f", "ddddd->d"])
+def inject_damped_oscillation(w_in, tau, omega, phase, frac):
+    """Add a damped oscillation scaled by ``frac`` onto the waveform
+    (reference ``pole_zero.py:292``)."""
+    from .recursive_filter import recursive_filter_impl
+
+    rc = _rc(tau)
+    omega = jnp.asarray(omega)
+    phase = jnp.asarray(phase)
+    frac = jnp.asarray(frac)
+    cp = jnp.cos(phase)
+    cw = jnp.cos(omega)
+    cwp = jnp.cos(omega - phase)
+    one = jnp.ones(())
+    a = jnp.stack(
+        jnp.broadcast_arrays(
+            one + frac * cp,
+            -(2.0 * rc * cw + frac * cp + frac * rc * cwp),
+            rc * (rc + frac * cwp),
+        ),
+        axis=-1,
+    )
+    b = jnp.stack(
+        jnp.broadcast_arrays(one, -2.0 * rc * cw, rc * rc), axis=-1
+    )
+    return recursive_filter_impl(w_in, a, b, w_in[..., 0], 0.0)
