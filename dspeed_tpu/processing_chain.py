@@ -624,7 +624,7 @@ class KernelStep(Step):
         names_iter = it.chain(
             zip(it.repeat(None), self.params), self.kw_params.items()
         )
-        nin = kern.nin
+        out_set = set(kern.out_indices)
         for ipar, ((arg_name, param), dims, dtype) in enumerate(
             zip(names_iter, dims_list, self.types)
         ):
@@ -641,7 +641,7 @@ class KernelStep(Step):
                 dim_list.append(dims_dict[d])
             shape = tuple(d.length for d in dim_list)
             this_grid = dim_list[-1].grid if dim_list else None
-            is_output = ipar >= nin
+            is_output = ipar in out_set
 
             spec = self._bind_param(
                 param, shape, this_grid, np.dtype(dtype), is_output

@@ -38,6 +38,23 @@ _modules = {
     "gaussian_filter1d": "gaussian_filter1d",
     "wiener_filter": "wiener_filter",
     "discrete_wavelet_transform": "dwt",
+    "poly_fit": "poly_fit",
+    "poly_diff": "poly_fit",
+    "poly_exp_rms": "poly_fit",
+    "soft_pileup_corr": "soft_pileup_corr",
+    "soft_pileup_corr_bl": "soft_pileup_corr",
+    "histogram": "histogram",
+    "histogram_around_mode": "histogram",
+    "histogram_stats": "histogram_stats",
+    "histogram_peakstats": "histogram_stats",
+    "inl_correction": "corrections",
+    "wf_correction": "corrections",
+    "wf_alignment": "corrections",
+    "get_wf_centroid": "corrections",
+    "inject_sig_pulse": "pulse_injector",
+    "inject_exp_pulse": "pulse_injector",
+    "inject_gumbel": "pmt_pulse_injector",
+    "inject_general_logistic": "pmt_pulse_injector",
     "trap_filter": "trap_filters",
     "trap_norm": "trap_filters",
     "asym_trap_filter": "trap_filters",

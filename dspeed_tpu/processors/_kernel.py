@@ -67,6 +67,7 @@ class Kernel:
         nout: int | None = None,
         static: Collection[int] = (),
         uses_dims: bool = False,
+        out_indices: Collection[int] | None = None,
         doc: str | None = None,
     ) -> None:
         self.fn = fn
@@ -74,19 +75,27 @@ class Kernel:
         self.__name__ = name if name else getattr(fn, "__name__", "kernel")
         self.types = [types] if isinstance(types, str) else list(types)
         dims_list, nin, sig_nout = parse_signature(signature)
-        if nout is None:
-            nout = sig_nout
+        if out_indices is not None:
+            # explicit output positions (some reference gufuncs interleave
+            # outputs mid-signature, e.g. histogram_stats)
+            nout = len(out_indices)
+            nin = len(dims_list) - nout
+        else:
+            if nout is None:
+                nout = sig_nout
+            if sig_nout == 0:
+                # in-place convention: trailing params are outputs
+                nin = len(dims_list) - nout
+            out_indices = tuple(range(nin, nin + nout))
         if nout == 0:
             raise ProcessingChainError(
                 f"kernel {self.__name__} must declare at least one output"
             )
-        if sig_nout == 0:
-            # in-place convention: trailing params are outputs
-            nin = len(dims_list) - nout
         self.dims_list = dims_list
         self.nin = nin
         self.nout = nout
         self.nargs = nin + nout
+        self.out_indices = tuple(out_indices)
         self.static = frozenset(static)
         self.uses_dims = uses_dims
         self.__doc__ = doc if doc is not None else getattr(fn, "__doc__", None)
@@ -120,6 +129,7 @@ def kernel(
     nout: int | None = None,
     static: Collection[int] = (),
     uses_dims: bool = False,
+    out_indices: Collection[int] | None = None,
     name: str | None = None,
 ):
     """Decorator form of :class:`Kernel`."""
@@ -133,6 +143,7 @@ def kernel(
             nout=nout,
             static=static,
             uses_dims=uses_dims,
+            out_indices=out_indices,
         )
 
     return wrap

@@ -1,0 +1,110 @@
+"""Histogramming (reference ``dspeed/processors/histogram.py:22,100``).
+
+Self-ranging fixed-bin histograms as batched one-hot scatter-adds — the
+TPU-native replacement for the reference's sequential binning loop.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..errors import DSPFatal
+from ._helpers import isnan_any, nanmask
+from ._kernel import kernel
+
+__all__ = ["histogram", "histogram_around_mode"]
+
+
+def _scatter_hist(w, k, m, valid):
+    """Batched bincount: sum one-hot(k) over samples where ``valid``."""
+    lead = w.shape[:-1]
+    kf = k.reshape(-1, k.shape[-1])
+    vf = valid.reshape(-1, valid.shape[-1])
+    out = jnp.zeros((kf.shape[0], m), w.dtype)
+    rows = jnp.arange(kf.shape[0])[:, None]
+    kc = jnp.where(vf, kf, m)  # out-of-range dropped
+    out = out.at[rows, kc].add(1.0, mode="drop")
+    return out.reshape(*lead, m)
+
+
+@kernel("(n),(m),(p)", ["fff", "ddd"], nout=2, uses_dims=True)
+def histogram(w_in, dims):
+    """Self-ranging histogram: ``m`` weights, ``p = m+1`` bin edges spanning
+    [min, max] (reference ``histogram.py:22``)."""
+    m, p = dims["m"], dims["p"]
+    if m + 1 != p:
+        raise DSPFatal(
+            "length borders_out must be exactly 1 + length of weights_out"
+        )
+    n = w_in.shape[-1]
+    wf_min = jnp.min(w_in, axis=-1, keepdims=True)
+    wf_max = jnp.max(w_in, axis=-1, keepdims=True)
+    delta = (wf_max - wf_min) / m
+    borders = wf_min + (wf_max - wf_min) * jnp.linspace(0.0, 1.0, p, dtype=w_in.dtype)
+    ok = delta > 0
+    k = jnp.floor((w_in - wf_min) / jnp.where(ok, delta, 1.0)).astype(jnp.int32)
+    valid = (w_in != wf_max) & ok & (k >= 0) & (k < m)
+    weights = _scatter_hist(w_in, k, m, valid)
+    bad = isnan_any(w_in, 1)
+    return (
+        jnp.where(_lift(bad, weights), 0.0, weights),
+        nanmask(bad, borders),
+    )
+
+
+@kernel("(n),(),(),(m),(p)", ["fffff", "ddddd"], nout=2, uses_dims=True)
+def histogram_around_mode(w_in, center, bin_width, dims):
+    """Two-pass histogram: find the mode with a self-ranging pass (unless
+    ``center`` is given), then re-bin around it with fixed ``bin_width``,
+    center-aligned (reference ``histogram.py:100``)."""
+    m, p = dims["m"], dims["p"]
+    if m + 1 != p:
+        raise DSPFatal(
+            "length borders_out must be exactly 1 + length of weights_out"
+        )
+    n = w_in.shape[-1]
+    bw = jnp.asarray(bin_width, w_in.dtype)
+    c_in = jnp.asarray(center, w_in.dtype)
+    if c_in.ndim == 0:
+        c_in = jnp.broadcast_to(c_in, w_in.shape[:-1])
+    if bw.ndim == 0:
+        bw = jnp.broadcast_to(bw, w_in.shape[:-1])
+
+    # pass 1: mode from a self-ranging histogram (only used where center NaN)
+    wf_min = jnp.min(w_in, axis=-1, keepdims=True)
+    wf_max = jnp.max(w_in, axis=-1, keepdims=True)
+    delta = (wf_max - wf_min) / m
+    ok = delta > 0
+    k1 = jnp.floor((w_in - wf_min) / jnp.where(ok, delta, 1.0)).astype(jnp.int32)
+    valid1 = (w_in != wf_max) & ok & (k1 >= 0) & (k1 < m)
+    weights1 = _scatter_hist(w_in, k1, m, valid1)
+    mode_bin = jnp.argmax(weights1, axis=-1)
+    mode = (
+        wf_min[..., 0]
+        + delta[..., 0] * mode_bin.astype(w_in.dtype)
+        + 0.5 * delta[..., 0]
+    )
+    mode = jnp.round(mode / bw) * bw
+    auto_center = jnp.where(ok[..., 0], mode, wf_min[..., 0])
+    c = jnp.where(jnp.isnan(c_in), auto_center, c_in)
+
+    # pass 2: fixed-width, center-aligned binning
+    hist_min = c - bw * (m // 2) - 0.5 * bw
+    k2 = jnp.floor((w_in - hist_min[..., None]) / bw[..., None]).astype(jnp.int32)
+    valid2 = (k2 >= 0) & (k2 < m)
+    weights = _scatter_hist(w_in, k2, m, valid2)
+    borders = hist_min[..., None] + bw[..., None] * jnp.arange(
+        p, dtype=w_in.dtype
+    )
+    bad = isnan_any(w_in, 1)
+    return (
+        jnp.where(_lift(bad, weights), 0.0, weights),
+        nanmask(bad, borders),
+    )
+
+
+def _lift(bad, like):
+    if hasattr(bad, "ndim") and getattr(bad, "ndim", 0):
+        while bad.ndim < like.ndim:
+            bad = bad[..., None]
+    return bad

@@ -1,0 +1,155 @@
+"""Histogram statistics (reference ``dspeed/processors/histogram_stats.py``).
+
+Mode / HWHM / FWHM searches become masked argmax/argmin reductions over the
+fixed bin axis instead of the reference's sequential walks.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..errors import DSPFatal
+from ._helpers import isnan_any, nanmask, static_int
+from ._kernel import kernel
+
+__all__ = ["histogram_stats", "histogram_peakstats"]
+
+
+def _first_true(mask, axis=-1):
+    """(index, found) of the first true along ``axis``."""
+    idx = jnp.argmax(mask, axis=axis)
+    found = jnp.any(mask, axis=axis)
+    return idx, found
+
+
+def _take(edges, idx):
+    return jnp.take_along_axis(edges, idx[..., None], axis=-1)[..., 0]
+
+
+@kernel(
+    "(n),(m),(),(),(),()",
+    ["ffffff", "dddddd"],
+    out_indices=[2, 3, 4],
+)
+def histogram_stats(weights_in, edges_in, max_in):
+    """Mode index, mode edge value, and (largest-side) HWHM of a histogram
+    (reference ``histogram_stats.py:165``). Outputs interleave mid-signature
+    like the reference's gufunc: ``(weights, edges, mode_out, max_out,
+    fwhm_out, max_in)``."""
+    nb = weights_in.shape[-1]
+    if nb + 1 != edges_in.shape[-1]:
+        raise DSPFatal(
+            "length edges_in must be exactly 1 + length of weights_in"
+        )
+    w = weights_in
+    e = edges_in
+    mx = jnp.asarray(max_in, w.dtype)
+    if mx.ndim == 0:
+        mx = jnp.broadcast_to(mx, w.shape[:-1])
+
+    auto_idx = jnp.argmax(w, axis=-1)
+    # user-specified: closest left edge (first minimal distance); clamp right
+    dist = jnp.abs(mx[..., None] - e[..., :nb])
+    close_idx = jnp.argmin(dist, axis=-1)
+    over = mx > e[..., -2]
+    user_idx = jnp.where(over, nb - 1, close_idx)
+    max_index = jnp.where(jnp.isnan(mx), auto_idx, user_idx)
+
+    max_out = _take(e, max_index)
+    wmax = _take(w, max_index)
+    half = 0.5 * wmax
+
+    pos = jnp.arange(nb)
+    right_mask = (
+        (pos >= max_index[..., None]) & (w <= half[..., None]) & (w != 0)
+    )
+    ridx, rfound = _first_true(right_mask)
+    fwhm_r = jnp.abs(max_out - _take(e, ridx))
+
+    left_mask = (
+        (pos < max_index[..., None]) & (w >= half[..., None]) & (w != 0)
+    )
+    lidx, lfound = _first_true(left_mask)
+    fwhm_l = jnp.abs(max_out - _take(e, lidx))
+
+    fwhm = jnp.where(rfound, fwhm_r, jnp.nan)
+    fwhm = jnp.where(lfound & (fwhm_l > jnp.nan_to_num(fwhm, nan=-jnp.inf)), fwhm_l, fwhm)
+
+    bad = isnan_any(weights_in, 1)
+    return (
+        nanmask(bad, max_index.astype(w.dtype)),
+        nanmask(bad, max_out),
+        nanmask(bad, fwhm),
+    )
+
+
+@kernel("(n),(m),(),(),()->(),()", ["fffii->ff", "dddii->dd"])
+def histogram_peakstats(weights_in, edges_in, max_in, skip_zeroes, width_type):
+    """Mode (bin center) and FWHM/HWHM width variants of a histogram peak
+    (reference ``histogram_stats.py:20``)."""
+    nb = weights_in.shape[-1]
+    if nb + 1 != edges_in.shape[-1]:
+        raise DSPFatal(
+            "length edges_in must be exactly 1 + length of weights_in"
+        )
+    wt = static_int(width_type, "histogram_peakstats", "width_type")
+    if wt not in (0, 1, 2, 3, 4):
+        raise DSPFatal("width type not found.")
+    w = weights_in
+    e = edges_in
+    mx = jnp.asarray(max_in, w.dtype)
+    if mx.ndim == 0:
+        mx = jnp.broadcast_to(mx, w.shape[:-1])
+    skip = jnp.asarray(skip_zeroes)
+    if skip.ndim == 0:
+        skip = jnp.broadcast_to(skip, w.shape[:-1])
+    skip = skip.astype(bool)
+
+    auto_idx = jnp.argmax(w, axis=-1)
+    # user-specified: bin containing max_in, clamped at the ends
+    pos = jnp.arange(nb)
+    contains = (e[..., :nb] <= mx[..., None]) & (mx[..., None] < e[..., 1:])
+    cidx, cfound = _first_true(contains)
+    user_idx = jnp.where(
+        mx > e[..., -1], nb - 1, jnp.where(mx < e[..., 0], 0, cidx)
+    )
+    max_index = jnp.where(jnp.isnan(mx), auto_idx, user_idx)
+
+    lo = _take(e, max_index)
+    hi = _take(e, max_index + 1)
+    mode = lo + 0.5 * (hi - lo)
+    wmax = _take(w, max_index)
+    half = 0.5 * wmax
+
+    considered = jnp.where(skip[..., None], w != 0, True)
+    right_mask = (pos >= max_index[..., None]) & considered & (w <= half[..., None])
+    ridx, rfound = _first_true(right_mask)
+    hwhm_right = jnp.where(
+        rfound,
+        jnp.abs(mode - _take(e, ridx)),
+        jnp.abs(mode - e[..., -1]),
+    )
+    left_mask = (pos <= max_index[..., None]) & considered & (w <= half[..., None])
+    # first from the right within [0, max_index]: use reversed argmax
+    lmask_rev = left_mask[..., ::-1]
+    lidx_rev, lfound = _first_true(lmask_rev)
+    lidx = nb - 1 - lidx_rev
+    hwhm_left = jnp.where(
+        lfound,
+        jnp.abs(mode - _take(e, lidx + 1)),
+        jnp.abs(mode - e[..., 0]),
+    )
+
+    if wt == 0:
+        width = hwhm_left + hwhm_right
+    elif wt == 1:
+        width = jnp.minimum(hwhm_left, hwhm_right)
+    elif wt == 2:
+        width = jnp.maximum(hwhm_left, hwhm_right)
+    elif wt == 3:
+        width = hwhm_left
+    else:
+        width = hwhm_right
+
+    bad = isnan_any(weights_in, 1)
+    return nanmask(bad, mode), nanmask(bad, width)
