@@ -55,6 +55,16 @@ _modules = {
     "inject_exp_pulse": "pulse_injector",
     "inject_gumbel": "pmt_pulse_injector",
     "inject_general_logistic": "pmt_pulse_injector",
+    "dense_layer_no_bias": "ml",
+    "dense_layer_with_bias": "ml",
+    "classification_layer_no_bias": "ml",
+    "classification_layer_with_bias": "ml",
+    "normalisation_layer": "ml",
+    "optimize_1pz": "optimize",
+    "optimize_2pz": "optimize",
+    "optimize_nnls": "nnls",
+    "svm_predict": "svm",
+    "tf_model": "tf_model",
     "trap_filter": "trap_filters",
     "trap_norm": "trap_filters",
     "asym_trap_filter": "trap_filters",
@@ -126,3 +136,27 @@ def __getattr__(name: str) -> Any:
 
 def __dir__():
     return __all__
+
+
+import sys as _sys
+from types import ModuleType as _ModuleType
+
+
+class _ProcessorsModule(_sys.modules[__name__].__class__):
+    """Keeps registry names resolving to kernels even when a same-named
+    submodule import rebinds the package attribute (several processors share
+    their module's name, e.g. ``pole_zero``): Python's import system sets
+    ``package.pole_zero = <module>`` after ``import ...processors.pole_zero``,
+    which would shadow the kernel for every later lookup."""
+
+    def __getattribute__(self, name: str) -> Any:
+        if name in _modules:
+            val = object.__getattribute__(self, "__dict__").get(name)
+            if val is None or isinstance(val, _ModuleType):
+                mod = importlib.import_module(f".{_modules[name]}", __name__)
+                val = getattr(mod, name)
+            return val
+        return super().__getattribute__(name)
+
+
+_sys.modules[__name__].__class__ = _ProcessorsModule

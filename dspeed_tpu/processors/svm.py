@@ -1,0 +1,44 @@
+"""SVM inference factory (reference ``dspeed/processors/svm.py:13``).
+
+Unpickles a scikit-learn SVM at build time and wraps ``.predict`` as a host
+callback — off the traced hot path, like the reference's object-mode wrapper.
+"""
+
+from __future__ import annotations
+
+import pickle
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..errors import DSPFatal
+from ._kernel import Kernel
+
+__all__ = ["svm_predict"]
+
+
+def svm_predict(svm_file: str) -> Kernel:
+    try:
+        with open(svm_file, "rb") as f:
+            svm = pickle.load(f)
+    except OSError as e:
+        raise DSPFatal(f"could not load SVM pickle {svm_file!r}") from e
+    if not hasattr(svm, "predict"):
+        raise DSPFatal(f"{svm_file!r} does not contain an object with .predict")
+
+    def host_predict(x):
+        flat = np.asarray(x).reshape(-1, x.shape[-1])
+        return (
+            np.asarray(svm.predict(flat), dtype="float64")
+            .reshape(x.shape[:-1])
+        )
+
+    def fn(w_in):
+        out_shape = jax.ShapeDtypeStruct(w_in.shape[:-1], jnp.float64)
+        return jax.pure_callback(
+            host_predict, out_shape, w_in, vmap_method="sequential"
+        )
+
+    return Kernel(fn, "(n)->()", ["f->d", "d->d"], name="svm_predict")
