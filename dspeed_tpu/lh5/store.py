@@ -63,8 +63,11 @@ def ls(lh5_file: str | h5py.File, lh5_group: str = "") -> list[str]:
     else:
         f = lh5_file
     try:
-        pattern = lh5_group.strip("/")
-        if pattern == "":
+        # a trailing "/" lists the group's children (lh5.ls convention)
+        if lh5_group.endswith("/") and lh5_group.strip("/"):
+            lh5_group = lh5_group.rstrip("/") + "/*"
+        pattern = lh5_group.lstrip("/")
+        if pattern.strip("/") == "":
             return list(f.keys())
         if "*" not in pattern and "?" not in pattern:
             return [pattern] if pattern in f else []

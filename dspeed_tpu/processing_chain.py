@@ -2096,11 +2096,12 @@ class LGDOVectorOfVectorsIOManager(IOManager):
                 grid=None,
                 unit=None,
             )
-        if var.vector_len.dtype is not auto and not np.issubdtype(
-            var.vector_len.dtype, np.integer
-        ):
+        # the published configs use float count outputs (e.g.
+        # peak_snr_threshold's n_idx_out) as vector lengths; accept any
+        # numeric dtype and truncate at write time
+        if var.vector_len.dtype is not auto and var.vector_len.dtype.kind not in "iuf":
             raise ProcessingChainError(
-                f"{var.vector_len} must be an integer to act as a vector len"
+                f"{var.vector_len} must be numeric to act as a vector len"
             )
         unit = io_vov.attrs.get("units", None)
         var.update_auto(dtype=io_vov.dtype, unit=unit)

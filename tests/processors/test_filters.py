@@ -152,10 +152,17 @@ class TestGaussianAndDWT:
     def test_gaussian_matches_scipy(self, walk):
         from scipy.ndimage import gaussian_filter1d as sgf
 
-        kern = dp.gaussian_filter1d(3.0)
-        (g,) = kern(walk)
+        sigma, trunc = 3.0, 4.0
+        m = 2 * int(trunc * sigma + 0.5) + 1
+        (taps,) = dp.gaussian_filter1d(sigma, trunc, dims={"n": m})
+        (g,) = dp.reflected_convolve_wf(
+            walk, np.asarray(taps), dims={"p": walk.shape[-1]}
+        )
+        # numpy-reflect padding == scipy "mirror" mode
         np.testing.assert_allclose(
-            np.asarray(g), sgf(walk, 3.0, axis=-1, mode="reflect"), atol=1e-10
+            np.asarray(g),
+            sgf(walk, sigma, axis=-1, mode="mirror", truncate=trunc),
+            atol=1e-10,
         )
 
     def test_haar_approx_detail(self, walk):

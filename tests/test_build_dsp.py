@@ -146,3 +146,68 @@ def test_write_modes(raw_file, tmp_path):
         write_mode="r",
     )
     assert len(lh5.read("geds/dsp", out)) == 8
+
+
+SIPM_CONFIG = os.path.join(
+    os.path.dirname(__file__), "..", "configs", "sipm-pulse-finding.yaml"
+)
+
+
+def make_sipm_waveforms(n=24, nsamp=512, seed=21):
+    """SPE-pulse trains on a noisy baseline."""
+    rng = np.random.default_rng(seed)
+    w = rng.normal(0, 0.5, (n, nsamp))
+    n_pulses = rng.integers(1, 5, n)
+    for ev in range(n):
+        for p in rng.choice(np.arange(30, nsamp - 60), n_pulses[ev], replace=False):
+            t = np.arange(nsamp) - p
+            w[ev] += np.where(t >= 0, 400.0 * (t / 8.0) * np.exp(-t / 8.0), 0.0)
+    return w.astype("float32"), n_pulses
+
+
+@pytest.fixture(scope="module")
+def sipm_raw_file(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("spm") / "spms_raw.lh5")
+    wf, n_pulses = make_sipm_waveforms()
+    tb = lh5.Table(
+        {
+            "waveform": lh5.WaveformTable(
+                values=wf, t0=0.0, t0_units="ns", dt=16.0, dt_units="ns"
+            )
+        }
+    )
+    for ch in ("ch0", "ch1", "ch2"):
+        lh5.write(tb, f"{ch}/raw", path)
+    return path, n_pulses
+
+
+def test_sipm_channelwise_vov(sipm_raw_file, tmp_path):
+    """Channel-wise production with VectorOfVectors outputs
+    (reference tests/test_build_dsp.py:230-264)."""
+    path, n_pulses = sipm_raw_file
+    out = str(tmp_path / "spms_dsp.lh5")
+    chan_config = {
+        "ch0/raw": SIPM_CONFIG,
+        "ch1/raw": SIPM_CONFIG,
+        "ch2/raw": SIPM_CONFIG,
+    }
+    build_dsp(
+        path,
+        out,
+        {},
+        n_entries=20,
+        lh5_tables=list(chan_config.keys()),
+        chan_config=chan_config,
+        write_mode="r",
+    )
+    assert sorted(lh5.ls(out)) == ["ch0", "ch1", "ch2"]
+    assert lh5.ls(out, "ch0/") == ["ch0/dsp"]
+    energies = lh5.read("ch0/dsp/energies", out)
+    assert isinstance(energies, lh5.VectorOfVectors)
+    assert len(energies) == 20
+
+    trig = lh5.read("ch0/dsp/trigger_pos", out)
+    assert isinstance(trig, lh5.VectorOfVectors)
+    # most events should find about the injected number of pulses
+    found = np.array([len(trig[i]) for i in range(20)])
+    assert np.abs(found - n_pulses[:20]).mean() < 1.5
