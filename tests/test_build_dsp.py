@@ -26,7 +26,7 @@ def make_hpge_waveforms(n=64, nsamp=4096, seed=11, dt=16.0):
     tau = 27460.5
     amp = rng.uniform(500, 30000, n)
     t0 = rng.integers(950, 1050, n)
-    rt = rng.integers(5, 40, n)
+    rt = rng.integers(40, 150, n)
     bl = rng.uniform(14000, 16000, n)
     t = np.arange(nsamp)[None, :]
     rise = np.clip((t - t0[:, None]) / rt[:, None], 0, 1)
