@@ -35,6 +35,24 @@ __all__ = ["build_dsp"]
 _DB_PARSER = re.compile(r"(?![^\w_.])db\.[\w_.]+")
 
 
+def _prefetched(iterable):
+    """Iterate with one chunk of read-ahead on a worker thread, overlapping
+    host HDF5 reads with device execution (the TPU-side replacement for the
+    reference's synchronous block loop)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    it = iter(iterable)
+    sentinel = object()
+    with ThreadPoolExecutor(1) as ex:
+        fut = ex.submit(next, it, sentinel)
+        while True:
+            tb = fut.result()
+            if tb is sentinel:
+                return
+            fut = ex.submit(next, it, sentinel)
+            yield tb
+
+
 def _load_mapping(obj, what: str):
     if isinstance(obj, str):
         with open(os.path.expandvars(os.path.expanduser(obj))) as f:
@@ -268,7 +286,10 @@ def build_dsp(
             else:
                 dsp_st = tb_fill
 
-        for tb_in in lh5_it:
+        chunk_iter = (
+            _prefetched(lh5_it) if isinstance(lh5_it, LH5Iterator) else lh5_it
+        )
+        for tb_in in chunk_iter:
             loading_time += time.time() - curr
             t_proc = time.time()
             i_entry = (

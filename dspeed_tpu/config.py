@@ -8,10 +8,14 @@ prefix-sum / recurrence reformulations of those kernels:
 - ``"f64"``  — emulated float64 (requires ``jax_enable_x64``); closest to the
   reference bit-for-bit, slow on TPU, exact on CPU.
 - ``"ds"``   — double-single compensated arithmetic (two float32 words,
-  ~49-bit effective mantissa) running at native VPU speed. Default on TPU.
+  ~49-bit effective mantissa) via a log-depth ``associative_scan``.
+- ``"blocked"`` — in-block float32 cumsum on the MXU (triangular matmul) with
+  a compensated carry across block sums; rounding bounded by in-block
+  magnitudes, ~6x fewer memory passes than ``"ds"``. Default on TPU.
 - ``"f32"``  — plain float32; fastest, adequate for many chains.
 
-``accumulation = "auto"`` picks ``"f64"`` when x64 is enabled, else ``"ds"``.
+``accumulation = "auto"`` picks ``"f64"`` when x64 is enabled, else
+``"blocked"``.
 """
 
 from __future__ import annotations
@@ -24,4 +28,4 @@ accumulation: str = "auto"
 def accum_mode() -> str:
     if accumulation != "auto":
         return accumulation
-    return "f64" if jax.config.jax_enable_x64 else "ds"
+    return "f64" if jax.config.jax_enable_x64 else "blocked"

@@ -146,6 +146,8 @@ def hp_cumsum(x, mode: str | None = None) -> PrefixSum:
             _ds_combine, (xf, jnp.zeros_like(xf)), axis=-1
         )
         return PrefixSum(hi, lo)
+    if mode == "blocked":
+        return blocked_cumsum(x)
     raise ValueError(f"unknown accumulation mode {mode!r}")
 
 
@@ -203,3 +205,61 @@ def iir_first_order(x, p: float, y_init=0.0, block: int = 128):
     y = y_in + c_prev[..., None] * powers
     y = y.reshape(*lead, nb * block)
     return y[..., :n] if npad else y
+
+
+# ---------------------------------------------------------------------------
+# blocked prefix sum: triangular matmul within blocks (MXU) + compensated
+# carry across block sums — the TPU-fast default accumulation mode
+# ---------------------------------------------------------------------------
+
+_TRI_CACHE: dict = {}
+
+
+def _tri(block: int, dtype) -> jnp.ndarray:
+    key = (block, np.dtype(dtype).name)
+    tri = _TRI_CACHE.get(key)
+    if tri is None:
+        tri = jnp.asarray(np.tril(np.ones((block, block))), dtype)
+        _TRI_CACHE[key] = tri
+    return tri
+
+
+def blocked_cumsum(x, block: int = 512) -> PrefixSum:
+    """Inclusive prefix sum via in-block triangular matmuls plus a
+    double-single compensated scan over the (tiny) block-sum sequence.
+
+    Rounding error stays bounded by in-block magnitudes instead of the full
+    running sum, and the heavy lifting runs on the MXU — ~2 memory passes
+    instead of the log-depth associative_scan's ~12.
+    """
+    *lead, n = x.shape
+    xf = x.astype(jnp.float32)
+    nb = -(-n // block)
+    npad = nb * block - n
+    if npad:
+        xf = jnp.pad(xf, [(0, 0)] * (xf.ndim - 1) + [(0, npad)])
+    xb = xf.reshape(*lead, nb, block)
+
+    tri = _tri(block, jnp.float32)
+    local = jax.lax.dot_general(
+        xb, tri,
+        dimension_numbers=(((xb.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (..., nb, block): in-block inclusive cumsum
+
+    # compensated (two-float) exclusive scan over block sums: nb elements
+    sums = local[..., -1]
+    hi, lo = jax.lax.associative_scan(
+        _ds_combine, (sums, jnp.zeros_like(sums)), axis=-1
+    )
+    carry_hi = shift_right(hi, 1)
+    carry_lo = shift_right(lo, 1)
+
+    ps_hi = (local + carry_hi[..., None]).reshape(*lead, nb * block)
+    ps_lo = jnp.broadcast_to(carry_lo[..., None], local.shape).reshape(
+        *lead, nb * block
+    )
+    if npad:
+        ps_hi = ps_hi[..., :n]
+        ps_lo = ps_lo[..., :n]
+    return PrefixSum(ps_hi, ps_lo)

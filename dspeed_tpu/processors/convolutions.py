@@ -44,9 +44,20 @@ def _slice_mode(full, n, m, ch):
 
 
 def _conv_full_direct(w, kern):
-    """Full convolution of batched ``w`` with a shared 1-D kernel via XLA conv."""
+    """Full convolution of batched ``w`` with a shared 1-D kernel.
+
+    On TPU, short-tap kernels use the Pallas shift-FMA kernel
+    (:mod:`._pallas`); otherwise XLA's conv."""
     n = w.shape[-1]
     m = kern.shape[-1]
+    if kern.ndim == 1 and 1 < m <= 256:
+        from ._pallas import fir_convolve_full, pallas_available
+
+        if pallas_available():
+            try:
+                return fir_convolve_full(w, kern.astype(w.dtype))
+            except Exception:  # fall back to the XLA lowering
+                pass
     lhs = w.reshape(-1, 1, n)
     # conv_general_dilated computes correlation; flip for convolution
     rhs = kern[::-1].reshape(1, 1, m).astype(w.dtype)
