@@ -215,11 +215,13 @@ def iir_first_order(x, p: float, y_init=0.0, block: int = 128):
 _TRI_CACHE: dict = {}
 
 
-def _tri(block: int, dtype) -> jnp.ndarray:
+def _tri(block: int, dtype) -> np.ndarray:
+    # cache the HOST array only: a jnp array built inside a trace is a
+    # tracer and must not leak across traces
     key = (block, np.dtype(dtype).name)
     tri = _TRI_CACHE.get(key)
     if tri is None:
-        tri = jnp.asarray(np.tril(np.ones((block, block))), dtype)
+        tri = np.tril(np.ones((block, block), dtype=np.dtype(dtype)))
         _TRI_CACHE[key] = tri
     return tri
 
@@ -240,7 +242,7 @@ def blocked_cumsum(x, block: int = 512) -> PrefixSum:
         xf = jnp.pad(xf, [(0, 0)] * (xf.ndim - 1) + [(0, npad)])
     xb = xf.reshape(*lead, nb, block)
 
-    tri = _tri(block, jnp.float32)
+    tri = jnp.asarray(_tri(block, np.float32))
     local = jax.lax.dot_general(
         xb, tri,
         dimension_numbers=(((xb.ndim - 1,), (1,)), ((), ())),

@@ -25,13 +25,30 @@ _TILE_B = 8
 _TILE_N = 512
 
 
+_SMOKE_OK: bool | None = None
+
+
 def pallas_available() -> bool:
+    """True when Pallas kernels should be used: TPU backend, not disabled,
+    and a one-time tiny kernel actually compiles and runs (an exception at
+    XLA compile time would escape the per-call fallback try/except)."""
+    global _SMOKE_OK
     if os.getenv("DSPEED_TPU_PALLAS", "1") in ("0", "false"):
         return False
     try:
-        return jax.default_backend() not in ("cpu",)
+        if jax.default_backend() in ("cpu",):
+            return False
     except Exception:
         return False
+    if _SMOKE_OK is None:
+        try:
+            w = jnp.ones((_TILE_B, _TILE_N + 4))
+            taps = jnp.ones((1, 5))
+            jax.block_until_ready(_fir_call(w, taps))
+            _SMOKE_OK = True
+        except Exception:
+            _SMOKE_OK = False
+    return _SMOKE_OK
 
 
 def _fir_kernel(w_ref, taps_ref, out_ref, *, m: int, tile_n: int):
