@@ -2143,6 +2143,8 @@ class LGDOVectorOfVectorsIOManager(IOManager):
         self.key = self.var.value_in(self.unit)
 
     def read(self, start, stop):
+        from .lh5._native import vov_unpack
+
         if start >= len(self.io_vov):
             raise EndExecute
         stop = min(stop, len(self.io_vov))
@@ -2154,32 +2156,42 @@ class LGDOVectorOfVectorsIOManager(IOManager):
         starts = np.empty(n, dtype="int64")
         starts[0] = cl[start - 1] if start > 0 else 0
         starts[1:] = cl[start : stop - 1]
-        lens = cl[start:stop] - starts
-        if lens.max(initial=0) > maxlen:
+        stops = cl[start:stop]
+        fill = 0 if np.issubdtype(self.var.dtype, np.integer) else np.nan
+        padded, lens, overflow = vov_unpack(
+            flat, starts, stops, maxlen, fill, self.var.dtype
+        )
+        if overflow:
             raise DSPFatal(
                 "VectorOfVectors entry has length larger than array variable "
                 "length"
             )
-        fill = 0 if np.issubdtype(self.var.dtype, np.integer) else np.nan
-        padded = np.full((n, maxlen), fill, dtype=self.var.dtype)
-        idx = starts[:, None] + np.arange(maxlen)[None, :]
-        mask = np.arange(maxlen)[None, :] < lens[:, None]
-        np.copyto(padded, flat[np.clip(idx, 0, len(flat) - 1)], where=mask)
         return {
             self.key: padded,
             self.len_key: lens.astype(self.var.vector_len.dtype),
         }, n
 
     def write(self, results, start, end):
+        from .lh5._native import vov_pack
+
         self._resolve_key(start, end)
         n = end - start
-        arr = np.asarray(results[self.key][:n])
-        lens = np.asarray(results[self.len_key][:n]).astype("int64")
-        lens = np.clip(lens, 0, arr.shape[1])
+        arr = np.asarray(results[self.key][:n]).astype(
+            self.io_vov.dtype, copy=False
+        )
+        lens = np.clip(
+            np.asarray(results[self.len_key][:n]).astype("int64"), 0, arr.shape[1]
+        )
         if len(self.io_vov) < end:
             self.io_vov.resize(end)
-        self.io_vov._set_vector_unsafe(
-            start, arr.astype(self.io_vov.dtype, copy=False), lens
+        base = int(self.io_vov.cumulative_length[start - 1]) if start > 0 else 0
+        need = base + int(lens.sum())
+        if len(self.io_vov.flattened_data.nda) < need:
+            self.io_vov.flattened_data.resize(need)
+        cum = np.empty(n, dtype="uint64")
+        vov_pack(arr, lens, base, self.io_vov.flattened_data.nda, cum)
+        self.io_vov.cumulative_length.nda[start:end] = cum.astype(
+            self.io_vov.cumulative_length.dtype
         )
 
     def out_keys(self):
