@@ -396,7 +396,8 @@ _SAFE_TYPECHARS = set("?bBhHiIlLqQefdFD")
 # numpy reduction functions whose axis argument needs core-relative remapping
 _REDUCTIONS = frozenset(
     "amax amin max min sum mean std var prod median argmax argmin "
-    "nanmax nanmin nansum nanmean nanstd nanargmax nanargmin".split()
+    "nanmax nanmin nansum nanmean nanstd nanargmax nanargmin "
+    "cumsum cumprod nancumsum nancumprod".split()
 )
 
 
@@ -505,7 +506,7 @@ class KernelStep(Step):
                     red = func
 
                     def func(x, axis, *rest, _red=red, _nc=ncore0):
-                        return _red(x, axis=int(axis) - 1 - _nc, *rest)
+                        return _red(x, int(axis) - 1 - _nc, *rest)
 
             kern = Kernel(func, signature, types, name=fname)
         else:
@@ -644,7 +645,8 @@ class KernelStep(Step):
             is_output = ipar in out_set
 
             spec = self._bind_param(
-                param, shape, this_grid, np.dtype(dtype), is_output
+                param, shape, this_grid, np.dtype(dtype), is_output,
+                ncore=len(dims),
             )
             if is_output:
                 continue
@@ -655,7 +657,7 @@ class KernelStep(Step):
 
     # -- binding helpers ---------------------------------------------------
 
-    def _bind_param(self, param, shape, this_grid, dtype, is_output):
+    def _bind_param(self, param, shape, this_grid, dtype, is_output, ncore=0):
         grid = self.grid
         if isinstance(param, ProcChainVar):
             # deduce auto metadata exactly as the reference does
@@ -690,7 +692,9 @@ class KernelStep(Step):
                 return None
             key = param.value_in(grid if param.is_coord is True else None)
             if param.is_const:
-                return _ArgSpec("const", value=self._const_payload(param, dtype))
+                return _ArgSpec(
+                    "const", value=self._const_payload(param, dtype, ncore)
+                )
             # target core shape (outer + core dims); batch dim prepended at run
             return _ArgSpec("env", key=key, reshape=shape, dtype=dtype)
 
@@ -701,7 +705,9 @@ class KernelStep(Step):
             )
         if isinstance(param, np.ndarray):
             v = param.astype(dtype) if param.dtype != dtype else param
-            return _ArgSpec("const", value=v)  # shared across the block
+            if v.ndim > ncore:
+                v = v[None, ...]
+            return _ArgSpec("const", value=v)
         if isinstance(param, str):
             if np.issubdtype(dtype, np.integer):
                 try:
@@ -740,7 +746,7 @@ class KernelStep(Step):
         return _ArgSpec("const", value=dtype.type(param))
 
     @staticmethod
-    def _const_payload(var: ProcChainVar, dtype):
+    def _const_payload(var: ProcChainVar, dtype, ncore: int = 0):
         val = var.const_value
         if val is None:
             raise ProcessingChainError(f"constant {var} has no value yet")
@@ -749,7 +755,12 @@ class KernelStep(Step):
             val = val.astype(dtype)
         if val.ndim == 0:
             return val[()]  # python-level scalar: static for the kernel
-        return val  # shared (un-batched) array: kernels broadcast it
+        if val.ndim > ncore:
+            # dims beyond the kernel's core are outer dims: give the const
+            # the reference's (1, ...) block layout so batched broadcasting
+            # lines up (reference ProcChainVar._make_buffer, :259-269)
+            return val[None, ...]
+        return val  # shared (un-batched) core array (e.g. conv taps)
 
     # -- trace-time execution ---------------------------------------------
 
