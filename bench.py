@@ -21,14 +21,14 @@ import time
 import numpy as np
 
 
-def _bench_backend(backend: str, n_ev: int, iters: int) -> float:
+def _bench_backend(backend: str, n_ev: int, iters: int, fused: bool = False) -> float:
     """Sustained waveforms/sec of the flagship chain on one device."""
     import jax
 
     from __graft_entry__ import _build_chain
 
     device = jax.devices(backend)[0]
-    chain, inputs, _, _ = _build_chain(n_ev=n_ev)
+    chain, inputs, _, _ = _build_chain(n_ev=n_ev, fused=fused)
     with jax.default_device(device):
         fn = jax.jit(chain._build_fn())
         inputs = {k: jax.device_put(v, device) for k, v in inputs.items()}
@@ -51,7 +51,13 @@ def main() -> None:
 
     n_ev = 8192 if on_accel else 1024
     iters = 20 if on_accel else 3
-    wfps = _bench_backend(platform, n_ev, iters)
+    wfps_std = _bench_backend(platform, n_ev, iters)
+    try:
+        wfps_fused = _bench_backend(platform, n_ev, iters, fused=True)
+    except Exception as e:
+        print(f"# fused variant failed: {e}", file=sys.stderr)
+        wfps_fused = None
+    wfps = max(wfps_std, wfps_fused or 0.0)
 
     cpu_wfps = None
     vs_baseline = 1.0
@@ -70,6 +76,8 @@ def main() -> None:
         "vs_baseline": round(vs_baseline, 2),
         "platform": platform,
         "events_per_dispatch": n_ev,
+        "standard_wfps": round(wfps_std, 1),
+        "fused_wfps": round(wfps_fused, 1) if wfps_fused else None,
         "cpu_same_chain_wfps": round(cpu_wfps, 1) if cpu_wfps else None,
     }
     print(json.dumps(result))

@@ -65,6 +65,7 @@ _modules = {
     "optimize_nnls": "nnls",
     "svm_predict": "svm",
     "tf_model": "tf_model",
+    "fused_energy_filter": "fused",
     "trap_filter": "trap_filters",
     "trap_norm": "trap_filters",
     "asym_trap_filter": "trap_filters",

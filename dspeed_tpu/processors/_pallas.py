@@ -112,3 +112,135 @@ def fir_convolve_full(w, taps, interpret: bool = False):
     out = _fir_call(wpad, taps_rev, interpret=interpret)
     out = out[:b, :n_full]
     return out.reshape(*lead, n_full)
+
+
+# ---------------------------------------------------------------------------
+# fused energy pipeline: bl_subtract -> pole_zero -> trapezoid -> max
+# ---------------------------------------------------------------------------
+#
+# Scan-free formulation. With S = cumsum(w) and S2 = cumsum(S) (both exact
+# running sums with S[k<0] = 0), the pole-zero output telescopes to
+#     pz[i] = w[i] + omc * (S[i] - w[i])          (omc = -expm1(-1/tau))
+# so its prefix sum is
+#     Spz[i] = (1 - omc) * S[i] + omc * S2[i]
+# and the trapezoid is the 4-term difference
+#     T[i] = Spz[i] - Spz[i-r] - Spz[i-r-f] + Spz[i-2r-f].
+# Both cumsums are per-block triangular matmuls (MXU) with matmul-computed
+# carries — no sequential scan anywhere.
+
+_EN_TILE_B = 8
+_EN_BLK = 512
+
+
+def _fused_energy_kernel(w_ref, bl_ref, tri_ref, tri8_ref, omc_ref,
+                         pz_ref, trap_ref, emax_ref, *, rise: int, flat: int,
+                         n: int):
+    nb = n // _EN_BLK
+    w = w_ref[:] - bl_ref[:]  # (TB, n) baseline-subtracted
+    omc = omc_ref[0, 0]
+
+    wb = w.reshape(_EN_TILE_B * nb, _EN_BLK)
+    tri = tri_ref[:]  # (BLK, BLK) inclusive lower-triangular ones
+    local = jnp.dot(wb, tri, preferred_element_type=jnp.float32)  # in-blk cumsum
+    sums = local[:, _EN_BLK - 1].reshape(_EN_TILE_B, nb)
+    tri8x = tri8_ref[:]  # (nb, nb) strictly-lower ones: exclusive carry
+    carry = jnp.dot(sums, tri8x, preferred_element_type=jnp.float32)
+    S = (local.reshape(_EN_TILE_B, nb, _EN_BLK)
+         + carry[:, :, None]).reshape(_EN_TILE_B, n)
+
+    sb = S.reshape(_EN_TILE_B * nb, _EN_BLK)
+    local2 = jnp.dot(sb, tri, preferred_element_type=jnp.float32)
+    sums2 = local2[:, _EN_BLK - 1].reshape(_EN_TILE_B, nb)
+    carry2 = jnp.dot(sums2, tri8x, preferred_element_type=jnp.float32)
+    S2 = (local2.reshape(_EN_TILE_B, nb, _EN_BLK)
+          + carry2[:, :, None]).reshape(_EN_TILE_B, n)
+
+    pz = w + omc * (S - w)
+    pz_ref[:] = pz
+    spz = (1.0 - omc) * S + omc * S2
+
+    def shifted(k):
+        # Spz[i-k] with zero fill for i < k
+        if k == 0:
+            return spz
+        pad = jnp.zeros((_EN_TILE_B, k), jnp.float32)
+        return jnp.concatenate([pad, spz[:, : n - k]], axis=1)
+
+    trap = (
+        spz - shifted(rise) - shifted(rise + flat) + shifted(2 * rise + flat)
+    ) * (1.0 / rise)
+    trap_ref[:] = trap
+    emax_ref[:] = jnp.max(trap, axis=1, keepdims=True)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("rise", "flat", "interpret")
+)
+def _fused_energy_call(w, bl, omc, rise, flat, interpret=False):
+    import numpy as np
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, n = w.shape
+    nb = n // _EN_BLK
+    tri = jnp.asarray(np.tril(np.ones((_EN_BLK, _EN_BLK), np.float32)).T)
+    # (row j) -> sum of full blocks before j: strictly upper in (sums @ M)
+    tri8 = jnp.asarray(np.triu(np.ones((nb, nb), np.float32), 1))
+
+    kern = functools.partial(
+        _fused_energy_kernel, rise=rise, flat=flat, n=n
+    )
+    grid = (b // _EN_TILE_B,)
+    return pl.pallas_call(
+        kern,
+        out_shape=(
+            jax.ShapeDtypeStruct((b, n), jnp.float32),
+            jax.ShapeDtypeStruct((b, n), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1), jnp.float32),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((_EN_TILE_B, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_EN_TILE_B, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_EN_BLK, _EN_BLK), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, nb), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((_EN_TILE_B, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_EN_TILE_B, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_EN_TILE_B, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(w, bl, tri, tri8, omc)
+
+
+def fused_energy(w, baseline, tau, rise: int, flat: int, interpret: bool = False):
+    """Fused bl_subtract -> pole_zero(tau) -> trap_norm(rise, flat) -> amax.
+
+    Returns ``(wf_pz, wf_trap, trapEmax)``; one HBM read of the waveform
+    plus two writes replace the unfused chain's ~8 passes. ``n`` must be a
+    multiple of 512 (callers pad the batch to a multiple of 8).
+    """
+    import numpy as np
+
+    *lead, n = w.shape
+    w2 = jnp.asarray(w, jnp.float32).reshape(-1, n)
+    b = w2.shape[0]
+    pad_b = (-b) % _EN_TILE_B
+    if pad_b:
+        w2 = jnp.pad(w2, ((0, pad_b), (0, 0)))
+    bl = jnp.broadcast_to(
+        jnp.asarray(baseline, jnp.float32).reshape(-1)[:, None], (b, 1)
+    )
+    if pad_b:
+        bl = jnp.pad(bl, ((0, pad_b), (0, 0)))
+    omc = jnp.full((1, 1), -np.expm1(-1.0 / float(tau)), jnp.float32)
+    pz, trap, emax = _fused_energy_call(
+        w2, bl, omc, int(rise), int(flat), interpret=interpret
+    )
+    pz = pz[:b].reshape(*lead, n)
+    trap = trap[:b].reshape(*lead, n)
+    emax = emax[:b, 0].reshape(lead)
+    return pz, trap, emax

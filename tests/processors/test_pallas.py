@@ -25,3 +25,50 @@ def test_fir_convolve_batch_rank(rng):
     assert got.shape == (2, 3, 256 + 16)
     exp = np.convolve(w[1, 2], taps, "full")
     np.testing.assert_allclose(got[1, 2], exp, atol=1e-4 * np.abs(exp).max())
+
+
+def test_fused_energy_interpret_matches_oracle():
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from test_build_dsp import make_hpge_waveforms
+
+    from dspeed_tpu.processors._pallas import fused_energy
+
+    wf, amp, t0, bl = make_hpge_waveforms(n=16)
+    tau, rise, flat = 27460.5, 625, 188
+    pz, trap, emax = fused_energy(wf, bl, tau, rise, flat, interpret=True)
+
+    w = wf.astype("f8") - bl[:, None]
+    omc = -np.expm1(-1.0 / tau)
+    S = np.cumsum(w, 1)
+    pz_exp = w + omc * (S - w)
+    Spz = np.cumsum(pz_exp, 1)
+
+    def sh(k):
+        out = np.zeros_like(Spz)
+        out[:, k:] = Spz[:, : Spz.shape[1] - k]
+        return out
+
+    trap_exp = (Spz - sh(rise) - sh(rise + flat) + sh(2 * rise + flat)) / rise
+    np.testing.assert_allclose(
+        np.asarray(emax), trap_exp.max(1), rtol=2e-6
+    )
+    np.testing.assert_allclose(np.asarray(pz), pz_exp, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(trap), trap_exp, atol=5e-2)
+
+
+def test_fused_energy_filter_fallback_matches_unfused(rng):
+    from dspeed_tpu import processors as dp
+
+    wf = np.cumsum(rng.normal(0, 5, (4, 1024)), 1).astype("float32") + 1000
+    bl = np.full(4, 1000.0, "float32")
+    pz, trap, emax = dp.fused_energy_filter(wf, bl, 5000.0, 100, 30)
+    (blsub,) = dp.bl_subtract(wf, bl)
+    (pz_ref,) = dp.pole_zero(np.asarray(blsub), 5000.0)
+    (trap_ref,) = dp.trap_norm(np.asarray(pz_ref), 100, 30)
+    np.testing.assert_allclose(
+        np.asarray(pz), np.asarray(pz_ref), atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(emax), np.asarray(trap_ref).max(-1), rtol=1e-5
+    )
