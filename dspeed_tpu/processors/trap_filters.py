@@ -107,6 +107,8 @@ def trap_pickoff(w_in, rise, flat, t_pickoff):
     if 2 * p["rise"] + p["flat"] > n:
         raise DSPFatal("The trapezoid width is wider than the waveform")
     t = jnp.asarray(t_pickoff)
+    if t.ndim == 0:
+        t = jnp.broadcast_to(t, w_in.shape[:-1])
     start = jnp.trunc(t).astype(jnp.int32) + 1
     ps = hp_cumsum(w_in)
 
