@@ -286,6 +286,16 @@ def build_dsp(
             else:
                 dsp_st = tb_fill
 
+        profile_dir = os.getenv("DSPEED_TPU_PROFILE")
+        profiler_cm = None
+        if profile_dir:
+            import contextlib
+
+            import jax
+
+            profiler_cm = jax.profiler.trace(profile_dir)
+            profiler_cm.__enter__()
+
         chunk_iter = (
             _prefetched(lh5_it) if isinstance(lh5_it, LH5Iterator) else lh5_it
         )
@@ -324,6 +334,9 @@ def build_dsp(
 
         if progress_bar is not None:
             progress_bar.close()
+        if profiler_cm is not None:
+            profiler_cm.__exit__(None, None, None)
+            log.info("JAX profiler trace written to %s", profile_dir)
 
         log.info("Table %s processed in %.2f seconds", tb, time.time() - start)
         log.debug("Table %s loading time: %.2f seconds", tb, loading_time)
