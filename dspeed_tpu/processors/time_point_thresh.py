@@ -233,8 +233,15 @@ def multi_time_point_thresh(w_in, a_threshold, t_start, polarity, mode_in):
     else:
         raise DSPFatal("multi_time_point_thresh requires a static polarity")
 
-    w_c = take_last(w_in, idx)
-    w_cp = take_last(w_in, idx + pol_val)
+    def gather_m(i):
+        # gather per-threshold indices (..., m) from the waveform (..., n)
+        wb = jnp.broadcast_to(w_in[..., None, :], (*i.shape, n))
+        return jnp.take_along_axis(
+            wb, jnp.clip(i, 0, n - 1)[..., None], axis=-1
+        )[..., 0]
+
+    w_c = gather_m(idx)
+    w_cp = gather_m(idx + pol_val)
     ch = chr(mode)
     fi = idx.astype(w_in.dtype)
     if ch == "i":
