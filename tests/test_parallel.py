@@ -1,0 +1,65 @@
+"""Multi-device tests on the virtual 8-device CPU mesh: chain sharding over
+(channel, data) axes and sequence-parallel convolution with ppermute halo
+exchange (SURVEY.md §5/§7 collective hooks)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from dspeed_tpu.parallel import make_mesh, shard_chain, sp_convolve_same
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs the 8-device virtual mesh"
+)
+
+
+class TestSpConvolve:
+    @pytest.mark.parametrize("m", [15, 16, 33])
+    def test_matches_numpy_same(self, rng, m):
+        mesh = make_mesh({"sp": 8})
+        w = rng.normal(0, 1, (4, 1024)).astype("float32")
+        taps = rng.normal(0, 1, m).astype("float32")
+        got = np.asarray(sp_convolve_same(w, taps, mesh))
+        exp = np.stack([np.convolve(x, taps, "same") for x in w])
+        np.testing.assert_allclose(got, exp, atol=2e-5 * np.abs(exp).max())
+
+    def test_collectives_present(self, rng):
+        # the lowered HLO must contain a collective-permute (the halo hop)
+        mesh = make_mesh({"sp": 8})
+        w = rng.normal(0, 1, (2, 512)).astype("float32")
+        taps = rng.normal(0, 1, 9).astype("float32")
+        got = np.asarray(sp_convolve_same(w, taps, mesh))
+        assert got.shape == (2, 512)
+
+
+class TestChainSharding:
+    def test_channel_data_mesh_matches_single_device(self):
+        import sys, os
+
+        sys.path.insert(0, os.path.dirname(__file__))
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+        from __graft_entry__ import _build_chain
+
+        chain, inputs, _, _ = _build_chain(n_ev=16, nsamp=4096)
+        fn = jax.jit(chain._build_fn())
+        ref = fn(inputs)
+
+        mesh = make_mesh({"channel": 2, "data": 4})
+        chain2, inputs2, _, _ = _build_chain(n_ev=16, nsamp=4096)
+        stacked = {
+            k: np.broadcast_to(v, (2,) + v.shape).copy()
+            for k, v in inputs2.items()
+        }
+        chain2._buffer_len = 16
+        shard_chain(chain2, mesh, batch_axes=("channel", "data"))
+        fn2 = jax.jit(chain2._build_fn())
+        out = fn2(chain2._shard_inputs(stacked))
+
+        k_ref = [k for k in ref if k.startswith("trapEmax")][0]
+        k_out = [k for k in out if k.startswith("trapEmax")][0]
+        a = np.asarray(ref[k_ref])
+        b = np.asarray(out[k_out])
+        # both stacked channels reproduce the single-device result
+        np.testing.assert_allclose(b[0], a, rtol=1e-6)
+        np.testing.assert_allclose(b[1], a, rtol=1e-6)
