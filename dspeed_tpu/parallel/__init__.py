@@ -1,6 +1,7 @@
 """Mesh / sharding utilities for multi-chip execution."""
 
-from .mesh import make_mesh, shard_chain
+from .bulk import build_dsp_stacked
 from .conv import sp_convolve_same
+from .mesh import make_mesh, shard_chain
 
-__all__ = ["make_mesh", "shard_chain", "sp_convolve_same"]
+__all__ = ["build_dsp_stacked", "make_mesh", "shard_chain", "sp_convolve_same"]

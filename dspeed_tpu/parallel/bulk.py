@@ -1,0 +1,132 @@
+"""Stacked multi-channel bulk production over a device mesh.
+
+The reference processes one channel table at a time in a single process and
+leaves cross-channel parallelism to external batch systems (SURVEY.md §5).
+On TPU the natural layout is to *stack* channels into the batch: chunks from
+``C`` channel tables form ``(C, B, ...)`` arrays laid out over a
+``("channel", "data")`` mesh, and the whole stack runs as ONE SPMD dispatch
+per chunk — BASELINE.md's multi-channel bulk-production configuration.
+
+Channels must share the DSP config, waveform geometry, and database values
+(static parameters specialize the compiled program); heterogeneous channels
+fall back to the sequential per-table driver.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Collection, Mapping
+
+import numpy as np
+
+from .. import lh5
+from ..lh5 import LH5Iterator, LH5Store
+from ..processing_chain import build_processing_chain
+
+log = logging.getLogger("dspeed_tpu.parallel")
+
+__all__ = ["build_dsp_stacked"]
+
+
+def build_dsp_stacked(
+    raw_in: str,
+    dsp_out: str | None,
+    dsp_config,
+    lh5_tables: Collection[str],
+    mesh=None,
+    database: Mapping | None = None,
+    outputs: Collection[str] | None = None,
+    write_mode: str | None = None,
+    buffer_len: int = 3200,
+):
+    """Process ``lh5_tables`` (same config/geometry) as stacked channels.
+
+    With ``mesh`` (axes ``("channel", "data")``), the stack is sharded over
+    devices; without, it still batches ``C x B`` events per dispatch on one
+    chip. Writes ``<table>/dsp`` groups like :func:`~dspeed_tpu.build_dsp`.
+    """
+    import jax
+
+    lh5_tables = list(lh5_tables)
+    n_chan = len(lh5_tables)
+    iterators = [
+        LH5Iterator(raw_in, tb, buffer_len=buffer_len) for tb in lh5_tables
+    ]
+    n_rows = min(len(it) for it in iterators)
+    if any(len(it) != n_rows for it in iterators):
+        log.warning("channel tables differ in length; clipping to %d", n_rows)
+
+    tb_in0 = iterators[0].read(0)
+    chain, field_mask, tb_out = build_processing_chain(
+        dsp_config, tb_in0, db_dict=database, outputs=outputs
+    )
+    for it in iterators:
+        it.reset_field_mask(field_mask)
+    if mesh is not None:
+        chain.set_sharding(mesh, batch_axes=("channel", "data"))
+
+    store = LH5Store(keep_open=True) if dsp_out else None
+    results_struct = lh5.Struct() if dsp_out is None else None
+    # per-channel output tables share the compiled chain's schema; the
+    # chain's output managers rebind to each channel's buffers per write
+    import copy
+
+    tb_outs = [copy.deepcopy(tb_out) for _ in range(n_chan)]
+
+    fn = None
+    i = 0
+    while i < n_rows:
+        n = min(buffer_len, n_rows - i)
+        # gather each channel's chunk through the chain's input managers
+        stacked: dict[str, np.ndarray] = {}
+        for ci, it in enumerate(iterators):
+            tb_in = it.read(i, n)
+            for varname in list(chain._input_managers):
+                chain.link_input_buffer(varname, tb_in[varname])
+            inputs, n_av = chain._gather_inputs(0, n)
+            for k, v in inputs.items():
+                stacked.setdefault(k, []).append(v)
+        stacked = {k: np.stack(v) for k, v in stacked.items()}
+
+        if fn is None:
+            fn = jax.jit(chain._build_fn())
+        out = fn(chain._shard_inputs(stacked))
+        out = jax.tree_util.tree_map(np.asarray, out)
+
+        for ci, tb in enumerate(lh5_tables):
+            res_ci = {k: v[ci] for k, v in out.items()}
+            for varname, man in chain._output_managers.items():
+                man.set_buffer(tb_outs[ci][varname])
+                man.write(res_ci, 0, n)
+            dsp_name = tb.replace("raw", "dsp")
+            if store is not None:
+                view = tb_outs[ci][0:n] if n != len(tb_outs[ci]) else tb_outs[ci]
+                store.write(
+                    obj=view,
+                    name=dsp_name,
+                    lh5_file=dsp_out,
+                    wo_mode="o" if write_mode == "u" else "a",
+                    write_start=i,
+                )
+            else:
+                groups = [g for g in dsp_name.split("/") if g]
+                node = results_struct
+                for g in groups[:-1]:
+                    node = node.setdefault(g, lh5.Struct())
+                if groups[-1] not in node:
+                    import copy as _copy
+
+                    empty = _copy.deepcopy(tb_outs[ci])
+                    empty.resize(0)
+                    node[groups[-1]] = empty
+                node[groups[-1]].append(
+                    tb_outs[ci][0:n] if n != len(tb_outs[ci]) else tb_outs[ci]
+                )
+        i += n
+
+    for it in iterators:
+        it.close()
+    if store is not None:
+        store.close()
+        return None
+    return results_struct

@@ -63,3 +63,86 @@ class TestChainSharding:
         # both stacked channels reproduce the single-device result
         np.testing.assert_allclose(b[0], a, rtol=1e-6)
         np.testing.assert_allclose(b[1], a, rtol=1e-6)
+
+
+class TestStackedBulk:
+    def test_multichannel_matches_sequential(self, tmp_path, rng):
+        import os
+        import sys
+
+        sys.path.insert(0, os.path.dirname(__file__))
+        from test_build_dsp import make_hpge_waveforms, CONFIG, DB_FLAT
+
+        from dspeed_tpu import build_dsp, lh5
+        from dspeed_tpu.parallel import build_dsp_stacked, make_mesh
+
+        path = str(tmp_path / "multi_raw.lh5")
+        wf, amp, t0, bl = make_hpge_waveforms(n=24)
+        tb = lh5.Table(
+            {
+                "waveform": lh5.WaveformTable(
+                    values=wf, t0=0.0, t0_units="ns", dt=16.0, dt_units="ns"
+                ),
+                "baseline": lh5.Array(bl.astype("float32")),
+            }
+        )
+        chans = ["ch0", "ch1", "ch2", "ch3"]
+        for ch in chans:
+            lh5.write(tb, f"{ch}/raw", path)
+
+        mesh = make_mesh({"channel": 4, "data": 2})
+        out_file = str(tmp_path / "multi_dsp.lh5")
+        build_dsp_stacked(
+            path, out_file, CONFIG,
+            [f"{ch}/raw" for ch in chans],
+            mesh=mesh, database=DB_FLAT,
+            outputs=["trapEmax", "tp_50"], buffer_len=16,
+        )
+
+        seq = build_dsp(
+            path, None, CONFIG, lh5_tables=["ch0/raw"],
+            database={"ch0": DB_FLAT}, outputs=["trapEmax", "tp_50"],
+        )
+        ref = seq["ch0"]["dsp"]
+        for ch in chans:
+            got = lh5.read(f"{ch}/dsp", out_file)
+            np.testing.assert_allclose(
+                got["trapEmax"].nda, ref["trapEmax"].nda, rtol=1e-6
+            )
+            np.testing.assert_allclose(
+                got["tp_50"].nda, ref["tp_50"].nda, rtol=1e-6, equal_nan=True
+            )
+
+    def test_stacked_in_memory(self, tmp_path, rng):
+        import os
+        import sys
+
+        sys.path.insert(0, os.path.dirname(__file__))
+        from test_build_dsp import make_hpge_waveforms, CONFIG, DB_FLAT
+
+        from dspeed_tpu import lh5
+        from dspeed_tpu.parallel import build_dsp_stacked
+
+        path = str(tmp_path / "mem_raw.lh5")
+        wf, amp, t0, bl = make_hpge_waveforms(n=8)
+        tb = lh5.Table(
+            {
+                "waveform": lh5.WaveformTable(
+                    values=wf, t0=0.0, t0_units="ns", dt=16.0, dt_units="ns"
+                ),
+                "baseline": lh5.Array(bl.astype("float32")),
+            }
+        )
+        for ch in ("ch0", "ch1"):
+            lh5.write(tb, f"{ch}/raw", path)
+        st = build_dsp_stacked(
+            path, None, CONFIG, ["ch0/raw", "ch1/raw"],
+            database=DB_FLAT, outputs=["trapEmax"],
+        )
+        np.testing.assert_allclose(
+            st["ch0"]["dsp"]["trapEmax"].nda, amp, rtol=1e-2
+        )
+        np.testing.assert_allclose(
+            st["ch0"]["dsp"]["trapEmax"].nda,
+            st["ch1"]["dsp"]["trapEmax"].nda,
+        )
