@@ -44,7 +44,18 @@ def _bench_backend(backend: str, n_ev: int, iters: int, fused: bool = False) -> 
 
 
 def main() -> None:
+    import os
+
     import jax
+
+    # persistent compilation cache: repeated bench runs skip the multi-minute
+    # first compile of the 43-processor chain
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
     platform = jax.default_backend()
     on_accel = platform not in ("cpu",)

@@ -20,7 +20,11 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
-jax.config.update("jax_enable_x64", True)
+# x64 gives bit-level parity with the reference's float64 recursions; set
+# DSPEED_TEST_X64=0 to run the suite in TPU-mode numerics (f32 + blocked
+# accumulation) instead
+if os.environ.get("DSPEED_TEST_X64", "1") not in ("0", "false"):
+    jax.config.update("jax_enable_x64", True)
 
 import numpy as np
 import pytest
