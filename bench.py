@@ -43,6 +43,45 @@ def _bench_backend(backend: str, n_ev: int, iters: int, fused: bool = False) -> 
     return n_ev * iters / dt
 
 
+def _bench_production(n_ev: int = 4096) -> float:
+    """End-to-end build_dsp throughput (LH5 read -> chain -> LH5 write)."""
+    import os
+    import tempfile
+
+    from __graft_entry__ import _make_inputs
+
+    from dspeed_tpu import build_dsp, lh5
+
+    wf, bl = _make_inputs(n_ev)
+    tmp = tempfile.mkdtemp()
+    raw = os.path.join(tmp, "bench_raw.lh5")
+    tb = lh5.Table(
+        {
+            "waveform": lh5.WaveformTable(
+                values=wf, t0=0.0, t0_units="ns", dt=16.0, dt_units="ns"
+            ),
+            "baseline": lh5.Array(bl),
+        }
+    )
+    lh5.write(tb, "det/raw", raw)
+    config = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "configs",
+        "hpge-energy-timing.yaml",
+    )
+    out = os.path.join(tmp, "bench_dsp.lh5")
+    db = {"det": {"pz": {"tau": 27460.5}}}
+    build_dsp(raw, out, config, database=db, write_mode="r")  # warm compile
+    t0 = time.perf_counter()
+    build_dsp(raw, out, config, database=db, write_mode="r")
+    dt = time.perf_counter() - t0
+    for f in (raw, out):
+        try:
+            os.remove(f)
+        except OSError:
+            pass
+    return n_ev / dt
+
+
 def main() -> None:
     import os
 
@@ -70,6 +109,12 @@ def main() -> None:
         wfps_fused = None
     wfps = max(wfps_std, wfps_fused or 0.0)
 
+    try:
+        production_wfps = _bench_production(4096 if on_accel else 1024)
+    except Exception as e:
+        print(f"# production bench failed: {e}", file=sys.stderr)
+        production_wfps = None
+
     cpu_wfps = None
     vs_baseline = 1.0
     if on_accel:
@@ -89,6 +134,7 @@ def main() -> None:
         "events_per_dispatch": n_ev,
         "standard_wfps": round(wfps_std, 1),
         "fused_wfps": round(wfps_fused, 1) if wfps_fused else None,
+        "production_wfps_with_io": round(production_wfps, 1) if production_wfps else None,
         "cpu_same_chain_wfps": round(cpu_wfps, 1) if cpu_wfps else None,
     }
     print(json.dumps(result))

@@ -32,6 +32,44 @@ log = logging.getLogger("dspeed_tpu")
 
 __all__ = ["build_dsp"]
 
+# process-wide compiled-chain cache: repeated build_dsp calls with the same
+# (config, db, input schema) reuse the traced+compiled chain instead of
+# paying multi-second retrace per file (DSPEED_TPU_CHAIN_CACHE=0 disables)
+_CHAIN_CACHE: dict = {}
+
+
+def _schema_fingerprint(tb) -> tuple:
+    import json as _json
+
+    fp = []
+    for name, col in tb.items():
+        entry = (name, type(col).__name__)
+        if isinstance(col, Table):
+            entry += (_schema_fingerprint(col),)
+        elif hasattr(col, "nda"):
+            entry += (str(col.dtype), col.nda.shape[1:],
+                      _json.dumps(col.attrs, sort_keys=True, default=str))
+        elif hasattr(col, "flattened_data"):
+            entry += (str(col.dtype),)
+        fp.append(entry)
+    return tuple(fp)
+
+
+def _chain_cache_key(processors, db_dict, outputs, tb_in):
+    import json as _json
+
+    if os.getenv("DSPEED_TPU_CHAIN_CACHE", "1") in ("0", "false"):
+        return None
+    try:
+        return (
+            _json.dumps(processors, sort_keys=True, default=str),
+            _json.dumps(db_dict, sort_keys=True, default=str),
+            tuple(outputs) if outputs is not None else None,
+            _schema_fingerprint(tb_in),
+        )
+    except TypeError:
+        return None
+
 _DB_PARSER = re.compile(r"(?![^\w_.])db\.[\w_.]+")
 
 
@@ -243,13 +281,21 @@ def build_dsp(
         write_time = 0.0
         start = time.time()
 
-        proc_chain, field_mask, tb_out = build_processing_chain(
-            processors,
-            tb_in,
-            db_dict=db_dict,
-            outputs=_outputs,
-            block_width=block_width,
-        )
+        cache_key = _chain_cache_key(processors, db_dict, _outputs, tb_in)
+        cached = _CHAIN_CACHE.get(cache_key) if cache_key is not None else None
+        if cached is not None:
+            proc_chain, field_mask, tb_out = cached
+            log.debug("reusing compiled chain for table %s", tb)
+        else:
+            proc_chain, field_mask, tb_out = build_processing_chain(
+                processors,
+                tb_in,
+                db_dict=db_dict,
+                outputs=_outputs,
+                block_width=block_width,
+            )
+            if cache_key is not None:
+                _CHAIN_CACHE[cache_key] = (proc_chain, field_mask, tb_out)
         if isinstance(lh5_it, LH5Iterator):
             lh5_it.reset_field_mask(field_mask)
 
