@@ -1306,8 +1306,6 @@ class ProcessingChain:
                 e.processor = str(step)
                 e.wf_range = (start, stop)
                 raise
-            for man in self._output_managers.values():
-                pass
             jax.block_until_ready(
                 {k: v for k, v in env.items() if hasattr(v, "block_until_ready")}
             )
@@ -1462,6 +1460,11 @@ class ProcessingChain:
                 out = ProcChainVar(
                     self, name, unit=rhs.unit, is_coord=rhs.is_coord
                 )
+            # elementwise ops preserve row lengths of variable-length data
+            for side in (lhs, rhs):
+                if isinstance(side, ProcChainVar) and side.vector_len is not None:
+                    out.vector_len = side.vector_len
+                    break
             self._add_step(KernelStep(self, op, [lhs, rhs, out]))
             return out
 
@@ -2566,6 +2569,7 @@ def build_processing_chain(
                         grid=fun_var.grid,
                         unit=fun_var.unit,
                         is_coord=fun_var.is_coord,
+                        vector_len=fun_var.vector_len,
                     )
                     if fun_var.is_const:
                         new_var.is_const = True

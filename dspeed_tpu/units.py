@@ -560,9 +560,18 @@ def _dims_of(x) -> tuple:
 
 
 def _tokenize_units(expr: str):
-    """Yield (sign, unit_name, power) triples from a unit expression."""
-    tokens = re.findall(r"([*/])?\s*([A-Za-zµμ]+)\s*(?:\*\*|\^)?\s*([+-]?\d+)?", expr)
-    consumed = re.sub(r"[\s*/^]|(\*\*)|[A-Za-zµμ]+|[+-]?\d+", "", expr)
+    """Yield (sign, unit_name, power) triples from a unit expression.
+
+    Exponents require an explicit ``**`` or ``^`` (pint semantics): ``s**2``
+    is seconds squared, while ``s2`` is NOT a unit (it may be a variable
+    name).
+    """
+    tokens = re.findall(
+        r"([*/])?\s*([A-Za-zµμ]+)\s*(?:(?:\*\*|\^)\s*([+-]?\d+))?", expr
+    )
+    consumed = re.sub(
+        r"[\s]|[*/]|\^|[A-Za-zµμ]+(?:\s*(?:\*\*|\^)\s*[+-]?\d+)?", "", expr
+    )
     if consumed:
         raise ValueError(f"cannot parse unit expression {expr!r}")
     first = True
