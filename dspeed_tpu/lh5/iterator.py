@@ -34,18 +34,38 @@ class LH5Iterator:
         field_mask: Mapping[str, bool] | Collection[str] | None = None,
         buffer_len: int = 3200,
     ) -> None:
-        if isinstance(lh5_files, (list, tuple)):
-            if len(lh5_files) != 1:
-                raise LH5Error("multi-file iteration is not supported yet")
-            lh5_files = lh5_files[0]
-        self.lh5_file = lh5_files
-        self.group = groups.strip("/")
+        if not isinstance(lh5_files, (list, tuple)):
+            lh5_files = [lh5_files]
+        if isinstance(groups, (list, tuple)):
+            if len(groups) not in (1, len(lh5_files)):
+                raise LH5Error(
+                    "groups must be a single name or one per file"
+                )
+            group_list = (
+                list(groups) if len(groups) == len(lh5_files)
+                else list(groups) * len(lh5_files)
+            )
+        else:
+            group_list = [groups] * len(lh5_files)
+
+        self.lh5_file = lh5_files[0]
+        self.lh5_files = list(lh5_files)
+        self.group = group_list[0].strip("/")
+        self.groups = [g.strip("/") for g in group_list]
         self.buffer_len = buffer_len
         self.field_mask = field_mask
         self._friends: list[tuple[LH5Iterator, str, str]] = []
 
-        self._file = h5py.File(self.lh5_file, "r")
-        total = lh5_store.read_n_rows(self.group, self._file)
+        self._files = [h5py.File(f, "r") for f in self.lh5_files]
+        self._file = self._files[0]
+        self._file_rows = [
+            lh5_store.read_n_rows(g, fh)
+            for g, fh in zip(self.groups, self._files)
+        ]
+        self._file_offsets = np.concatenate(
+            [[0], np.cumsum(self._file_rows)]
+        ).astype("int64")
+        total = int(self._file_offsets[-1])
 
         if entry_mask is not None:
             entry_list = np.flatnonzero(np.asarray(entry_mask, dtype=bool))
@@ -95,23 +115,58 @@ class LH5Iterator:
             return self._selection[start : start + n]
         return (start, min(start + n, self._total_rows))
 
+    def _read_global(self, start: int, stop: int) -> Table:
+        """Read global rows [start, stop) across the file list."""
+        parts = []
+        for fi, (g, fh) in enumerate(zip(self.groups, self._files)):
+            lo = int(self._file_offsets[fi])
+            hi = int(self._file_offsets[fi + 1])
+            s0, s1 = max(start, lo), min(stop, hi)
+            if s0 >= s1:
+                continue
+            parts.append(
+                lh5_store.read(
+                    g, fh, start_row=s0 - lo, n_rows=s1 - s0,
+                    field_mask=self.field_mask,
+                )
+            )
+        if not parts:
+            raise LH5Error("read past end of file list")
+        tb = parts[0]
+        for p in parts[1:]:
+            tb.append(p)
+        return tb
+
+    def _read_idx(self, rows: np.ndarray) -> Table:
+        if len(self._files) == 1:
+            return lh5_store.read(
+                self.group, self._file, idx=rows, field_mask=self.field_mask
+            )
+        # contiguous runs per file (rows are sorted selections)
+        parts = []
+        fidx = np.searchsorted(self._file_offsets, rows, side="right") - 1
+        for fi in np.unique(fidx):
+            sel = rows[fidx == fi] - int(self._file_offsets[fi])
+            parts.append(
+                lh5_store.read(
+                    self.groups[fi], self._files[fi], idx=sel,
+                    field_mask=self.field_mask,
+                )
+            )
+        tb = parts[0]
+        for p in parts[1:]:
+            tb.append(p)
+        return tb
+
     def read(self, i_entry: int, n_entries: int | None = None) -> Table:
         """Read a chunk starting at selection entry ``i_entry``."""
         if n_entries is None:
             n_entries = min(self.buffer_len, self.n_entries - i_entry)
         rows = self._global_rows(i_entry, n_entries)
         if isinstance(rows, tuple):
-            tb = lh5_store.read(
-                self.group,
-                self._file,
-                start_row=rows[0],
-                n_rows=rows[1] - rows[0],
-                field_mask=self.field_mask,
-            )
+            tb = self._read_global(rows[0], rows[1])
         else:
-            tb = lh5_store.read(
-                self.group, self._file, idx=rows, field_mask=self.field_mask
-            )
+            tb = self._read_idx(np.asarray(rows))
         if not isinstance(tb, Table):
             raise LH5Error(f"{self.group} is not a table")
         for friend, prefix, suffix in self._friends:
@@ -129,4 +184,5 @@ class LH5Iterator:
             i += n
 
     def close(self) -> None:
-        self._file.close()
+        for fh in self._files:
+            fh.close()

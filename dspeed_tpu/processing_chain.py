@@ -1546,7 +1546,13 @@ class ProcessingChain:
                     var.update_auto(*args, **kwargs)
                     return var
                 if not dry_run:
-                    return self.add_variable(var_name, *args, **kwargs)
+                    # positional declaration order is (shape, dtype, ...) for
+                    # new and existing variables alike (the reference's
+                    # new-variable path takes (dtype, shape) — a latent
+                    # inconsistency its configs never exercise)
+                    var = self.add_variable(var_name)
+                    var.update_auto(*args, **kwargs)
+                    return var
                 return None
             raise ProcessingChainError(
                 f"do not recognize call to {node.func.id}"
@@ -2586,7 +2592,11 @@ def build_processing_chain(
                 log.debug("setting %s = %s", new_var, fun_var)
                 continue
 
-            module = importlib.import_module(recipe["module"])
+            mod_name = recipe["module"]
+            # accept unmodified reference configs: dspeed.* -> dspeed_tpu.*
+            if mod_name == "dspeed" or mod_name.startswith("dspeed."):
+                mod_name = "dspeed_tpu" + mod_name[len("dspeed"):]
+            module = importlib.import_module(mod_name)
             func = getattr(module, recipe["function"])
 
             args = recipe["args"]

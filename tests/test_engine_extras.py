@@ -223,3 +223,114 @@ class TestMultiTimePointThresh:
         thr = np.array([[25.25, 75.75]])
         (got,) = dp.multi_time_point_thresh(w, thr, 50.0, 1, ord("l"))
         np.testing.assert_allclose(np.asarray(got)[0], [25.25, 75.75], rtol=1e-9)
+
+
+class TestMultiFileIterator:
+    def test_spans_files(self, tmp_path, rng):
+        from dspeed_tpu.lh5 import LH5Iterator
+
+        paths = []
+        for fi in range(3):
+            p = str(tmp_path / f"part{fi}_raw.lh5")
+            wf = np.full((10, 16), float(fi), "float32")
+            wf[:, 0] = np.arange(10) + fi * 10  # global marker
+            lh5.write(
+                lh5.Table(
+                    {"waveform": lh5.WaveformTable(values=wf, dt=16, dt_units="ns")}
+                ),
+                "det/raw",
+                p,
+            )
+            paths.append(p)
+
+        it = LH5Iterator(paths, "det/raw", buffer_len=7)
+        assert len(it) == 30
+        got = []
+        for tb in it:
+            got.append(tb["waveform"].values.nda[:, 0])
+        np.testing.assert_array_equal(np.concatenate(got), np.arange(30))
+        # chunk crossing a file boundary
+        tb = it.read(8, 6)
+        np.testing.assert_array_equal(
+            tb["waveform"].values.nda[:, 0], np.arange(8, 14)
+        )
+        # entry_list across files
+        it2 = LH5Iterator(paths, "det/raw", entry_list=[5, 12, 25])
+        tb2 = it2.read(0)
+        np.testing.assert_array_equal(
+            tb2["waveform"].values.nda[:, 0], [5.0, 12.0, 25.0]
+        )
+        it.close()
+        it2.close()
+
+
+class TestReferenceConfigCompat:
+    def test_dspeed_module_names_alias(self, rng):
+        # unmodified reference configs name modules "dspeed.processors[...]"
+        wf = rng.normal(0, 1, (4, 64)).astype("float32")
+        tbl = lh5.Table(
+            {"waveform": lh5.WaveformTable(values=wf, dt=16, dt_units="ns")}
+        )
+        config = {
+            "outputs": ["wmax"],
+            "processors": {
+                "tmin, wmax_t, wmin, wmax": {
+                    "function": "min_max",
+                    "module": "dspeed.processors",
+                    "args": ["waveform", "tmin", "wmax_t", "wmin", "wmax"],
+                    "unit": ["ns", "ns", "ADC", "ADC"],
+                },
+            },
+        }
+        out = build_dsp(tbl, dsp_config=config)
+        np.testing.assert_allclose(out["wmax"].nda, wf.max(1), rtol=1e-6)
+
+    def test_dspeed_submodule_alias(self, rng):
+        wf = rng.normal(0, 1, (4, 64)).astype("float32")
+        tbl = lh5.Table(
+            {"waveform": lh5.WaveformTable(values=wf, dt=16, dt_units="ns")}
+        )
+        config = {
+            "outputs": ["wf_g"],
+            "processors": {
+                "gk": {
+                    "function": "gaussian_filter1d",
+                    "module": "dspeed.processors.gaussian_filter1d",
+                    "args": [2.0, 4.0, "gk(17, 'd')"],
+                },
+                "wf_g": {
+                    "function": "reflected_convolve_wf",
+                    "module": "dspeed.processors.convolutions",
+                    "args": ["waveform", "gk", "wf_g(len(waveform))"],
+                    "unit": "ADC",
+                },
+            },
+        }
+        out = build_dsp(tbl, dsp_config=config)
+        wf_g = out["wf_g"]
+        nda = wf_g.values.nda if hasattr(wf_g, "values") else wf_g.nda
+        assert nda.shape == (4, 64)
+
+
+class TestWaveformVovValues:
+    def test_wf_table_with_vov_values(self, rng):
+        vov = lh5.VectorOfVectors(
+            data=[rng.normal(0, 1, 10 + 3 * i) for i in range(4)],
+            dtype="float64",
+        )
+        wf = lh5.WaveformTable(
+            values=vov, t0=np.arange(4.0), t0_units="ns", dt=16.0, dt_units="ns"
+        )
+        tbl = lh5.Table({"wf_vov": wf})
+        config = {
+            "outputs": ["wv2"],
+            "processors": {
+                "wv2": "wf_vov(shape=32, vector_len=len(wf_vov))*1",
+            },
+        }
+        out = build_dsp(tbl, dsp_config=config)
+        wv2 = out["wv2"]
+        # variable-length waveform rows round-trip through the padded path
+        vals = wv2.values if hasattr(wv2, "values") else wv2
+        for i in range(4):
+            np.testing.assert_allclose(vals[i], vov[i], rtol=1e-12)
