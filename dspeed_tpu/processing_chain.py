@@ -2596,7 +2596,16 @@ def build_processing_chain(
             # accept unmodified reference configs: dspeed.* -> dspeed_tpu.*
             if mod_name == "dspeed" or mod_name.startswith("dspeed."):
                 mod_name = "dspeed_tpu" + mod_name[len("dspeed"):]
-            module = importlib.import_module(mod_name)
+            try:
+                module = importlib.import_module(mod_name)
+            except ModuleNotFoundError:
+                # the reference names per-kernel submodules (e.g.
+                # dspeed.processors.get_multi_local_extrema); our module
+                # layout differs, so resolve through the processor registry
+                if mod_name.startswith("dspeed_tpu.processors"):
+                    module = importlib.import_module("dspeed_tpu.processors")
+                else:
+                    raise
             func = getattr(module, recipe["function"])
 
             args = recipe["args"]
