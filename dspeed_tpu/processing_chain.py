@@ -519,6 +519,15 @@ class KernelStep(Step):
         self.kernel = kern
         self.name = str(self)
 
+        # list-valued params (e.g. db-supplied noise matrices) are const arrays
+        self.params = [
+            np.asarray(p) if isinstance(p, (list, tuple)) else p
+            for p in self.params
+        ]
+        self.kw_params = {
+            k: np.asarray(v) if isinstance(v, (list, tuple)) else v
+            for k, v in self.kw_params.items()
+        }
         all_params = list(it.chain(self.params, self.kw_params.values()))
         dims_list = kern.dims_list
         if len(dims_list) != len(all_params):
@@ -2598,15 +2607,16 @@ def build_processing_chain(
                 mod_name = "dspeed_tpu" + mod_name[len("dspeed"):]
             try:
                 module = importlib.import_module(mod_name)
-            except ModuleNotFoundError:
+                func = getattr(module, recipe["function"])
+            except (ModuleNotFoundError, AttributeError):
                 # the reference names per-kernel submodules (e.g.
-                # dspeed.processors.get_multi_local_extrema); our module
-                # layout differs, so resolve through the processor registry
+                # dspeed.processors.get_multi_local_extrema) whose layout
+                # differs here; resolve through the processor registry
                 if mod_name.startswith("dspeed_tpu.processors"):
                     module = importlib.import_module("dspeed_tpu.processors")
+                    func = getattr(module, recipe["function"])
                 else:
                     raise
-            func = getattr(module, recipe["function"])
 
             args = recipe["args"]
             new_vars = [k for k in re.split(",| ", proc_par) if k != ""]

@@ -114,6 +114,7 @@ _modules = {
     "cusp_filter": "energy_kernels",
     "zac_filter": "energy_kernels",
     "dplms": "energy_kernels",
+    "dplms_filter": "energy_kernels",
     "convolve_wf": "convolutions",
     "fft_convolve_wf": "convolutions",
     "reflected_convolve_wf": "convolutions",

@@ -15,7 +15,7 @@ from ..errors import DSPFatal
 from ._helpers import static_float
 from ._kernel import kernel
 
-__all__ = ["cusp_filter", "zac_filter", "dplms"]
+__all__ = ["cusp_filter", "zac_filter", "dplms", "dplms_filter"]
 
 
 def _cusp_checks(sigma, flat, decay):
@@ -98,11 +98,14 @@ def dplms(noise_mat, reference, a1, a2, a3, ff, dims):
         )
     if len(reference) <= 0:
         raise DSPFatal("The length of the reference signal must be positive")
-    for name, val in (("noise", a1), ("reference", a2), ("zero area", a3)):
+    # Divergence: the reference demands a1,a2,a3,ff > 0 yet its own body
+    # (and its sipm-dplms test config) use a3 = 0 / ff = 0; accept the
+    # mathematically valid >= 0 superset here.
+    for name, val in (("noise", a1), ("reference", a2)):
         if val <= 0:
             raise DSPFatal(f"The penalized coefficient for the {name} must be positive")
-    if ff <= 0:
-        raise DSPFatal("The penalized coefficient for the ref matrix must be positive")
+    if a3 < 0 or ff < 0:
+        raise DSPFatal("The penalized coefficients must not be negative")
 
     ssize = len(reference)
     flo = int(ssize / 2 - length / 2)
@@ -126,3 +129,8 @@ def dplms(noise_mat, reference, a1, a2, a3, ff, dims):
     k = np.flip(np.linalg.solve(mat, ref_sig))
     y = np.convolve(reference, k, mode="valid")
     return k / np.amax(y)
+
+
+# compat alias: the reference's sipm-dplms test config names the processor
+# "dplms_filter" (a name its own registry never defined)
+dplms_filter = dplms

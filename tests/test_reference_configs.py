@@ -64,3 +64,31 @@ def test_reference_sipm_config_runs():
     energies = out["energies"]
     assert isinstance(energies, lh5.VectorOfVectors)
     assert all(len(energies[i]) == len(trig[i]) for i in range(len(trig)))
+
+
+def test_reference_sipm_dplms_config_runs(rng):
+    from test_build_dsp import make_sipm_waveforms
+
+    wf, n_pulses = make_sipm_waveforms()
+    tb = lh5.Table(
+        {
+            "waveform": lh5.WaveformTable(
+                values=wf, t0=0.0, t0_units="ns", dt=16.0, dt_units="ns"
+            )
+        }
+    )
+    # synthetic DPLMS database: noise matrix + reference SPE pulse
+    length, ssize = 50, 100
+    noise = rng.normal(0, 0.3, (length, 200))
+    noise_mat = (noise @ noise.T / 200).tolist()
+    t = np.arange(ssize)
+    ref_pulse = np.where(
+        t >= 40, 40.0 * ((t - 40) / 8.0) * np.exp(-(t - 40) / 8.0), 0.0
+    ).tolist()
+    db = {"dplms": {"noise_matrix": noise_mat, "reference": ref_pulse}}
+    out = build_dsp(
+        tb, dsp_config=f"{REF}/sipm-dplms-config.json", database=db
+    )
+    assert isinstance(out["energies_dplms"], lh5.VectorOfVectors)
+    assert isinstance(out["trigger_pos_dplms"], lh5.VectorOfVectors)
+    assert out["wf_dplms"].values.nda.shape[0] == len(wf)
