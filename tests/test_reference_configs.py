@@ -99,7 +99,9 @@ def test_reference_sipm_dplms_config_runs(rng):
         tb, dsp_config=f"{REF}/sipm-dplms-config.json", database=db,
         outputs=["curr"],
     )
-    assert out["curr"].values.nda.shape[0] == len(wf)
+    curr = out["curr"]
+    nda = curr.values.nda if hasattr(curr, "values") else curr.nda
+    assert nda.shape[0] == len(wf)
 
     cfg = json.load(open(f"{REF}/sipm-dplms-config.json"))
     chain, _, _ = build_processing_chain(
