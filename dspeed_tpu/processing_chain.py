@@ -798,14 +798,14 @@ class KernelStep(Step):
     def run(self, env: dict) -> None:
         args = [self._fetch(s, env) for s in self.arg_specs]
         kwargs = {k: self._fetch(s, env) for k, s in self.kwarg_specs.items()}
+        if self.kernel.uses_dims:
+            kwargs["dims"] = self.dims
         if kwargs:
             outs = self.kernel.fn(*args, **kwargs)
             if not isinstance(outs, tuple):
                 outs = (outs,)
         else:
-            outs = self.kernel(
-                *args, dims=self.dims if self.kernel.uses_dims else None
-            ) if self.kernel.uses_dims else self.kernel(*args)
+            outs = self.kernel(*args)
         if len(outs) != len(self.out_specs):
             raise ProcessingChainError(
                 f"{self.kernel.__name__} returned {len(outs)} outputs; "
