@@ -111,3 +111,39 @@ def test_reference_sipm_dplms_config_runs(rng):
     assert kern_var.is_const
     k = np.asarray(kern_var.const_value)
     assert k.shape == (50,) and np.all(np.isfinite(k))
+
+
+def test_reference_vis_config_in_browser(tmp_path):
+    """SURVEY.md §7 Milestone A: the reference's 4-processor vis config
+    (bl_subtract -> pole_zero -> trap_norm -> amax) through the browser."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from test_build_dsp import make_hpge_waveforms
+
+    from dspeed_tpu.vis import WaveformBrowser
+
+    path = str(tmp_path / "vis_raw.lh5")
+    wf, amp, t0, bl = make_hpge_waveforms(n=16)
+    tb = lh5.Table(
+        {
+            "waveform": lh5.WaveformTable(
+                values=wf, t0=0.0, t0_units="ns", dt=16.0, dt_units="ns"
+            ),
+            "baseline": lh5.Array(bl.astype("float32")),
+        }
+    )
+    lh5.write(tb, "geds/raw", path)
+
+    wb = WaveformBrowser(
+        path,
+        "geds/raw",
+        dsp_config="/root/reference/tests/vis/configs/hpge-dsp-config.json",
+        lines=["wf_blsub", "wf_trap", "trapEmax"],
+        legend=["trapEmax"],
+    )
+    wb.draw_entry([0, 1])
+    assert wb.n_stored == 2
+    assert len(wb.lines["wf_trap"]) == 2
+    hy = wb.lines["trapEmax"][0].get_ydata()
+    assert hy[0] == hy[1]  # horizontal line at the energy estimate
