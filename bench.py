@@ -99,25 +99,34 @@ def main() -> None:
     platform = jax.default_backend()
     on_accel = platform not in ("cpu",)
 
+    t_start = time.perf_counter()
+    budget_s = float(os.getenv("DSPEED_BENCH_BUDGET_S", "480"))
+
     n_ev = 8192 if on_accel else 1024
     iters = 20 if on_accel else 3
     wfps_std = _bench_backend(platform, n_ev, iters)
-    try:
-        wfps_fused = _bench_backend(platform, n_ev, iters, fused=True)
-    except Exception as e:
-        print(f"# fused variant failed: {e}", file=sys.stderr)
-        wfps_fused = None
+
+    def have_time() -> bool:
+        return time.perf_counter() - t_start < budget_s
+
+    wfps_fused = None
+    if have_time():
+        try:
+            wfps_fused = _bench_backend(platform, n_ev, iters, fused=True)
+        except Exception as e:
+            print(f"# fused variant failed: {e}", file=sys.stderr)
     wfps = max(wfps_std, wfps_fused or 0.0)
 
-    try:
-        production_wfps = _bench_production(4096 if on_accel else 1024)
-    except Exception as e:
-        print(f"# production bench failed: {e}", file=sys.stderr)
-        production_wfps = None
+    production_wfps = None
+    if have_time():
+        try:
+            production_wfps = _bench_production(4096 if on_accel else 1024)
+        except Exception as e:
+            print(f"# production bench failed: {e}", file=sys.stderr)
 
     cpu_wfps = None
     vs_baseline = 1.0
-    if on_accel:
+    if on_accel and have_time():
         try:
             cpu_wfps = _bench_backend("cpu", 256, 2)
             vs_baseline = wfps / cpu_wfps

@@ -58,6 +58,11 @@ def _conv_full_direct(w, kern):
                 return fir_convolve_full(w, kern.astype(w.dtype))
             except Exception:  # fall back to the XLA lowering
                 pass
+    if kern.ndim == 1 and m > 48:
+        # XLA's generic conv lowering is very slow at channel count 1;
+        # FFT convolution is numerically equivalent well below the data's
+        # noise floor (exact direct summation is kept for short kernels)
+        return _conv_full_fft(w, kern)
     lhs = w.reshape(-1, 1, n)
     # conv_general_dilated computes correlation; flip for convolution
     rhs = kern[::-1].reshape(1, 1, m).astype(w.dtype)
