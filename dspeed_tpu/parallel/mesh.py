@@ -35,3 +35,16 @@ def shard_chain(chain, mesh, batch_axes=("data",)):
     ``mesh`` (events over ``"data"``, stacked channels over ``"channel"``)."""
     chain.set_sharding(mesh, batch_axes=batch_axes)
     return chain
+
+
+def initialize_distributed(**kwargs) -> None:
+    """Initialize multi-host JAX (``jax.distributed.initialize``) for pod
+    slices: call once per host before building meshes; afterwards
+    ``jax.devices()`` spans the slice and :func:`make_mesh` lays global axes
+    over it. Each host streams its own LH5 files (the ``build_dsp`` per-table
+    loop), so the only cross-host traffic is whatever a processor introduces
+    — none in the standard chains.
+    """
+    import jax
+
+    jax.distributed.initialize(**kwargs)

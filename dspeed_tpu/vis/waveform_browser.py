@@ -82,6 +82,18 @@ class WaveformBrowser:
         self._chunk_start = 0
 
         self.aux_vals = aux_values
+        # like the reference (:186), reindex aux values into selection space
+        if self.aux_vals is not None and (
+            entry_list is not None or entry_mask is not None
+        ):
+            sel = (
+                np.flatnonzero(np.asarray(entry_mask, bool))
+                if entry_mask is not None
+                else np.asarray(entry_list, "int64")
+            )
+            self.aux_vals = {
+                k: np.asarray(v)[sel] for k, v in self.aux_vals.items()
+            }
         self.norm_par = norm
         self.align_par = align
         self.n_drawn = n_drawn

@@ -111,3 +111,19 @@ def test_chunk_crossing(raw_file):
     assert wb.n_stored == 2
     with pytest.raises(IndexError):
         wb.find_entry(99)
+
+
+def test_entry_list_and_aux_values(raw_file):
+    aux = {"run_label": np.array([f"r{i}" for i in range(32)], dtype=object)}
+    wb = WaveformBrowser(
+        raw_file,
+        "geds/raw",
+        entry_list=[3, 7, 11, 19],
+        lines="waveform",
+        aux_values=aux,
+        legend=["run_label"],
+    )
+    assert len(wb) == 4
+    wb.draw_entry(1)  # selection-space entry 1 = global entry 7
+    assert wb.n_stored == 1
+    assert wb.legend_vals["run_label"][0] == "r7"
