@@ -187,7 +187,8 @@ def iir_first_order(x, p: float, y_init=0.0, block: int = 128):
     T = jnp.asarray(T, dtype=dtype)
 
     y_in = jnp.einsum(
-        "...bl,kl->...bk", xb, T, preferred_element_type=dtype
+        "...bl,kl->...bk", xb, T, preferred_element_type=dtype,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
     # carry c_b = y value at end of block b: c_b = p^block * c_{b-1} + y_in[b, -1]
@@ -247,6 +248,7 @@ def blocked_cumsum(x, block: int = 512) -> PrefixSum:
         xb, tri,
         dimension_numbers=(((xb.ndim - 1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,  # true f32 on the MXU, not bf16
     )  # (..., nb, block): in-block inclusive cumsum
 
     # compensated (two-float) exclusive scan over block sums: nb elements

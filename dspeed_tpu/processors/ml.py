@@ -37,15 +37,23 @@ def _activate(temp, flag: int, name: str):
 
 
 def _matmul(x, kern):
+    import jax
+
+    hp = jax.lax.Precision.HIGHEST
     kern = jnp.asarray(kern, x.dtype)
     if kern.ndim == 2:
-        return jnp.einsum("...n,nm->...m", x, kern)
-    return jnp.einsum("...n,...nm->...m", x, kern)
+        return jnp.einsum("...n,nm->...m", x, kern, precision=hp)
+    return jnp.einsum("...n,...nm->...m", x, kern, precision=hp)
 
 
 def _dot(x, kern):
+    import jax
+
     kern = jnp.asarray(kern, x.dtype)
-    return jnp.einsum("...n,...n->..." if kern.ndim > 1 else "...n,n->...", x, kern)
+    return jnp.einsum(
+        "...n,...n->..." if kern.ndim > 1 else "...n,n->...",
+        x, kern, precision=jax.lax.Precision.HIGHEST,
+    )
 
 
 @kernel("(n),(n,m),()->(m)", ["ffb->f", "ddb->d"], static=[2])

@@ -23,15 +23,16 @@ __all__ = ["optimize_nnls"]
 
 def _fista_nnls(A, b, iters: int):
     """min ||Ax - b||² s.t. x >= 0, batched over leading dims of b."""
-    AtA = jnp.einsum("mn,mk->nk", A, A)
-    Atb = jnp.einsum("mn,...m->...n", A, b)
+    hp = jax.lax.Precision.HIGHEST
+    AtA = jnp.einsum("mn,mk->nk", A, A, precision=hp)
+    Atb = jnp.einsum("mn,...m->...n", A, b, precision=hp)
     # Lipschitz constant of the gradient: largest eigenvalue of AtA
     L = jnp.linalg.norm(AtA, ord=2)
     step = 1.0 / L
 
     def body(carry, _):
         x, z, t = carry
-        g = jnp.einsum("nk,...k->...n", AtA, z) - Atb
+        g = jnp.einsum("nk,...k->...n", AtA, z, precision=hp) - Atb
         x_new = jnp.maximum(z - step * g, 0.0)
         t_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t))
         z_new = x_new + ((t - 1.0) / t_new) * (x_new - x)
@@ -52,7 +53,10 @@ def _fista_nnls(A, b, iters: int):
     x_db = jnp.maximum(x_db * sf, 0.0)
     # keep the debiased solution only if it does not increase the residual
     def resid(z):
-        return jnp.sum((jnp.einsum("nk,...k->...n", AtA, z) - 2 * Atb) * z, axis=-1)
+        return jnp.sum(
+            (jnp.einsum("nk,...k->...n", AtA, z, precision=hp) - 2 * Atb) * z,
+            axis=-1,
+        )
 
     better = resid(x_db) <= resid(x)
     return jnp.where(better[..., None], x_db, x)

@@ -28,11 +28,16 @@ def poly_fit(length, deg) -> Kernel:
     vander = np.stack([i**j for j in range(deg + 1)], axis=-1)  # (n, m)
 
     def fn(w_in):
+        import jax
+
+        hp = jax.lax.Precision.HIGHEST
         acc = jnp.einsum(
             "...n,nm->...m", w_in.astype(jnp.float64 if w_in.dtype == jnp.float64 else jnp.float32),
-            jnp.asarray(vander, w_in.dtype),
+            jnp.asarray(vander, w_in.dtype), precision=hp,
         )
-        pars = jnp.einsum("km,...m->...k", jnp.asarray(inv, w_in.dtype), acc)
+        pars = jnp.einsum(
+            "km,...m->...k", jnp.asarray(inv, w_in.dtype), acc, precision=hp
+        )
         return nanmask(isnan_any(w_in, 1), pars.astype(w_in.dtype))
 
     return Kernel(fn, "(n)->(m)", ["f->f", "d->d"], name="poly_fitter")

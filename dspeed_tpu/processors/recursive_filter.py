@@ -21,10 +21,20 @@ from ._kernel import kernel
 __all__ = ["recursive_filter", "iir_companion"]
 
 
+_HI = None
+
+
+def _highest():
+    global _HI
+    if _HI is None:
+        _HI = jax.lax.Precision.HIGHEST
+    return _HI
+
+
 def _affine_mat_combine(x, y):
     (m1, v1), (m2, v2) = x, y
-    m = jnp.einsum("...ij,...jk->...ik", m2, m1)
-    v = v2 + jnp.einsum("...ij,...j->...i", m2, v1)
+    m = jnp.einsum("...ij,...jk->...ik", m2, m1, precision=_highest())
+    v = v2 + jnp.einsum("...ij,...j->...i", m2, v1, precision=_highest())
     return m, v
 
 
@@ -53,7 +63,9 @@ def iir_companion(u, c, init_state):
 
     M, V = jax.lax.associative_scan(_affine_mat_combine, (As, vs), axis=0)
     s0 = jnp.asarray(init_state, u.dtype)
-    y = jnp.einsum("n...j,...j->n...", M[..., 0, :], s0) + V[..., 0]
+    y = jnp.einsum(
+        "n...j,...j->n...", M[..., 0, :], s0, precision=_highest()
+    ) + V[..., 0]
     return jnp.moveaxis(y, 0, -1)
 
 
@@ -106,7 +118,8 @@ def recursive_filter_impl(w_in, a, b, init_in, init_out):
             # per-event taps: explicit gather-free sliding dot
             idx = jnp.arange(n)[:, None] + jnp.arange(p)[None, :]
             u = jnp.einsum(
-                "...nj,...j->...n", wp[..., idx], af[..., ::-1]
+                "...nj,...j->...n", wp[..., idx], af[..., ::-1],
+                precision=_highest(),
             )
 
     b0 = bf[..., 0] if bf.ndim else bf
