@@ -22,25 +22,44 @@ import numpy as np
 
 
 def _bench_backend(backend: str, n_ev: int, iters: int, fused: bool = False) -> float:
-    """Sustained waveforms/sec of the flagship chain on one device."""
+    """Sustained waveforms/sec of the flagship chain on one device.
+
+    Each iteration is synced with ``block_until_ready`` before the clock
+    stops — on remote/async backends an unsynced dispatch loop measures
+    queueing, not execution. Best of 3 trials to shed tunnel jitter.
+    """
     import jax
 
     from __graft_entry__ import _build_chain
 
     device = jax.devices(backend)[0]
     chain, inputs, _, _ = _build_chain(n_ev=n_ev, fused=fused)
+    best = 0.0
     with jax.default_device(device):
         fn = jax.jit(chain._build_fn())
         inputs = {k: jax.device_put(v, device) for k, v in inputs.items()}
 
         out = fn(inputs)  # compile + warm up
-        jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn(inputs)
-        jax.block_until_ready(out)
-        dt = time.perf_counter() - t0
-    return n_ev * iters / dt
+        _ = {k: np.asarray(v) for k, v in out.items()}  # host fetch: drains
+        # remote-compile queues that block_until_ready does not observe
+
+        # serialized timing: each iteration's input depends on the previous
+        # iteration's output, and the loop ends with a host fetch.  On
+        # async/remote backends, a plain block_until_ready can acknowledge
+        # dispatch instead of completion; a data dependency cannot be faked.
+        key = sorted(out)[0]
+        blk = sorted(k for k in inputs if np.asarray(inputs[k]).ndim == 1)[0]
+        for _trial in range(3):
+            t0 = time.perf_counter()
+            cur = dict(inputs)
+            for _ in range(iters):
+                out = fn(cur)
+                feed = (0.0 * out[key].reshape(-1)[0]).astype(inputs[blk].dtype)
+                cur = {**inputs, blk: inputs[blk] + feed}
+            _ = np.asarray(out[key].reshape(-1)[:1])
+            dt = time.perf_counter() - t0
+            best = max(best, n_ev * iters / dt)
+    return best
 
 
 def _bench_production(n_ev: int = 4096) -> float:
@@ -53,6 +72,9 @@ def _bench_production(n_ev: int = 4096) -> float:
     from dspeed_tpu import build_dsp, lh5
 
     wf, bl = _make_inputs(n_ev)
+    # store ADC codes as uint16 like a real DAQ raw file: halves the
+    # host->device transfer; the chain casts to f32 on device
+    wf = np.clip(np.round(wf), 0, 65535).astype(np.uint16)
     tmp = tempfile.mkdtemp()
     raw = os.path.join(tmp, "bench_raw.lh5")
     tb = lh5.Table(
@@ -60,7 +82,7 @@ def _bench_production(n_ev: int = 4096) -> float:
             "waveform": lh5.WaveformTable(
                 values=wf, t0=0.0, t0_units="ns", dt=16.0, dt_units="ns"
             ),
-            "baseline": lh5.Array(bl),
+            "baseline": lh5.Array(bl.astype(np.float32)),
         }
     )
     lh5.write(tb, "det/raw", raw)
@@ -71,9 +93,13 @@ def _bench_production(n_ev: int = 4096) -> float:
     out = os.path.join(tmp, "bench_dsp.lh5")
     db = {"det": {"pz": {"tau": 27460.5}}}
     build_dsp(raw, out, config, database=db, write_mode="r")  # warm compile
-    t0 = time.perf_counter()
-    build_dsp(raw, out, config, database=db, write_mode="r")
-    dt = time.perf_counter() - t0
+    best_dt = None
+    for _trial in range(2):
+        t0 = time.perf_counter()
+        build_dsp(raw, out, config, database=db, write_mode="r")
+        dt = time.perf_counter() - t0
+        best_dt = dt if best_dt is None else min(best_dt, dt)
+    dt = best_dt
     for f in (raw, out):
         try:
             os.remove(f)
@@ -128,10 +154,15 @@ def main() -> None:
     vs_baseline = 1.0
     if on_accel and have_time():
         try:
+            # pallas kernels only compile for the TPU backend; force the
+            # XLA fallbacks for the CPU comparison run
+            os.environ["DSPEED_TPU_PALLAS"] = "0"
             cpu_wfps = _bench_backend("cpu", 256, 2)
             vs_baseline = wfps / cpu_wfps
         except Exception as e:  # CPU backend unavailable: report raw number
             print(f"# cpu baseline failed: {e}", file=sys.stderr)
+        finally:
+            os.environ.pop("DSPEED_TPU_PALLAS", None)
 
     result = {
         "metric": "waveforms/sec/chip, full HPGe energy+timing chain "

@@ -1034,6 +1034,9 @@ class ProcessingChain:
         self._default_grid: CoordinateGrid | None = None
         self._compiled = None
         self._compiled_nsteps = -1
+        self._packed = None
+        self._packed_nsteps = -1
+        self._packed_struct = None
         self.time_total = 0.0
         self._mesh = None
         self._batch_axes: tuple[str, ...] = ("data",)
@@ -1139,6 +1142,7 @@ class ProcessingChain:
 
     def _invalidate(self) -> None:
         self._compiled = None
+        self._packed = None
 
     # -- I/O buffers -------------------------------------------------------
 
@@ -1246,6 +1250,65 @@ class ProcessingChain:
             self._compiled_nsteps = len(self._steps)
         return self._compiled
 
+    def _get_packed(self, inputs: dict):
+        """Compiled chain returning outputs packed into one 2-D array per
+        dtype. A device->host copy costs a full round trip on remote/TPU
+        backends; fetching 34 scalar columns individually is pure latency,
+        so the program concatenates them on device and the host unpacks.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        struct = tuple(
+            (k, tuple(v.shape), str(np.asarray(v).dtype))
+            for k, v in sorted(inputs.items())
+        )
+        if (
+            self._packed is not None
+            and self._packed_nsteps == len(self._steps)
+            and self._packed_struct == struct
+        ):
+            return self._packed
+
+        base = self._build_fn()
+        out_shapes = jax.eval_shape(
+            base,
+            {
+                k: jax.ShapeDtypeStruct(v.shape, np.asarray(v).dtype)
+                for k, v in inputs.items()
+            },
+        )
+        # packing plan: per dtype group, column ranges in key order
+        plan: dict[str, list[tuple[str, int, int, tuple]]] = {}
+        scalars: list[str] = []
+        for k in sorted(out_shapes):
+            av = out_shapes[k]
+            if av.ndim == 0:
+                scalars.append(k)
+                continue
+            cols = int(np.prod(av.shape[1:], dtype=np.int64)) if av.ndim > 1 else 1
+            grp = plan.setdefault(str(av.dtype), [])
+            c0 = grp[-1][2] if grp else 0
+            grp.append((k, c0, c0 + cols, tuple(av.shape[1:])))
+
+        def packed_fn(ins):
+            out = base(ins)
+            packed = {
+                dt: jnp.concatenate(
+                    [out[k].reshape(out[k].shape[0], -1) for k, _, _, _ in grp],
+                    axis=1,
+                )
+                for dt, grp in plan.items()
+            }
+            if scalars:
+                packed["__scalars__"] = {k: out[k] for k in scalars}
+            return packed
+
+        self._packed = (jax.jit(packed_fn), plan, scalars)
+        self._packed_nsteps = len(self._steps)
+        self._packed_struct = struct
+        return self._packed
+
     def execute(self, start: int = 0, stop: int = None) -> None:
         """Run the chain over rows ``[start, stop)`` of the linked buffers."""
         if stop is None:
@@ -1286,11 +1349,19 @@ class ProcessingChain:
                 k: np.pad(v, [(0, pad_to - n)] + [(0, 0)] * (v.ndim - 1))
                 for k, v in inputs.items()
             }
-        fn = self._get_compiled()
-        out = fn(self._shard_inputs(inputs))
-        out = jax.tree_util.tree_map(np.asarray, out)
+        fn, plan, scalars = self._get_packed(inputs)
+        packed = fn(self._shard_inputs(inputs))
+        # one device->host transfer per dtype group instead of one per output
+        out: dict[str, np.ndarray] = {}
+        for dt, grp in plan.items():
+            host = np.asarray(packed[dt])
+            for k, c0, c1, inner in grp:
+                col = host[:, c0:c1]
+                out[k] = col.reshape(host.shape[0], *inner) if inner else col[:, 0]
+        for k in scalars:
+            out[k] = np.asarray(packed["__scalars__"][k])
         if n < pad_to:
-            out = {k: v[:n] for k, v in out.items()}
+            out = {k: v[:n] if v.ndim else v for k, v in out.items()}
         self.time_total += time.time() - t0
         return out
 
