@@ -84,6 +84,14 @@ def _conv_full_fft(w, kern):
     size = n + m - 1
     # next power of two for FFT efficiency on TPU
     fsize = 1 << (size - 1).bit_length()
+    if jax.default_backend() not in ("cpu",) and kern.ndim == 1:
+        from . import _mmfft
+
+        if _mmfft.plan_ok(fsize):
+            # XLA's TPU FFT runs far off the roofline for these batched
+            # sizes; the two-matmul four-step FFT rides the MXU instead
+            out = _mmfft.fft_convolve_full(w, kern.astype(w.dtype), fsize, size)
+            return out.astype(w.dtype)
     # flatten leading batch dims: XLA's CPU FFT thunk requires a
     # dim0-major layout, which sharded >2-D operands can violate
     lead = w.shape[:-1]

@@ -1,0 +1,97 @@
+"""Chained threshold time-point cascade in one kernel.
+
+The canonical HPGe timing block (e.g. the LEGEND icpc config, reference
+``tests/configs/icpc-dsp-config.json``) computes ~10 rise-time points as a
+*cascade* of :func:`.time_point_thresh` calls: ``tp_100``/``tp_99`` walk
+forward from ``tp_0_est``, then each lower threshold walks backward from the
+previous time point. Run as separate processors this re-reads the waveform
+(and re-materializes crossing masks) once per threshold — on TPU that is
+~40 HBM passes for pure latency-bound reductions.
+
+:func:`chained_time_point_thresh` is the TPU-native formulation: a factory
+that takes the whole cascade structure (threshold scale factors, walk
+directions, and which earlier time point each search starts from) and returns
+a single kernel computing every time point in one call. Each link reproduces
+:func:`.time_point_thresh` semantics exactly (same crossing predicates, same
+NaN propagation), so the outputs are bit-identical to the cascade of separate
+calls — there is simply one kernel for XLA to fuse instead of ten.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..errors import DSPFatal
+from ._helpers import isnan_any, nanmask
+from ._kernel import Kernel
+from .time_point_thresh import _crossing_masks, _first_true_from
+
+__all__ = ["chained_time_point_thresh"]
+
+
+def chained_time_point_thresh(factors, walk_forward, start_from) -> Kernel:
+    """Build a kernel computing a cascade of threshold time points.
+
+    Parameters
+    ----------
+    factors
+        length-``m`` sequence; threshold ``k`` is ``factors[k] * a_base``.
+    walk_forward
+        length-``m`` sequence of 0/1 walk directions (as in
+        :func:`.time_point_thresh`).
+    start_from
+        length-``m`` sequence; entry ``k`` is ``-1`` to start search ``k``
+        from ``t_start``, or ``j < k`` to start from time point ``j``'s
+        result (the cascade link).
+
+    Returns a kernel ``(w_in, a_base, t_start) -> (tp_0, ..., tp_{m-1})``.
+    """
+    factors = [float(f) for f in factors]
+    dirs = [int(d) for d in walk_forward]
+    starts = [int(s) for s in start_from]
+    m = len(factors)
+    if not (len(dirs) == len(starts) == m):
+        raise DSPFatal("factors/walk_forward/start_from must have equal length")
+    for k, s in enumerate(starts):
+        if s >= k:
+            raise DSPFatal("start_from must reference an earlier time point")
+
+    def fn(w_in, a_base, t_start):
+        n = w_in.shape[-1]
+        base = jnp.asarray(a_base, w_in.dtype)
+        t = jnp.asarray(t_start)
+        ti0 = jnp.trunc(t).astype(jnp.int32)
+        if ti0.ndim == 0:
+            ti0 = jnp.broadcast_to(ti0, w_in.shape[:-1])
+        if base.ndim == 0:
+            base = jnp.broadcast_to(base, w_in.shape[:-1])
+        in_range = (ti0 >= 0) & (ti0 < n)
+        integral = jnp.trunc(t) == t
+        root_bad = isnan_any(w_in, 1) | isnan_any(t) | ~in_range | ~integral
+
+        results, bads = [], []
+        for k in range(m):
+            # python-float scale matches the engine's weak-typed
+            # `0.99*trapTmax` expression arithmetic bit-for-bit
+            a = factors[k] * base if factors[k] != 1.0 else base
+            if starts[k] < 0:
+                s, sbad = ti0, root_bad
+            else:
+                prev = results[starts[k]]
+                s = jnp.trunc(prev).astype(jnp.int32)
+                sbad = bads[starts[k]]
+            fwd, bwd = _crossing_masks(w_in, a)
+            if dirs[k] == 1:
+                idx, found = _first_true_from(fwd, s, +1)
+            else:
+                idx, found = _first_true_from(bwd, s, -1)
+            bad = sbad | jnp.isnan(a) | ~found
+            results.append(nanmask(bad, idx.astype(w_in.dtype)))
+            bads.append(bad)
+        return tuple(results)
+
+    sig = "(n),(),()->" + ",".join(["()"] * m)
+    types = ["f" * 3 + "->" + "f" * m, "d" * 3 + "->" + "d" * m]
+    return Kernel(fn, sig, types, name="chained_time_point_thresh")
