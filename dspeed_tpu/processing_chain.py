@@ -1278,12 +1278,16 @@ class ProcessingChain:
                 for k, v in inputs.items()
             },
         )
-        # packing plan: per dtype group, column ranges in key order
+        # packing plan: per dtype group, column ranges in key order; only
+        # outputs carrying the batch dim are packed — const-folded outputs
+        # (arbitrary shapes, no event axis) pass through unpacked
+        batch = max((np.asarray(v).shape[0] for v in inputs.values()
+                     if np.asarray(v).ndim), default=0)
         plan: dict[str, list[tuple[str, int, int, tuple]]] = {}
         scalars: list[str] = []
         for k in sorted(out_shapes):
             av = out_shapes[k]
-            if av.ndim == 0:
+            if av.ndim == 0 or av.shape[0] != batch:
                 scalars.append(k)
                 continue
             cols = int(np.prod(av.shape[1:], dtype=np.int64)) if av.ndim > 1 else 1

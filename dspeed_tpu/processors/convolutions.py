@@ -50,18 +50,11 @@ def _conv_full_direct(w, kern):
     (:mod:`._pallas`); otherwise XLA's conv."""
     n = w.shape[-1]
     m = kern.shape[-1]
-    if kern.ndim == 1 and 1 < m <= 256:
-        from ._pallas import fir_convolve_full, pallas_available
-
-        if pallas_available():
-            try:
-                return fir_convolve_full(w, kern.astype(w.dtype))
-            except Exception:  # fall back to the XLA lowering
-                pass
-    if kern.ndim == 1 and m > 48:
-        # XLA's generic conv lowering is very slow at channel count 1;
-        # FFT convolution is numerically equivalent well below the data's
-        # noise floor (exact direct summation is kept for short kernels)
+    if kern.ndim == 1 and m > 32:
+        # measured on v5e (4096x4096 batch): direct lowering wins below
+        # ~32 taps; above that the matmul-FFT convolution is fastest
+        # (133 taps: 28 ms direct vs 9.5 ms matmul-FFT; the Pallas
+        # shift-FMA kernel loses at every length and is not routed)
         return _conv_full_fft(w, kern)
     lhs = w.reshape(-1, 1, n)
     # conv_general_dilated computes correlation; flip for convolution

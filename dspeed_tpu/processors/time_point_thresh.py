@@ -33,17 +33,26 @@ __all__ = [
 
 def _first_true_from(mask, start, direction):
     """Index of first true in ``mask`` walking from ``start`` (inclusive) in
-    ``direction`` (+1/-1); returns (idx, found)."""
+    ``direction`` (+1/-1); returns (idx, found).
+
+    Implemented as min/max reductions over a masked iota instead of
+    ``argmax`` on a reversed copy — the ``[..., ::-1]`` flip materializes a
+    full waveform-sized intermediate on TPU; a masked reduction fuses into
+    one pass.
+    """
     n = mask.shape[-1]
-    pos = jnp.arange(n)
+    pos = jnp.arange(n, dtype=jnp.int32)
     if direction > 0:
         valid = mask & (pos >= start[..., None])
-        idx = jnp.argmax(valid, axis=-1)
+        idx = jnp.min(jnp.where(valid, pos, n), axis=-1)
+        found = idx < n
+        idx = jnp.where(found, idx, 0)  # argmax returns 0 when none true
     else:
         valid = mask & (pos <= start[..., None])
         # last true <= start
-        idx = n - 1 - jnp.argmax(valid[..., ::-1], axis=-1)
-    found = jnp.any(valid, axis=-1)
+        idx = jnp.max(jnp.where(valid, pos, -1), axis=-1)
+        found = idx >= 0
+        idx = jnp.where(found, idx, n - 1)
     return idx, found
 
 
@@ -209,20 +218,26 @@ def multi_time_point_thresh(w_in, a_threshold, t_start, polarity, mode_in):
         # down-side search from t_start-1 against pol.
         up_side = a >= a_start[..., None]  # [..., m]
         ts = ti[..., None]
+        # first/last-true via masked-iota min/max reductions (no reversed
+        # copies: a [..., ::-1] materializes a waveform-sized intermediate)
+        posi = pos.astype(jnp.int32)
+
+        def first_true(valid):
+            i = jnp.min(jnp.where(valid, posi, n), axis=-1)
+            f = i < n
+            return jnp.where(f, i, 0), f
+
+        def last_true(valid):
+            i = jnp.max(jnp.where(valid, posi, -1), axis=-1)
+            f = i >= 0
+            return jnp.where(f, i, n - 1), f
+
         if pol_static > 0:
-            up_valid = cross & (pos >= ts)
-            up_idx = jnp.argmax(up_valid, axis=-1)
-            up_found = jnp.any(up_valid, axis=-1)
-            dn_valid = cross & (pos <= ts - 1)
-            dn_idx = n - 1 - jnp.argmax(dn_valid[..., ::-1], axis=-1)
-            dn_found = jnp.any(dn_valid, axis=-1)
+            up_idx, up_found = first_true(cross & (pos >= ts))
+            dn_idx, dn_found = last_true(cross & (pos <= ts - 1))
         else:
-            up_valid = cross & (pos <= ts)
-            up_idx = n - 1 - jnp.argmax(up_valid[..., ::-1], axis=-1)
-            up_found = jnp.any(up_valid, axis=-1)
-            dn_valid = cross & (pos >= ts - 1)
-            dn_idx = jnp.argmax(dn_valid, axis=-1)
-            dn_found = jnp.any(dn_valid, axis=-1)
+            up_idx, up_found = last_true(cross & (pos <= ts))
+            dn_idx, dn_found = first_true(cross & (pos >= ts - 1))
         idx = jnp.where(up_side, up_idx, dn_idx)
         found = jnp.where(up_side, up_found, dn_found)
         return idx, found

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..errors import DSPFatal
@@ -9,6 +10,33 @@ from ._helpers import isnan_any, nanmask
 from ._kernel import kernel
 
 __all__ = ["windower"]
+
+
+def _window_rows(w, beg, n, m):
+    """``out[b, j] = w[b, (beg[b] + j) mod n]`` for ``j < m`` via log-shift.
+
+    A per-row dynamic window is a gather, which TPU lowers to a serial
+    row-at-a-time loop (~3 us/row measured). Selecting between two static
+    slices per bit of ``beg`` instead is pure fused VPU work, and walking
+    the bits high-to-low lets the working width shrink from ``n + m`` down
+    to ``m`` — ~2 effective passes over the waveform instead of 12.
+    """
+    b = jnp.mod(beg, n)  # wrap negative starts; out-of-range j are NaN'd
+    kmax = max((n - 1).bit_length() - 1, 0)
+    # wrap-pad with the head so b+j lands in-array for every valid j, then
+    # zero-pad to the width invariant m + 2^(k+1) - 1 (only reads that are
+    # NaN-masked afterwards can land in the zeros)
+    width = m + (1 << (kmax + 1)) - 1
+    parts = [w, w[..., :m]]
+    if width > n + m:
+        parts.append(jnp.zeros((*w.shape[:-1], width - n - m), w.dtype))
+    cur = jnp.concatenate(parts, axis=-1)[..., :width]
+    for k in range(kmax, -1, -1):
+        dk = 1 << k
+        new_w = m + dk - 1
+        take = (b & dk) != 0
+        cur = jnp.where(take[..., None], cur[..., dk : dk + new_w], cur[..., :new_w])
+    return cur[..., :m]
 
 
 @kernel("(n),(),(m)", ["fff", "ddd"], nout=1, uses_dims=True)
@@ -30,6 +58,9 @@ def windower(w_in, t0_in, dims):
     beg = jnp.minimum(jnp.trunc(t0).astype(jnp.int32), n)
     idx = beg[..., None] + jnp.arange(m)
     valid = (idx >= 0) & (idx < n)
-    out = jnp.take_along_axis(w_in, jnp.clip(idx, 0, n - 1), axis=-1)
+    if jax.default_backend() not in ("cpu",):
+        out = _window_rows(w_in, beg, n, m)
+    else:
+        out = jnp.take_along_axis(w_in, jnp.clip(idx, 0, n - 1), axis=-1)
     out = jnp.where(valid, out, jnp.nan).astype(w_in.dtype)
     return nanmask(isnan_any(w_in, 1) | isnan_any(t0), out)

@@ -305,3 +305,19 @@ class TestMisc:
         np.testing.assert_allclose(np.asarray(got_slope), slope, rtol=1e-6)
         np.testing.assert_allclose(np.asarray(got_icpt), icpt, rtol=1e-6)
         np.testing.assert_allclose(np.asarray(mean), w.mean(1), rtol=1e-9)
+
+
+def test_window_rows_matches_gather(rng):
+    """The TPU log-shift window path must agree with take_along_axis."""
+    import jax.numpy as jnp
+
+    from dspeed_tpu.processors.windower import _window_rows
+
+    n, m = 257, 33  # non-power-of-two length
+    w = rng.normal(size=(16, n)).astype(np.float32)
+    beg = np.array([0, 1, 5, 100, 200, 224, 255, 256, -1, -5, -32, -33,
+                    13, 77, 150, 211], np.int32)
+    got = np.asarray(_window_rows(jnp.asarray(w), jnp.asarray(beg), n, m))
+    idx = (beg[:, None] + np.arange(m)) % n
+    want = np.take_along_axis(w, idx, axis=-1)
+    np.testing.assert_array_equal(got, want)
