@@ -97,35 +97,76 @@ def _ds_combine(x, y):
 class PrefixSum:
     """An inclusive prefix sum held at accumulation precision.
 
-    ``take(i)``/``diff`` evaluate windowed sums without losing the extra
-    precision until the final rounding, which is what the trapezoid filters
-    need (they subtract nearby large prefix values).
+    The low-order compensation is stored either as a full plane (``lo``,
+    double-single mode) or compactly as one value per block
+    (``lo_blocks`` + ``block`` + ``shift``, blocked mode) — the carry is
+    constant within a block, so materializing it waveform-sized would waste
+    a full HBM pass per cumsum; it is expanded lazily (a broadcast XLA
+    fuses into the consumer) only where consumed.
     """
 
-    def __init__(self, hi, lo=None):
+    def __init__(self, hi, lo=None, lo_blocks=None, block=None, shift=0):
         self.hi = hi
         self.lo = lo
+        self.lo_blocks = lo_blocks
+        self.block = block
+        self.shift = shift
+
+    def _lo_expand(self):
+        if self.lo is not None:
+            return self.lo
+        if self.lo_blocks is None:
+            return None
+        n = self.hi.shape[-1]
+        nb = self.lo_blocks.shape[-1]
+        rep = jnp.repeat(self.lo_blocks, self.block, axis=-1)
+        rep = shift_right(rep, self.shift) if self.shift else rep
+        return rep[..., :n]
 
     def value(self, dtype=None):
-        v = self.hi if self.lo is None else self.hi + self.lo
+        lo = self._lo_expand()
+        v = self.hi if lo is None else self.hi + lo
         return v.astype(dtype) if dtype is not None else v
 
     def slice(self, sl) -> "PrefixSum":
         idx = (Ellipsis, sl)
-        return PrefixSum(self.hi[idx], None if self.lo is None else self.lo[idx])
+        lo = self._lo_expand()
+        return PrefixSum(self.hi[idx], None if lo is None else lo[idx])
 
     def sub(self, other: "PrefixSum", dtype=None):
         """(self - other) rounded to ``dtype`` (or hi dtype)."""
         d = self.hi - other.hi
-        if self.lo is not None:
-            d = d + (self.lo - other.lo)
+        lo_s = self._lo_expand()
+        lo_o = other._lo_expand()
+        if lo_s is not None:
+            d = d + (lo_s - lo_o)
         return d.astype(dtype) if dtype is not None else d
 
     def shift_right(self, k: int) -> "PrefixSum":
         return PrefixSum(
             shift_right(self.hi, k),
             None if self.lo is None else shift_right(self.lo, k),
+            lo_blocks=self.lo_blocks,
+            block=self.block,
+            shift=self.shift + k,
         )
+
+    def lo_take(self, idx):
+        """Low-plane value at per-event indices ``idx`` (as gathered by
+        ``take_last``); 0 where no compensation exists or ``idx`` precedes
+        the shifted-in region."""
+        if self.lo is not None:
+            from ._helpers import take_last
+
+            return take_last(self.lo, idx)
+        if self.lo_blocks is None:
+            return jnp.zeros(idx.shape, self.hi.dtype)
+        from ._helpers import take_last
+
+        nb = self.lo_blocks.shape[-1]
+        blk_idx = jnp.clip((idx - self.shift) // self.block, 0, nb - 1)
+        v = take_last(self.lo_blocks, blk_idx)
+        return jnp.where(idx >= self.shift, v, 0.0)
 
 
 def hp_cumsum(x, mode: str | None = None) -> PrefixSum:
@@ -227,7 +268,7 @@ def _tri(block: int, dtype) -> np.ndarray:
     return tri
 
 
-def blocked_cumsum(x, block: int = 512) -> PrefixSum:
+def blocked_cumsum(x, block: int = 128) -> PrefixSum:
     """Inclusive prefix sum via in-block triangular matmuls plus a
     double-single compensated scan over the (tiny) block-sum sequence.
 
@@ -260,10 +301,7 @@ def blocked_cumsum(x, block: int = 512) -> PrefixSum:
     carry_lo = shift_right(lo, 1)
 
     ps_hi = (local + carry_hi[..., None]).reshape(*lead, nb * block)
-    ps_lo = jnp.broadcast_to(carry_lo[..., None], local.shape).reshape(
-        *lead, nb * block
-    )
     if npad:
         ps_hi = ps_hi[..., :n]
-        ps_lo = ps_lo[..., :n]
-    return PrefixSum(ps_hi, ps_lo)
+    # low-order carry is constant per block: keep it compact (see PrefixSum)
+    return PrefixSum(ps_hi, lo_blocks=carry_lo, block=block)

@@ -114,9 +114,7 @@ def trap_pickoff(w_in, rise, flat, t_pickoff):
 
     def s_at(k):
         # inclusive prefix S[k], with S[k<0] = 0
-        v = take_last(ps.hi, k)
-        if ps.lo is not None:
-            v = v + take_last(ps.lo, k)
+        v = take_last(ps.hi, k) + ps.lo_take(k)
         return jnp.where(k < 0, 0.0, v)
 
     def win_sum(hi_idx, length):

@@ -47,3 +47,25 @@ def test_plan_ok():
     assert not _mmfft.plan_ok(100)     # not a multiple of 128
     assert not _mmfft.plan_ok(128)     # N1 == 1
     assert not _mmfft.plan_ok(1 << 20)  # N1 too large
+
+
+def test_traced_kernel_convolution(rng):
+    """Kernel arrays produced inside a jit trace take the device-FFT path."""
+    import jax
+    import jax.numpy as jnp
+
+    n, m = 1024, 133
+    x = rng.normal(size=(3, n)).astype(np.float32)
+    k = rng.normal(size=m).astype(np.float32)
+    size = n + m - 1
+    nfft = 1 << (size - 1).bit_length()
+
+    @jax.jit
+    def f(xx, kk):
+        return _mmfft.fft_convolve_full(xx, kk * 1.0, nfft, size)  # kk traced
+
+    got = np.asarray(f(x, k))
+    want = np.stack([
+        np.convolve(x[i].astype(np.float64), k.astype(np.float64)) for i in range(3)
+    ])
+    assert np.abs(got - want).max() / np.abs(want).max() < 5e-6
