@@ -73,22 +73,40 @@ def _chain_cache_key(processors, db_dict, outputs, tb_in):
 _DB_PARSER = re.compile(r"(?![^\w_.])db\.[\w_.]+")
 
 
-def _prefetched(iterable):
+def _prefetched(iterable, chain=None):
     """Iterate with one chunk of read-ahead on a worker thread, overlapping
     host HDF5 reads with device execution (the TPU-side replacement for the
-    reference's synchronous block loop)."""
+    reference's synchronous block loop).
+
+    With ``chain``, the worker also gathers + starts the host->device
+    upload of each chunk (:meth:`ProcessingChain.stage_inputs`), so chunk
+    ``i+1``'s transfer — often the dominant production cost — overlaps
+    chunk ``i``'s execution, fetch and write. Yields ``(tb, staged)``.
+    """
     from concurrent.futures import ThreadPoolExecutor
 
     it = iter(iterable)
     sentinel = object()
+
+    def fetch():
+        tb = next(it, sentinel)
+        if tb is sentinel:
+            return tb
+        # capture the chunk's entry offset on the worker: by the time the
+        # consumer sees this chunk, read-ahead has already advanced the
+        # iterator's current_i_entry to the next one
+        i_entry = getattr(iterable, "current_i_entry", 0)
+        staged = chain.stage_inputs(tb) if chain is not None else None
+        return (tb, staged, i_entry)
+
     with ThreadPoolExecutor(1) as ex:
-        fut = ex.submit(next, it, sentinel)
+        fut = ex.submit(fetch)
         while True:
-            tb = fut.result()
-            if tb is sentinel:
+            item = fut.result()
+            if item is sentinel:
                 return
-            fut = ex.submit(next, it, sentinel)
-            yield tb
+            fut = ex.submit(fetch)
+            yield item
 
 
 def _load_mapping(obj, what: str):
@@ -343,16 +361,15 @@ def build_dsp(
             profiler_cm.__enter__()
 
         chunk_iter = (
-            _prefetched(lh5_it) if isinstance(lh5_it, LH5Iterator) else lh5_it
+            _prefetched(lh5_it, chain=proc_chain)
+            if isinstance(lh5_it, LH5Iterator)
+            else ((tb, None, 0) for tb in lh5_it)
         )
-        for tb_in in chunk_iter:
+        for tb_in, staged, i_entry in chunk_iter:
             loading_time += time.time() - curr
             t_proc = time.time()
-            i_entry = (
-                lh5_it.current_i_entry if isinstance(lh5_it, LH5Iterator) else 0
-            )
             try:
-                proc_chain(tb_in, tb_out)
+                proc_chain(tb_in, tb_out, staged=staged)
             except DSPFatal as e:
                 e.wf_range = (i_entry, i_entry + len(tb_in))
                 raise e

@@ -1259,9 +1259,11 @@ class ProcessingChain:
         import jax
         import jax.numpy as jnp
 
+        def _dt(v):
+            return np.dtype(getattr(v, "dtype", None) or np.asarray(v).dtype)
+
         struct = tuple(
-            (k, tuple(v.shape), str(np.asarray(v).dtype))
-            for k, v in sorted(inputs.items())
+            (k, tuple(v.shape), _dt(v).name) for k, v in sorted(inputs.items())
         )
         if (
             self._packed is not None
@@ -1273,16 +1275,15 @@ class ProcessingChain:
         base = self._build_fn()
         out_shapes = jax.eval_shape(
             base,
-            {
-                k: jax.ShapeDtypeStruct(v.shape, np.asarray(v).dtype)
-                for k, v in inputs.items()
-            },
+            {k: jax.ShapeDtypeStruct(v.shape, _dt(v)) for k, v in inputs.items()},
         )
         # packing plan: per dtype group, column ranges in key order; only
         # outputs carrying the batch dim are packed — const-folded outputs
         # (arbitrary shapes, no event axis) pass through unpacked
-        batch = max((np.asarray(v).shape[0] for v in inputs.values()
-                     if np.asarray(v).ndim), default=0)
+        batch = max(
+            (v.shape[0] for v in inputs.values() if getattr(v, "ndim", 0)),
+            default=0,
+        )
         plan: dict[str, list[tuple[str, int, int, tuple]]] = {}
         scalars: list[str] = []
         for k in sorted(out_shapes):
@@ -1313,8 +1314,18 @@ class ProcessingChain:
         self._packed_struct = struct
         return self._packed
 
-    def execute(self, start: int = 0, stop: int = None) -> None:
-        """Run the chain over rows ``[start, stop)`` of the linked buffers."""
+    def execute(self, start: int = 0, stop: int = None, staged=None) -> None:
+        """Run the chain over rows ``[start, stop)`` of the linked buffers.
+
+        ``staged`` short-circuits input gathering with a handle from
+        :meth:`stage_inputs` (inputs already linked, padded and in flight
+        to the device)."""
+        if staged is not None:
+            dev_inputs, n = staged
+            results = self._run_device(dev_inputs, n, staged=True)
+            for man in self._output_managers.values():
+                man.write(results, 0, n)
+            return
         if stop is None:
             stop = self._buffer_len
         try:
@@ -1339,22 +1350,62 @@ class ProcessingChain:
             inputs = {k: v[:n] for k, v in inputs.items()}
         return inputs, n
 
-    def _run_device(self, inputs: dict, n: int) -> dict:
-        """Pad to the nominal buffer length, run the jitted program, unpad."""
-        import jax
-
-        t0 = time.time()
+    def _pad_to(self, n: int) -> int:
         pad_to = self._buffer_len if self._buffer_len else n
         if self._mesh is not None:
             nd = self._mesh.shape[self._batch_axes[-1]]
             pad_to = -(-pad_to // nd) * nd
+        return pad_to
+
+    def stage_inputs(self, tb_in):
+        """Link ``tb_in``, gather, pad and start the host->device transfer.
+
+        Returns an opaque ``(dev_inputs, n)`` handle for
+        ``__call__(..., staged=...)`` — built on a worker thread, this
+        overlaps the (often dominant) input upload of chunk ``i+1`` with
+        chunk ``i``'s execution. Returns ``None`` at end of input.
+        """
+        if self._buffer_len is None or self._buffer_len < len(tb_in):
+            self._buffer_len = len(tb_in)
+        for varname in list(self._input_managers):
+            if varname not in tb_in:
+                raise ProcessingChainError(f"Require column {varname} in tb_in")
+            self.link_input_buffer(varname, tb_in[varname])
+        try:
+            inputs, n = self._gather_inputs(0, self._buffer_len)
+        except EndExecute:
+            return None
+        if n <= 0:
+            return None
+        pad_to = self._pad_to(n)
         if n < pad_to:
             inputs = {
                 k: np.pad(v, [(0, pad_to - n)] + [(0, 0)] * (v.ndim - 1))
                 for k, v in inputs.items()
             }
+        if self._mesh is None:
+            import jax
+
+            # start the async host->device copy now, on this (worker) thread
+            inputs = {k: jax.device_put(v) for k, v in inputs.items()}
+            return inputs, n
+        return self._shard_inputs(inputs), n
+
+    def _run_device(self, inputs: dict, n: int, staged=None) -> dict:
+        """Pad to the nominal buffer length, run the jitted program, unpad."""
+        import jax
+
+        t0 = time.time()
+        pad_to = self._pad_to(n)
+        if staged is None:
+            if n < pad_to:
+                inputs = {
+                    k: np.pad(v, [(0, pad_to - n)] + [(0, 0)] * (v.ndim - 1))
+                    for k, v in inputs.items()
+                }
+            inputs = self._shard_inputs(inputs)
         fn, plan, scalars = self._get_packed(inputs)
-        packed = fn(self._shard_inputs(inputs))
+        packed = fn(inputs)
         # one device->host transfer per dtype group instead of one per output
         out: dict[str, np.ndarray] = {}
         for dt, grp in plan.items():
@@ -1407,15 +1458,20 @@ class ProcessingChain:
         (under jit the steps fuse into one program — see ``self.time_total``)."""
         return {str(step): step.time_total for step in self._steps}
 
-    def __call__(self, tb_in: lgdo.Table, out: lgdo.Table = None) -> lgdo.Table:
+    def __call__(
+        self, tb_in: lgdo.Table, out: lgdo.Table = None, staged=None
+    ) -> lgdo.Table:
         # only grow the nominal buffer length: short (final) chunks are padded
         # up to it so the jitted program is not retraced per chunk shape
         if self._buffer_len is None or self._buffer_len < len(tb_in):
             self._buffer_len = len(tb_in)
-        for varname in list(self._input_managers):
-            if varname not in tb_in:
-                raise ProcessingChainError(f"Require column {varname} in tb_in")
-            self.link_input_buffer(varname, tb_in[varname])
+        if staged is None:
+            for varname in list(self._input_managers):
+                if varname not in tb_in:
+                    raise ProcessingChainError(
+                        f"Require column {varname} in tb_in"
+                    )
+                self.link_input_buffer(varname, tb_in[varname])
         if out is None:
             out = lgdo.Table(
                 {
@@ -1429,7 +1485,7 @@ class ProcessingChain:
                 if varname not in out:
                     raise ProcessingChainError(f"Require column {varname} in out")
                 self.link_output_buffer(varname, out[varname])
-        self.execute()
+        self.execute(staged=staged)
         return out
 
     def __str__(self) -> str:
