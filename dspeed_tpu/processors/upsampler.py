@@ -45,7 +45,18 @@ def upsampler(w_in, upsample, dims):
         if lo < hi:
             src[lo:hi] = t_in
     valid = src >= 0
-    out = w_in[..., np.where(valid, src, 0)]
+    if up == width:
+        # integer ratio: the map is a staircase src[j] = (j+half)//width —
+        # repeat + static slice instead of a gather (TPU gathers lower to
+        # serial row loops; a repeat is a fused broadcast)
+        rep = jnp.repeat(w_in, width, axis=-1)
+        if half + m > n * width:
+            rep = jnp.pad(
+                rep, [(0, 0)] * (w_in.ndim - 1) + [(0, half + m - n * width)]
+            )
+        out = rep[..., half : half + m]
+    else:
+        out = w_in[..., np.where(valid, src, 0)]
     out = jnp.where(jnp.asarray(valid), out, jnp.nan).astype(w_in.dtype)
     return nanmask(isnan_any(w_in, 1), out)
 

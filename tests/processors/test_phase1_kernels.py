@@ -321,3 +321,28 @@ def test_window_rows_matches_gather(rng):
     idx = (beg[:, None] + np.arange(m)) % n
     want = np.take_along_axis(w, idx, axis=-1)
     np.testing.assert_array_equal(got, want)
+
+
+def test_upsampler_integer_ratio_matches_gather_map(rng):
+    """The integer-ratio repeat path must equal the general gather map."""
+    import dspeed_tpu.processors as dp
+
+    def oracle(w, up, m):
+        n = w.shape[-1]
+        src = np.full(m, -1, "int32")
+        width = int(up)
+        half = int(np.floor(up / 2))
+        for t in range(n):
+            t0 = int(t * up - half)
+            lo, hi = max(t0, 0), min(t0 + width, m)
+            if lo < hi:
+                src[lo:hi] = t
+        out = np.where(src >= 0, w[..., np.where(src >= 0, src, 0)], np.nan)
+        return out.astype(w.dtype)
+
+    for n, up, m in [(301, 16.0, 4784), (300, 16.0, 4816), (50, 4.0, 210),
+                     (64, 3.0, 192), (40, 2.5, 100)]:
+        w = rng.normal(size=(6, n)).astype(np.float32)
+        (got,) = dp.upsampler(w, up, dims={"m": m})
+        np.testing.assert_array_equal(np.asarray(got), oracle(w, up, m),
+                                      err_msg=f"n={n} up={up} m={m}")
