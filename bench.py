@@ -94,7 +94,7 @@ def _bench_production(n_ev: int = 4096) -> float:
     db = {"det": {"pz": {"tau": 27460.5}}}
     build_dsp(raw, out, config, database=db, write_mode="r")  # warm compile
     best_dt = None
-    for _trial in range(2):
+    for _trial in range(3):  # remote-transport variance is large; take best
         t0 = time.perf_counter()
         build_dsp(raw, out, config, database=db, write_mode="r")
         dt = time.perf_counter() - t0
