@@ -80,6 +80,13 @@ def _conv_full_fft(w, kern):
     if jax.default_backend() not in ("cpu",) and kern.ndim == 1:
         from . import _mmfft
 
+        # the matmul FFT factors any (N1<=256)x128 length: pad to the next
+        # multiple of 256 instead of the next power of two (a 4228-sample
+        # conv runs at 4352 instead of 8192 — ~2x fewer matmul FLOPs)
+        tight = -(-size // 256) * 256
+        if _mmfft.plan_ok(tight // 2):
+            out = _mmfft.fft_convolve_full(w, kern.astype(w.dtype), tight, size)
+            return out.astype(w.dtype)
         if _mmfft.plan_ok(fsize):
             # XLA's TPU FFT runs far off the roofline for these batched
             # sizes; the two-matmul four-step FFT rides the MXU instead

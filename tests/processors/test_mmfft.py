@@ -69,3 +69,24 @@ def test_traced_kernel_convolution(rng):
         np.convolve(x[i].astype(np.float64), k.astype(np.float64)) for i in range(3)
     ])
     assert np.abs(got - want).max() / np.abs(want).max() < 5e-6
+
+
+def test_non_power_of_two_nfft(rng):
+    """The factorization supports any (N1<=256)x128 length — e.g. 4352 for a
+    4228-sample convolution instead of padding to 8192."""
+    n, m = 4096, 133
+    size = n + m - 1
+    nfft = -(-size // 256) * 256
+    assert nfft == 4352 and _mmfft.plan_ok(nfft // 2)
+    x = rng.normal(size=(4, n)).astype(np.float32).cumsum(-1)
+    k = rng.normal(size=m).astype(np.float32)
+    got = np.asarray(_mmfft.fft_convolve_full(x, k, nfft, size))
+    want = np.stack(
+        [np.convolve(x[i].astype(np.float64), k.astype(np.float64)) for i in range(4)]
+    )
+    assert np.abs(got - want).max() / np.abs(want).max() < 5e-6
+
+    re, im = _mmfft.fft4(x[:, :2176].copy(), None, 2176)
+    wantf = np.fft.fft(x[:, :2176].astype(np.float64), axis=-1)
+    gotf = np.asarray(re).astype(np.float64) + 1j * np.asarray(im)
+    assert np.abs(gotf - wantf).max() / np.abs(wantf).max() < 2e-6
