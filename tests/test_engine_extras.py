@@ -334,3 +334,64 @@ class TestWaveformVovValues:
         vals = wv2.values if hasattr(wv2, "values") else wv2
         for i in range(4):
             np.testing.assert_allclose(vals[i], vov[i], rtol=1e-12)
+
+
+def test_staged_inputs_match_unstaged(tmp_path):
+    """stage_inputs + __call__(staged=...) must equal the plain path."""
+    import numpy as np
+
+    from dspeed_tpu import lh5
+    from dspeed_tpu.processing_chain import build_processing_chain
+    from tests.test_build_dsp import DB_FLAT, make_hpge_waveforms
+
+    wf, amp, t0, bl = make_hpge_waveforms(n=48)
+    tb = lh5.Table(
+        {
+            "waveform": lh5.WaveformTable(
+                values=wf, t0=0.0, t0_units="ns", dt=16.0, dt_units="ns"
+            ),
+            "baseline": lh5.Array(bl.astype("float32")),
+        }
+    )
+    config = {
+        "outputs": ["trapEmax", "bl_mean"],
+        "processors": {
+            "wf_blsub": {
+                "function": "bl_subtract",
+                "module": "dspeed_tpu.processors",
+                "args": ["waveform", "baseline", "wf_blsub"],
+            },
+            "wf_pz": {
+                "function": "pole_zero",
+                "module": "dspeed_tpu.processors",
+                "args": ["wf_blsub", "db.pz.tau", "wf_pz"],
+            },
+            "wf_trap": {
+                "function": "trap_norm",
+                "module": "dspeed_tpu.processors",
+                "args": ["wf_pz", "625", "188", "wf_trap"],
+            },
+            "trapEmax": {
+                "function": "amax",
+                "module": "numpy",
+                "args": ["wf_trap", 1, "trapEmax"],
+                "kwargs": {"signature": "(n),()->()", "types": ["fi->f"]},
+            },
+            "bl_mean": {
+                "function": "mean",
+                "module": "numpy",
+                "args": ["waveform[0:512]", 1, "bl_mean"],
+                "kwargs": {"signature": "(n),()->()", "types": ["fi->f"]},
+            },
+        },
+    }
+    chain, _, tb_out1 = build_processing_chain(config, tb, db_dict=DB_FLAT)
+    chain(tb, tb_out1)
+
+    chain2, _, tb_out2 = build_processing_chain(config, tb, db_dict=DB_FLAT)
+    staged = chain2.stage_inputs(tb)
+    assert staged is not None
+    chain2(tb, tb_out2, staged=staged)
+
+    for col in ("trapEmax", "bl_mean"):
+        np.testing.assert_array_equal(tb_out1[col].nda, tb_out2[col].nda)
