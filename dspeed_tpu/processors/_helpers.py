@@ -29,15 +29,24 @@ def cdim(x, n: int = 1):
 
 
 def isnan_any(x, core_ndim: int = 0):
-    """NaN mask reduced over the trailing ``core_ndim`` axes (keepdims=False)."""
+    """NaN mask reduced over the trailing ``core_ndim`` axes (keepdims=False).
+
+    ``any(isnan(x))`` is evaluated as ``isnan(min(x))`` — a float min
+    reduction propagates NaN and is unaffected by inf, so the semantics are
+    identical, but the reduction stays in the native float layout instead
+    of materializing a packed-pred plane (measurably cheaper on TPU, where
+    these whole-waveform scans run once per kernel).
+    """
     if not hasattr(x, "dtype"):
         return np.isnan(x)
     if not jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating):
         return False
-    m = jnp.isnan(x)
-    for _ in range(core_ndim):
-        m = jnp.any(m, axis=-1)
-    return m
+    if core_ndim:
+        m = x
+        for _ in range(core_ndim):
+            m = jnp.min(m, axis=-1)
+        return jnp.isnan(m)
+    return jnp.isnan(x)
 
 
 def nanmask(bad, out):
