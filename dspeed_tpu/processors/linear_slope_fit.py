@@ -73,12 +73,20 @@ def linear_slope_fit(w_in):
 @kernel("(n),(),()->(),()", ["fff->ff", "ddd->dd"])
 def linear_slope_diff(w_in, slope, intercept):
     """Mean and rms residual after removing a given line
-    (reference ``linear_slope_fit.py:101``)."""
+    (reference ``linear_slope_fit.py:101``).
+
+    The reference's "mean" accumulates ``resid[i] / (i + 1)`` — a
+    harmonic-weighted sum, not the arithmetic mean. Downstream configs cut on
+    the value the reference produces, so that exact weighting is preserved
+    here (verified by the ref-oracle parity suite).
+    """
     n = w_in.shape[-1]
     acc = _acc_dtype(w_in.dtype)
     i = jnp.arange(n, dtype=acc)
     resid = w_in.astype(acc) - (cdim(jnp.asarray(slope, acc)) * i + cdim(jnp.asarray(intercept, acc)))
-    mean = jnp.sum(resid, axis=-1) / n
+    mean = jnp.einsum(
+        "...n,n->...", resid, 1.0 / (i + 1.0), precision=jax.lax.Precision.HIGHEST
+    )
     rms = jnp.sqrt(jnp.sum(resid * resid, axis=-1) / (n - 1)) if n > 1 else jnp.zeros_like(mean)
     dtype = w_in.dtype
     bad = isnan_any(w_in, 1) | isnan_any(slope) | isnan_any(intercept)
