@@ -207,17 +207,24 @@ def multi_time_point_thresh(w_in, a_threshold, t_start, polarity, mode_in):
     a_start = take_last(w_in, ti)
 
     def search(pol_static):
-        """Crossing predicate cross[i] = w[i] <= thr < w[i+pol]."""
+        """Crossing predicate cross[i] = w[i] <= thr < w[i+pol].
+
+        Walk ranges mirror the reference exactly (time_point_thresh.py:
+        327-330, 371-374), including its wrap-around artifact: for
+        ``polarity=-1`` the up-side walk reaches ``i_wf=0`` where
+        ``w_in[i_wf - 1]`` is Python-negative-indexed to ``w_in[n-1]`` —
+        unintended upstream, but user-visible behavior and hence the spec.
+        """
         pos = jnp.arange(n)
         thr = a[..., :, None]  # [..., m, 1]
         w = w_in[..., None, :]  # [..., 1, n]
+        # roll wraps exactly like the reference's negative indexing at i=0
         w_next = jnp.roll(w_in, -pol_static, axis=-1)[..., None, :]
-        valid_i = (pos >= 0) & (pos + pol_static >= 0) & (pos + pol_static < n)
-        cross = (w <= thr) & (thr < w_next) & valid_i
+        cross = (w <= thr) & (thr < w_next)
         # up-side thresholds (thr >= w[t_start]) search from t_start along pol;
         # down-side search from t_start-1 against pol.
         up_side = a >= a_start[..., None]  # [..., m]
-        ts = ti[..., None]
+        ts = ti[..., None, None]  # broadcast over (m, n)
         # first/last-true via masked-iota min/max reductions (no reversed
         # copies: a [..., ::-1] materializes a waveform-sized intermediate)
         posi = pos.astype(jnp.int32)
@@ -233,11 +240,15 @@ def multi_time_point_thresh(w_in, a_threshold, t_start, polarity, mode_in):
             return jnp.where(f, i, n - 1), f
 
         if pol_static > 0:
-            up_idx, up_found = first_true(cross & (pos >= ts))
+            # up: range(ts, n-1); down: range(ts-1, -1, -1)
+            up_idx, up_found = first_true(cross & (pos >= ts) & (pos <= n - 2))
             dn_idx, dn_found = last_true(cross & (pos <= ts - 1))
         else:
+            # up: range(ts, -1, -1) — includes i=0 (wrap); down: range(ts-1, n-1)
             up_idx, up_found = last_true(cross & (pos <= ts))
-            dn_idx, dn_found = first_true(cross & (pos >= ts - 1))
+            dn_idx, dn_found = first_true(
+                cross & (pos >= ts - 1) & (pos <= n - 2)
+            )
         idx = jnp.where(up_side, up_idx, dn_idx)
         found = jnp.where(up_side, up_found, dn_found)
         return idx, found
@@ -249,10 +260,11 @@ def multi_time_point_thresh(w_in, a_threshold, t_start, polarity, mode_in):
         raise DSPFatal("multi_time_point_thresh requires a static polarity")
 
     def gather_m(i):
-        # gather per-threshold indices (..., m) from the waveform (..., n)
+        # gather per-threshold indices (..., m) from the waveform (..., n);
+        # mod-n wrap matches the reference's negative indexing at idx+pol=-1
         wb = jnp.broadcast_to(w_in[..., None, :], (*i.shape, n))
         return jnp.take_along_axis(
-            wb, jnp.clip(i, 0, n - 1)[..., None], axis=-1
+            wb, jnp.mod(i, n)[..., None], axis=-1
         )[..., 0]
 
     w_c = gather_m(idx)
