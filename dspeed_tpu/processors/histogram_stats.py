@@ -72,8 +72,10 @@ def histogram_stats(weights_in, edges_in, max_in):
     lidx, lfound = _first_true(left_mask)
     fwhm_l = jnp.abs(max_out - _take(e, lidx))
 
+    # left side only widens an already-found right fwhm: the reference's
+    # `if fwhm_out[0] < ...` (histogram_stats.py:258) is False when NaN
     fwhm = jnp.where(rfound, fwhm_r, jnp.nan)
-    fwhm = jnp.where(lfound & (fwhm_l > jnp.nan_to_num(fwhm, nan=-jnp.inf)), fwhm_l, fwhm)
+    fwhm = jnp.where(lfound & rfound & (fwhm_l > fwhm_r), fwhm_l, fwhm)
 
     bad = isnan_any(weights_in, 1)
     return (

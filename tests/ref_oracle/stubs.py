@@ -319,6 +319,7 @@ def call_ref(
     dims: dict | None = None,
     out_dtypes=None,
     out_args: int = 0,
+    out_idx: tuple | None = None,
     wrap1: tuple = (),
     int_args: tuple = (),
     intish_outs: tuple = (),
@@ -333,6 +334,10 @@ def call_ref(
     - ``dims``: sizes for core dims not derivable from inputs (windower's m).
     - ``out_args``: treat the LAST k signature entries as outputs to allocate
       and return (no-arrow signatures like presum's ``(n),(),(),(m)``).
+    - ``out_idx``: explicit signature positions of caller-allocated outputs
+      (histogram_stats puts them mid-signature); overrides ``out_args``.
+      ``wrap1``/``int_args`` indices then refer to positions among the true
+      inputs after removing those slots.
     - ``wrap1``: input indices passed per-row as 1-element arrays (bodies that
       index scalars, e.g. ``a_min[0]`` in min_max_norm).
     - ``int_args``: input indices coerced to Python int per row (bodies that
@@ -348,11 +353,17 @@ def call_ref(
         return (func(*ins),)
 
     in_dims_all = list(func.in_dims)
-    nin = len(in_dims_all) - out_args
+    nslots = len(in_dims_all)
+    if out_idx is None:
+        out_idx = tuple(range(nslots - out_args, nslots))
+    else:
+        out_idx = tuple(out_idx)
+    in_pos = [i for i in range(nslots) if i not in out_idx]
+    nin = len(in_pos)
     if len(ins) != nin:
         raise ValueError(f"{func.__name__}: expected {nin} inputs, got {len(ins)}")
-    in_dims = in_dims_all[:nin]
-    alloc_dims = in_dims_all[nin:] + list(func.out_dims)
+    in_dims = [in_dims_all[i] for i in in_pos]
+    alloc_dims = [in_dims_all[i] for i in out_idx] + list(func.out_dims)
 
     sizes = dict(dims or {})
     batch_shapes = []
@@ -396,7 +407,12 @@ def call_ref(
             if i in intish_outs:
                 t = t.view(_IntishView)
             tmp_outs.append(t)
-        func(*call_args, *tmp_outs)
+        slot_args = [None] * nslots
+        for p, v in zip(in_pos, call_args):
+            slot_args[p] = v
+        for p, t in zip(out_idx, tmp_outs):
+            slot_args[p] = t
+        func(*slot_args, *tmp_outs[len(out_idx):])
         for o, t, d in zip(outs, tmp_outs, alloc_dims):
             o[idx] = t if d else t[0]
     return tuple(outs)
