@@ -49,12 +49,14 @@ def ifft(dft_in, dims):
 
 @kernel("(n),(m)", ["ff", "dd"], nout=1, uses_dims=True)
 def psd(w_in, dims):
-    """Power spectral density |rfft|; ``m == n//2+1`` (reference ``fft.py:97``)."""
+    """Power spectral density ``|rfft|^2 / n``; ``m == n//2+1``
+    (reference ``fft.py:97`` via ``abs2norm`` ``fft.py:87``)."""
     n = w_in.shape[-1]
     m = dims["m"]
     if m != n // 2 + 1:
         raise DSPFatal(f"Size of psd must be len(w_in)//2+1 = {n // 2 + 1}")
-    out = jnp.abs(_flat_fft(lambda x: jnp.fft.rfft(x, axis=-1), w_in, m))
+    spec = _flat_fft(lambda x: jnp.fft.rfft(x, axis=-1), w_in, m)
+    out = (spec.real**2 + spec.imag**2) / n
     return nanmask(isnan_any(w_in, 1), out.astype(w_in.dtype))
 
 

@@ -122,7 +122,7 @@ class TestFourier:
         )
         (p,) = dp.psd(walk, dims={"m": n // 2 + 1})
         np.testing.assert_allclose(
-            np.asarray(p), np.abs(np.fft.rfft(walk, axis=-1)), rtol=1e-9
+            np.asarray(p), np.abs(np.fft.rfft(walk, axis=-1)) ** 2 / n, rtol=1e-9
         )
         (w2,) = dp.ifft(np.asarray(f), dims={"m": n})
         np.testing.assert_allclose(np.asarray(w2), walk, atol=1e-9)

@@ -72,9 +72,10 @@ def assert_ref_parity(
         e = np.asarray(e)
         assert g.shape == e.shape, f"{name} out[{i}]: shape {g.shape} != {e.shape}"
         if e.dtype.kind in "fc":
+            cmp_dt = np.complex128 if e.dtype.kind == "c" else np.float64
             np.testing.assert_allclose(
-                g.astype(np.float64),
-                e.astype(np.float64),
+                g.astype(cmp_dt),
+                e.astype(cmp_dt),
                 rtol=rtol,
                 atol=atol,
                 equal_nan=True,

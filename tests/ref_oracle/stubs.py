@@ -87,12 +87,27 @@ class _PyVectorize:
         self.signature = None
         self.types = [_sig_chars(t) for t in type_sigs]
 
-    def __call__(self, *args):
-        out = args[self.nin] if len(args) > self.nin else None
+    def _ret_dtype(self, ins):
+        """Return dtype from the matching type signature (e.g. 'DI->d')."""
+        in_chars = "".join(np.dtype(a.dtype).char for a in ins)
+        fallback = None
+        for t in self.types:
+            if "->" not in t:
+                continue
+            lhs, ret = t.split("->")
+            if fallback is None:
+                fallback = ret
+            if lhs == in_chars:
+                return np.dtype(ret)
+        return np.dtype(fallback) if fallback else ins[0].dtype
+
+    def __call__(self, *args, out=None):
+        if out is None and len(args) > self.nin:
+            out = args[self.nin]
         ins = [np.asarray(a) for a in args[: self.nin]]
         bshape = np.broadcast_shapes(*[a.shape for a in ins])
         if out is None:
-            out = np.empty(bshape, dtype=ins[0].dtype)
+            out = np.empty(bshape, dtype=self._ret_dtype(ins))
         bc = [np.broadcast_to(a, bshape) for a in ins]
         for idx in np.ndindex(*bshape):
             out[idx] = self.ufunc(*(b[idx] for b in bc))
@@ -394,6 +409,10 @@ def call_ref(
         call_args = []
         for j, (a, d) in enumerate(zip(bins, in_dims)):
             v = a[idx]
+            if d:
+                # broadcast views are read-only; some reference bodies mutate
+                # their inputs in place (fft_convolve_wf zeroes NaN rows)
+                v = np.array(v)
             if not d:
                 if j in int_args:
                     v = int(v)
