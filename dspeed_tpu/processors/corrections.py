@@ -34,7 +34,8 @@ def inl_correction(w_in, inl):
     else:
         corr = jnp.take_along_axis(inl, jnp.clip(code, 0, p - 1), axis=-1)
     out = w_in + corr
-    return nanmask(~ok, out.astype(corr.dtype))
+    bad = ~ok | jnp.any(jnp.isnan(inl))
+    return nanmask(bad, out.astype(corr.dtype))
 
 
 @kernel("(n),(m),(),()->(n)", ["ffii->f", "ddii->d"])

@@ -87,9 +87,10 @@ def inject_gumbel(wf_in, a, t0, beta):
 
 
 @kernel("(n),(),(),(),(),(),()->(n)", ["fffffff->f", "ddddddd->d"])
-def inject_general_logistic(wf_in, t0, rt, a, decay, q, v):
+def inject_general_logistic(wf_in, a, t0, rt, q, v, decay):
     """Add a generalized-logistic pulse
-    (reference ``pmt_pulse_injector.py:68``)."""
+    (reference ``pmt_pulse_injector.py:68``; arg order a, t0, rt, q, v,
+    decay matches the reference signature)."""
     n = wf_in.shape[-1]
     t = jnp.arange(n, dtype=wf_in.dtype)
     t0b, rtb, ab, db, qb, vb = (

@@ -115,15 +115,24 @@ def interpolating_upsampler(w_in, mode_in, dims):
         return nanmask(isnan_any(w_in, 1), out.astype(w_in.dtype))
 
     # l / h / s: fractional positions within segments
-    i_in_arr = np.zeros(m, dtype="int32")
-    last = 0
-    n_seg = n if ch == "l" else n - 1
-    for i_in in range(n_seg):
-        b = min(ceil(up * (i_in + 1)), m)
-        i_in_arr[last:b] = i_in
-        last = b
-    i_in_arr[last:] = n_seg - 1
     j = np.arange(m)
+    if ch == "s":
+        # the reference's spline back-substitution (upsampler.py:201-213)
+        # iterates segments downward with inclusive bounds, so an output
+        # sample on a segment boundary takes its value from the segment
+        # BELOW, extrapolated with t0 > 1
+        i_in_arr = np.clip(
+            np.floor((j - 1) / up).astype("int32"), 0, n - 2
+        )
+    else:
+        i_in_arr = np.zeros(m, dtype="int32")
+        last = 0
+        n_seg = n if ch == "l" else n - 1
+        for i_in in range(n_seg):
+            b = min(ceil(up * (i_in + 1)), m)
+            i_in_arr[last:b] = i_in
+            last = b
+        i_in_arr[last:] = n_seg - 1
     t0_arr = j / up - i_in_arr
     t0j = jnp.asarray(t0_arr, w_in.dtype)
     i0 = jnp.asarray(i_in_arr)

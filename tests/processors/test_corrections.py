@@ -63,7 +63,7 @@ def test_inject_gumbel(rng):
 
 def test_inject_general_logistic(rng):
     w = rng.normal(0, 1, (2, 128)).astype("float64")
-    (y,) = dp.inject_general_logistic(w, 30.0, 10.0, 5.0, 100.0, 2.0, 3.0)
+    (y,) = dp.inject_general_logistic(w, 5.0, 30.0, 10.0, 2.0, 3.0, 100.0)
     t = np.arange(128)
     rise = 4 * np.log(99) / 10.0
     p = 5.0 / (1 + 2.0 * np.exp(-rise * (t - 35.0))) ** (1 / 3.0) * np.exp(

@@ -310,7 +310,51 @@ def ref_errors():
     return sys.modules["refdsp.errors"]
 
 
-class _IntishView(np.ndarray):
+def _fix_key(k):
+    """Normalize integral-float indices/slice bounds to ints (numba's weak
+    typing allows ``w_out[a : b]`` with float ``a``/``b``; pure Python does
+    not — e.g. interpolating_upsampler mode 'i', upsampler.py:120)."""
+
+    def f(v):
+        if isinstance(v, (float, np.floating)) and float(v).is_integer():
+            return int(v)
+        return v
+
+    if isinstance(k, slice):
+        return slice(f(k.start), f(k.stop), f(k.step))
+    return f(k)
+
+
+class _WeakView(np.ndarray):
+    """Array view reproducing numba's weak indexing for reference bodies.
+
+    ``_ignore_oob`` additionally swallows out-of-bounds single-element
+    writes: numba compiles with boundscheck off, so a body that writes one
+    element past the end (interpolating_upsampler mode 's',
+    upsampler.py:201-207 starts at ``i_last = len(w_out)``) silently scribbles
+    outside the buffer instead of raising; the in-bounds results are what the
+    reference actually produces.
+    """
+
+    _ignore_oob = False
+
+    def __array_finalize__(self, obj):
+        if obj is not None:
+            self._ignore_oob = getattr(obj, "_ignore_oob", False)
+
+    def __getitem__(self, k):
+        return super().__getitem__(_fix_key(k))
+
+    def __setitem__(self, k, v):
+        k = _fix_key(k)
+        if self._ignore_oob and isinstance(k, (int, np.integer)):
+            n = self.shape[0]
+            if k >= n or k < -n:
+                return
+        super().__setitem__(k, v)
+
+
+class _IntishView(_WeakView):
     """Float array view whose integral elements read back as Python ints.
 
     Some reference bodies store a count into a float output slot and then use
@@ -338,6 +382,7 @@ def call_ref(
     wrap1: tuple = (),
     int_args: tuple = (),
     intish_outs: tuple = (),
+    loose_outs: tuple = (),
 ):
     """Call a reference gufunc oracle, allocating outputs from its signature.
 
@@ -423,8 +468,9 @@ def call_ref(
         for i, (d, dt) in enumerate(zip(alloc_dims, out_dts)):
             core = tuple(sizes[k] for k in d)
             t = np.full(core if core else (1,), np.nan if dt.kind == "f" else 0, dtype=dt)
-            if i in intish_outs:
-                t = t.view(_IntishView)
+            t = t.view(_IntishView if i in intish_outs else _WeakView)
+            if i in loose_outs:
+                t._ignore_oob = True
             tmp_outs.append(t)
         slot_args = [None] * nslots
         for p, v in zip(in_pos, call_args):
