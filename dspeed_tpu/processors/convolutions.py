@@ -97,7 +97,15 @@ def _conv_full_fft(w, kern):
     lead = w.shape[:-1]
     w2 = w.reshape(-1, n)
     wf = jnp.fft.rfft(w2, fsize, axis=-1)
-    kf = jnp.fft.rfft(kern.astype(w.dtype), fsize, axis=-1)
+    if not isinstance(kern, jax.core.Tracer):
+        # concrete (config-constant) kernel: fold its FFT at trace time —
+        # XLA's constant folding skips FFT ops, so without this the
+        # kernel transform re-runs on every dispatch
+        kf = jnp.asarray(
+            np.fft.rfft(np.asarray(kern, dtype=w.dtype), fsize, axis=-1)
+        )
+    else:
+        kf = jnp.fft.rfft(kern.astype(w.dtype), fsize, axis=-1)
     out = jnp.fft.irfft(wf * kf, fsize, axis=-1)[..., :size]
     return out.reshape(*lead, size).astype(w.dtype)
 
@@ -110,10 +118,26 @@ def _conv_kernel_checks(w_in, kernel_arr, name):
     return n, m
 
 
+def _kernel_has_nan(kern):
+    """Host-evaluated for numpy consts so the check folds out of the trace."""
+    if isinstance(kern, np.ndarray):
+        return bool(np.isnan(kern).any())
+    return jnp.any(jnp.isnan(kern))
+
+
+def _as_kernel_array(kernel_in):
+    """Keep config-constant kernels as numpy: ``jnp.asarray`` under an active
+    trace turns constants into tracers, which blocks the trace-time folding
+    of the kernel's FFT/flip (XLA's own constant folding skips FFT ops)."""
+    if isinstance(kernel_in, np.ndarray):
+        return kernel_in
+    return jnp.asarray(kernel_in)
+
+
 @kernel("(n),(m),(),(p)", ["ffbf", "ddbd"], nout=1, static=[2], uses_dims=True)
 def convolve_wf(w_in, kernel_in, mode_in, dims):
     """Direct convolution with modes f/v/s (reference ``convolutions.py:24``)."""
-    kern = jnp.asarray(kernel_in)
+    kern = _as_kernel_array(kernel_in)
     if kern.ndim > 1:
         raise DSPFatal("convolve_wf expects a shared 1-D kernel")
     n, m = _conv_kernel_checks(w_in, kern, "convolve_wf")
@@ -124,7 +148,7 @@ def convolve_wf(w_in, kernel_in, mode_in, dims):
         raise DSPFatal(f"Output waveform has length {p}; expect {expect}")
     full = _conv_full_direct(w_in, kern)
     out = _slice_mode(full, n, m, ch).astype(w_in.dtype)
-    bad = isnan_any(w_in, 1) | jnp.any(jnp.isnan(kern))
+    bad = isnan_any(w_in, 1) | _kernel_has_nan(kern)
     return nanmask(bad, out)
 
 
@@ -135,7 +159,7 @@ def fft_convolve_wf(w_in, kernel_in, mode_in, dims):
     NaN events are zeroed before the FFT and re-poisoned after, matching the
     reference's NaN-row masking.
     """
-    kern = jnp.asarray(kernel_in)
+    kern = _as_kernel_array(kernel_in)
     if kern.ndim > 1:
         raise DSPFatal("fft_convolve_wf expects a shared 1-D kernel")
     n, m = _conv_kernel_checks(w_in, kern, "fft_convolve_wf")
@@ -144,13 +168,13 @@ def fft_convolve_wf(w_in, kernel_in, mode_in, dims):
     w = jnp.where(bad[..., None] if hasattr(bad, "ndim") and bad.ndim else bad, 0.0, w_in)
     full = _conv_full_fft(w, kern)
     out = _slice_mode(full, n, m, ch).astype(w_in.dtype)
-    return nanmask(bad | jnp.any(jnp.isnan(kern)), out)
+    return nanmask(bad | _kernel_has_nan(kern), out)
 
 
 @kernel("(n),(m),(p)", ["fff", "ddd"], nout=1, uses_dims=True)
 def reflected_convolve_wf(w_in, kernel_in, dims):
     """Reflect-pad then 'same' convolve (reference ``convolutions.py:132``)."""
-    kern = jnp.asarray(kernel_in)
+    kern = _as_kernel_array(kernel_in)
     n, m = _conv_kernel_checks(w_in, kern, "reflected_convolve_wf")
     ext = int(m / 2) + 1
     wpad = jnp.pad(w_in, [(0, 0)] * (w_in.ndim - 1) + [(ext, ext)], mode="reflect")

@@ -10,6 +10,8 @@ from typing import Collection
 
 import numpy as np
 
+import jax.numpy as jnp
+
 from ..errors import DSPFatal
 from ..units import Quantity, Unit
 from ._kernel import Kernel
@@ -31,15 +33,24 @@ def _ratio(f, f_samp):
     return float(v) if isinstance(v, Quantity) else float(v)
 
 
-def _make_filter_kernel(name: str, a: np.ndarray, b: np.ndarray) -> Kernel:
+def _make_filter_kernel(
+    name: str, a: np.ndarray, b: np.ndarray, init_out: str = "gain"
+) -> Kernel:
     from .recursive_filter import recursive_filter_impl
 
+    # initial output memory matches the reference factories: DC-gain-scaled
+    # first sample (iir_filter.py:103), the first sample (:161 notch), or
+    # zero (:219 peak)
     gain = float(np.sum(a) / np.sum(b))
 
     def fn(w_in):
-        return recursive_filter_impl(
-            w_in, a, b, w_in[..., 0], gain * w_in[..., 0]
-        )
+        if init_out == "gain":
+            iv = gain * w_in[..., 0]
+        elif init_out == "first":
+            iv = w_in[..., 0]
+        else:
+            iv = jnp.zeros_like(w_in[..., 0])
+        return recursive_filter_impl(w_in, a, b, w_in[..., 0], iv)
 
     return Kernel(fn, "(n)->(n)", ["f->f", "d->d"], name=name)
 
@@ -83,31 +94,33 @@ def iir_filter(
     return _make_filter_kernel("iir_filter", a, b)
 
 
-def notch_filter(freq, q: float, f_samp=None) -> Kernel:
-    """Design a notch filter with :func:`scipy.signal.iirnotch`
-    (reference ``iir_filter.py:115``)."""
+def notch_filter(freq, bandwidth, f_samp=None) -> Kernel:
+    """Design a notch filter with :func:`scipy.signal.iirnotch`; quality
+    factor is ``freq/bandwidth`` (reference ``iir_filter.py:115``)."""
     import scipy.signal as sg
 
     f_samp = _f_samp_of(f_samp)
     f_c = _ratio(freq, f_samp) if f_samp is not None else float(freq)
+    q = float(freq / bandwidth)
     if not 0 <= f_c <= 1:
         raise DSPFatal(
             "Critical frequency must be positive and < nyquist frequency"
         )
-    a, b = sg.iirnotch(f_c, float(q))
-    return _make_filter_kernel("notch_filter", a, b)
+    a, b = sg.iirnotch(f_c, q)
+    return _make_filter_kernel("notch_filter", a, b, init_out="first")
 
 
-def peak_filter(freq, q: float, f_samp=None) -> Kernel:
-    """Design a peaking filter with :func:`scipy.signal.iirpeak`
-    (reference ``iir_filter.py:173``)."""
+def peak_filter(freq, bandwidth, f_samp=None) -> Kernel:
+    """Design a peaking filter with :func:`scipy.signal.iirpeak`; quality
+    factor is ``freq/bandwidth`` (reference ``iir_filter.py:173``)."""
     import scipy.signal as sg
 
     f_samp = _f_samp_of(f_samp)
     f_c = _ratio(freq, f_samp) if f_samp is not None else float(freq)
+    q = float(freq / bandwidth)
     if not 0 <= f_c <= 1:
         raise DSPFatal(
             "Critical frequency must be positive and < nyquist frequency"
         )
-    a, b = sg.iirpeak(f_c, float(q))
-    return _make_filter_kernel("peak_filter", a, b)
+    a, b = sg.iirpeak(f_c, q)
+    return _make_filter_kernel("peak_filter", a, b, init_out="zero")

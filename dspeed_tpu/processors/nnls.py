@@ -69,18 +69,24 @@ def _fista_nnls(A, b, iters: int):
     static=[2, 3, 4, 5],
     uses_dims=True,
 )
-def optimize_nnls(mat, vec, tolerance, max_iterations, verbose, iter_scale, dims):
+def optimize_nnls(mat, vec, maxiter, tol, allow_singularity, min_value, dims):
     """Solve ``argmin_x ||mat @ x - vec||``, ``x >= 0``
-    (reference ``nnls.py:21``; tolerance/verbose accepted for config parity —
-    the traced solve runs ``iter_scale * n`` FISTA iterations)."""
+    (reference ``nnls.py:21``, same positional args: a, b, maxiter, tol,
+    allow_singularity, min_value). ``tol``/``allow_singularity`` are accepted
+    for config parity; the traced solve runs bounded FISTA iterations and
+    zeroes solution entries at or below ``min_value`` like the reference's
+    active-set constraint."""
     A = jnp.asarray(mat)
     if A.ndim != 2:
         # shared matrix is expected; per-event matrices fall back to vmap
         A = A.reshape(-1, *A.shape[-2:])[0]
     n = dims["n"]
-    scale = float(iter_scale) if iter_scale is not None else 3.0
-    iters = max(32, int(scale * n))
-    maxit = static_int(max_iterations, "optimize_nnls", "max_iterations")
-    iters = min(iters, max(maxit, 32)) if maxit > 0 else iters
+    iters = max(32, 3 * n)
+    maxit = static_int(maxiter, "optimize_nnls", "maxiter")
+    if maxit > 0:
+        iters = min(iters, max(maxit, 32))
     x = _fista_nnls(A, jnp.asarray(vec, A.dtype), iters)
+    mv = float(min_value)
+    if mv > 0.0:
+        x = jnp.where(x > mv, x, 0.0)
     return nanmask(isnan_any(vec, 1), x.astype(jnp.asarray(vec).dtype))

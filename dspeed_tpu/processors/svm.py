@@ -37,8 +37,11 @@ def svm_predict(svm_file: str) -> Kernel:
 
     def fn(w_in):
         out_shape = jax.ShapeDtypeStruct(w_in.shape[:-1], jnp.float64)
-        return jax.pure_callback(
-            host_predict, out_shape, w_in, vmap_method="sequential"
+        out = jax.pure_callback(
+            host_predict, out_shape, jnp.nan_to_num(w_in),
+            vmap_method="sequential",
         )
+        # reference svm.py:55 returns NaN for NaN inputs
+        return jnp.where(jnp.any(jnp.isnan(w_in), axis=-1), jnp.nan, out)
 
     return Kernel(fn, "(n)->()", ["f->d", "d->d"], name="svm_predict")

@@ -101,7 +101,7 @@ class TestIIRDesign:
         f0, fs = 0.25, 1.0
         t = np.arange(2048)
         tone = np.sin(2 * np.pi * f0 * t)[None].astype("float64")
-        kern = dp.notch_filter(2 * f0, 30.0)
+        kern = dp.notch_filter(2 * f0, 0.02)  # q = freq/bandwidth = 25
         (y,) = kern(tone)
         # steady-state attenuation: tone mostly removed
         assert np.abs(np.asarray(y)[0, 500:]).max() < 0.1

@@ -62,7 +62,8 @@ class TestOptimize:
             0.0,
         )[None] + rng.normal(0, 0.01, (2, n))
         tau1, tau2, frac = dp.optimize_2pz(
-            wf.astype("float64"), 0.0, 200, 1800, 400.0, 100.0, 0.5
+            wf.astype("float64"), 0.0, 200, 1800, 2000.0, 1.0, 400.0,
+            100.0, 0.5
         )
         from dspeed_tpu.processors.optimize import _dpz_traced, _slope_objective
         import jax.numpy as jnp
@@ -89,7 +90,7 @@ class TestNnls:
         )
         b = np.einsum("mn,bn->bm", A, xs)
         (sol,) = dp.optimize_nnls(
-            A, b, 1e-8, 0, 0, 20.0, dims={"m": 20, "n": 8}
+            A, b, 0, 1e-8, 0, 0.0, dims={"m": 20, "n": 8}
         )
         for i in range(3):
             exp, _ = scipy_nnls(A, b[i])

@@ -114,6 +114,50 @@ class _PyVectorize:
         return out
 
 
+class _AutoOutGUFunc:
+    """Delegating wrapper that adds numba's output auto-allocation.
+
+    A real numba gufunc called with only its inputs allocates and *returns*
+    the outputs — the reference relies on this internally (optimize.py:32
+    ``Model.__call__`` calls ``pole_zero(y, *args)`` with no output array).
+    The reference's GUFuncWrapper asserts the full argument count, so this
+    wrapper allocates missing outputs from the signature and returns them.
+    """
+
+    def __init__(self, w):
+        self._w = w
+
+    def __getattr__(self, name):
+        return getattr(self._w, name)
+
+    def __call__(self, *args):
+        w = self._w
+        if len(args) == w.nin and w.nout > 0:
+            ins = [np.asarray(a) for a in args]
+            sizes = {}
+            bshapes = []
+            for a, d in zip(ins, w.in_dims):
+                nd = len(d)
+                bshapes.append(a.shape[: a.ndim - nd])
+                for k, s in zip(d, a.shape[a.ndim - nd:]):
+                    sizes.setdefault(k, s)
+            bshape = np.broadcast_shapes(*bshapes)
+            dt = next(
+                (a.dtype for a in ins if a.dtype.kind == "f"), np.float64
+            )
+            outs = [
+                np.full(
+                    bshape + tuple(sizes[k] for k in d),
+                    np.nan,
+                    dtype=dt,
+                )
+                for d in w.out_dims
+            ]
+            w(*args, *outs)
+            return outs[0] if len(outs) == 1 else tuple(outs)
+        return w(*args)
+
+
 def _guvectorize(type_sigs, signature=None, **_kwargs):
     # numba also allows @guvectorize(signature_only) forms; the reference
     # always passes (types, signature).
@@ -126,7 +170,7 @@ def _guvectorize(type_sigs, signature=None, **_kwargs):
             copy_out=False,
         )
         w.__wrapped__ = fun
-        return w
+        return _AutoOutGUFunc(w)
 
     return deco
 
@@ -208,9 +252,18 @@ def _install_stub_modules():
 
             def __init__(self, model, *args):
                 self._model = model
-                self.values = list(map(float, args))
+                # iminuit array-parameter mode: Minuit(model, [p0, p1, ...])
+                # passes the whole array to model(args)
+                if len(args) == 1 and isinstance(args[0], (list, tuple, np.ndarray)):
+                    self._array_mode = True
+                    self.values = list(map(float, args[0]))
+                else:
+                    self._array_mode = False
+                    self.values = list(map(float, args))
                 self.errordef = 1.0
                 self.limits = None
+                self.print_level = 0
+                self.strategy = 1
 
             def simplex(self):
                 return self
@@ -218,12 +271,15 @@ def _install_stub_modules():
             def migrad(self):
                 from scipy.optimize import minimize
 
-                bounds = self.limits
+                if self._array_mode:
+                    fun = lambda p: float(self._model(np.asarray(p)))  # noqa: E731
+                else:
+                    fun = lambda p: float(self._model(*p))  # noqa: E731
                 res = minimize(
-                    lambda p: self._model(*p),
+                    fun,
                     self.values,
                     method="Nelder-Mead",
-                    bounds=bounds,
+                    bounds=self.limits,
                     options={"xatol": 1e-10, "fatol": 1e-14, "maxiter": 4000},
                 )
                 self.values = list(res.x)
@@ -241,7 +297,25 @@ def _install_stub_modules():
 
             return _read(name, fname)
 
+        class LH5Store:
+            """Surface used by the reference's wiener_filter factory
+            (wiener_filter.py:43-70): gimme_file + read returning (obj, n)
+            where obj has ``.nda``."""
+
+            def gimme_file(self, fname, mode="r"):
+                import h5py
+
+                return h5py.File(fname, mode)
+
+            def read(self, name, fname):
+                obj = read(name, fname)
+                nda = getattr(obj, "nda", None)
+                if nda is None:
+                    obj = types.SimpleNamespace(nda=np.asarray(obj))
+                return obj, len(obj.nda)
+
         lh5.read = read
+        lh5.LH5Store = LH5Store
         sys.modules["lh5"] = lh5
 
     # --- synthetic refdsp package ---
@@ -383,6 +457,7 @@ def call_ref(
     int_args: tuple = (),
     intish_outs: tuple = (),
     loose_outs: tuple = (),
+    batched_call: bool = False,
 ):
     """Call a reference gufunc oracle, allocating outputs from its signature.
 
@@ -450,6 +525,11 @@ def call_ref(
         np.broadcast_to(a, bshape + tuple(sizes[k] for k in d))
         for a, d in zip(ins, in_dims)
     ]
+    if batched_call:
+        # vectorized=True wrappers whose body needs the whole batch at once
+        # (tf_model's keras call requires a batch dimension)
+        func(*(np.array(b) for b in bins), *outs)
+        return tuple(outs)
     for idx in np.ndindex(*bshape):
         call_args = []
         for j, (a, d) in enumerate(zip(bins, in_dims)):
