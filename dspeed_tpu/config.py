@@ -29,3 +29,21 @@ def accum_mode() -> str:
     if accumulation != "auto":
         return accumulation
     return "f64" if jax.config.jax_enable_x64 else "blocked"
+
+
+# -- sequence (sample-axis) parallelism ------------------------------------
+# Set by ProcessingChain.set_sharding(..., sample_axis=...) for the duration
+# of a chain trace: (mesh, sample_axis_name, batch_axis_names). Kernels that
+# can exploit a sharded sample axis (the long convolutions) consult it and
+# route through the halo-exchange path (parallel/conv.py); everything else
+# is partitioned by GSPMD automatically.
+_sample_sharding = None
+
+
+def set_sample_sharding(value) -> None:
+    global _sample_sharding
+    _sample_sharding = value
+
+
+def sample_sharding():
+    return _sample_sharding

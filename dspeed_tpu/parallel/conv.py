@@ -42,14 +42,14 @@ def _local_conv_full(x, taps):
     return out.reshape(*x.shape[:-1], x.shape[-1] + m - 1)
 
 
-def sp_convolve_same(w, taps, mesh: Mesh, axis: str = "sp"):
-    """'same'-mode convolution of ``w (..., n)`` with ``taps (m,)``, the
-    sample axis sharded over mesh axis ``axis``.
-
-    Equivalent to ``numpy.convolve(w_row, taps, "same")`` per event; batch
-    axes stay replicated here (combine with the chain's ``data`` axis for
-    the full 2-D layout).
-    """
+def sp_convolve_same_traced(
+    w, taps, mesh: Mesh, axis: str = "sp", batch_axes: tuple = ()
+):
+    """Traced core of :func:`sp_convolve_same`: usable inside an outer
+    ``jit`` (no ``device_put``; GSPMD reshards the operand into the
+    ``shard_map`` as needed). ``batch_axes`` optionally lays the leading
+    batch dims over mesh axes (e.g. ``("data",)`` in a chain whose events
+    are data-parallel while samples are sequence-parallel)."""
     n = w.shape[-1]
     m = int(taps.shape[-1])
     nshards = mesh.shape[axis]
@@ -79,9 +79,25 @@ def sp_convolve_same(w, taps, mesh: Mesh, axis: str = "sp"):
         start = (m - 1) // 2 + halo
         return jax.lax.dynamic_slice_in_dim(full, start, local, axis=-1)
 
-    spec = P(*([None] * (w.ndim - 1) + [axis]))
+    lead = list(batch_axes[: w.ndim - 1])
+    lead += [None] * (w.ndim - 1 - len(lead))
+    spec = P(*lead, axis)
     sm = _shard_map_fn()(
         body, mesh=mesh, in_specs=(spec, P(None)), out_specs=spec
     )
-    w_sharded = jax.device_put(w, NamedSharding(mesh, spec))
-    return sm(w_sharded, jnp.asarray(taps, w_sharded.dtype))
+    return sm(w, jnp.asarray(taps, w.dtype))
+
+
+def sp_convolve_same(w, taps, mesh: Mesh, axis: str = "sp"):
+    """'same'-mode convolution of ``w (..., n)`` with ``taps (m,)``, the
+    sample axis sharded over mesh axis ``axis``.
+
+    Equivalent to ``numpy.convolve(w_row, taps, "same")`` per event; batch
+    axes stay replicated here (combine with the chain's ``data`` axis via
+    :func:`sp_convolve_same_traced`'s ``batch_axes``).
+    """
+    w_sharded = jax.device_put(
+        w,
+        NamedSharding(mesh, P(*([None] * (np.ndim(w) - 1) + [axis]))),
+    )
+    return sp_convolve_same_traced(w_sharded, taps, mesh, axis)

@@ -1041,7 +1041,7 @@ class ProcessingChain:
         self._mesh = None
         self._batch_axes: tuple[str, ...] = ("data",)
 
-    def set_sharding(self, mesh, batch_axes=("data",)) -> None:
+    def set_sharding(self, mesh, batch_axes=("data",), sample_axis=None) -> None:
         """Shard execution over a :class:`jax.sharding.Mesh`.
 
         The leading batch dimensions of every environment array are laid out
@@ -1050,10 +1050,23 @@ class ProcessingChain:
         collective-free, so XLA SPMD partitions it with zero communication —
         the TPU-native replacement for the reference's single-host block loop
         (SURVEY.md §5: distributed backend absent in the reference).
+
+        ``sample_axis`` additionally shards the waveform *sample* dimension
+        over the named mesh axis (sequence parallelism, for waveforms too
+        long for one chip). The long convolutions then route through the
+        ``ppermute`` halo-exchange path (``parallel/conv.py``); every other
+        kernel is partitioned by GSPMD, which inserts the collectives the
+        data flow requires.
         """
         self._mesh = mesh
         self._batch_axes = tuple(batch_axes)
+        self._sample_axis = sample_axis
         self._invalidate()
+
+    def _sample_cfg(self):
+        if self._mesh is None or getattr(self, "_sample_axis", None) is None:
+            return None
+        return (self._mesh, self._sample_axis, self._batch_axes)
 
     def _shard_inputs(self, inputs: dict) -> dict:
         import jax
@@ -1062,10 +1075,20 @@ class ProcessingChain:
         if self._mesh is None:
             return inputs
         nb = len(self._batch_axes)
+        samp = getattr(self, "_sample_axis", None)
+        nsh = self._mesh.shape[samp] if samp is not None else 1
         out = {}
         for k, v in inputs.items():
-            axes = self._batch_axes[: min(nb, v.ndim)]
-            spec = PartitionSpec(*axes, *([None] * (v.ndim - len(axes))))
+            axes = list(self._batch_axes[: min(nb, v.ndim)])
+            tail = [None] * (v.ndim - len(axes))
+            if (
+                samp is not None
+                and v.ndim > len(axes)
+                and v.shape[-1] % nsh == 0
+                and v.shape[-1] >= nsh
+            ):
+                tail[-1] = samp
+            spec = PartitionSpec(*axes, *tail)
             out[k] = jax.device_put(v, NamedSharding(self._mesh, spec))
         return out
 
@@ -1229,15 +1252,23 @@ class ProcessingChain:
             if var.is_const and var.const_value is not None
         }
 
+        sample_cfg = self._sample_cfg()
+
         def chain_fn(inputs: dict):
+            from . import config as _config
+
             env = dict(inputs)
             env.update(const_env)
-            for step in steps:
-                try:
-                    step.run(env)
-                except DSPFatal as e:
-                    e.processor = str(step)
-                    raise
+            _config.set_sample_sharding(sample_cfg)
+            try:
+                for step in steps:
+                    try:
+                        step.run(env)
+                    except DSPFatal as e:
+                        e.processor = str(step)
+                        raise
+            finally:
+                _config.set_sample_sharding(None)
             return {k: env[k] for k in out_keys}
 
         return chain_fn

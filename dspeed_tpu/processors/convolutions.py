@@ -110,6 +110,31 @@ def _conv_full_fft(w, kern):
     return out.reshape(*lead, size).astype(w.dtype)
 
 
+def _sp_route(w, kern, ch, n, m):
+    """Sequence-parallel 'same' convolution when the chain sharded the
+    sample axis (``ProcessingChain.set_sharding(..., sample_axis=...)``):
+    overlap-save with ``ppermute`` halo exchange under ``shard_map``
+    (SURVEY.md §5; reference single-host hook ``convolutions.py:81``).
+    Returns ``None`` when not applicable (unsharded, wrong mode, halo
+    larger than a shard)."""
+    if ch != "s" or getattr(kern, "ndim", 0) != 1:
+        return None
+    from .. import config
+
+    ss = config.sample_sharding()
+    if ss is None:
+        return None
+    mesh, axis, batch_axes = ss
+    nsh = mesh.shape[axis]
+    if n % nsh or (m - 1) > n // nsh:
+        return None
+    from ..parallel.conv import sp_convolve_same_traced
+
+    return sp_convolve_same_traced(
+        w, jnp.asarray(np.asarray(kern), w.dtype), mesh, axis, batch_axes
+    )
+
+
 def _conv_kernel_checks(w_in, kernel_arr, name):
     n = w_in.shape[-1]
     m = kernel_arr.shape[-1]
@@ -146,8 +171,12 @@ def convolve_wf(w_in, kernel_in, mode_in, dims):
     expect = {"f": n + m - 1, "v": abs(n - m) + 1, "s": max(n, m)}[ch]
     if p != expect:
         raise DSPFatal(f"Output waveform has length {p}; expect {expect}")
-    full = _conv_full_direct(w_in, kern)
-    out = _slice_mode(full, n, m, ch).astype(w_in.dtype)
+    sp = _sp_route(w_in, kern, ch, n, m)
+    if sp is not None:
+        out = sp.astype(w_in.dtype)
+    else:
+        full = _conv_full_direct(w_in, kern)
+        out = _slice_mode(full, n, m, ch).astype(w_in.dtype)
     bad = isnan_any(w_in, 1) | _kernel_has_nan(kern)
     return nanmask(bad, out)
 
@@ -166,8 +195,12 @@ def fft_convolve_wf(w_in, kernel_in, mode_in, dims):
     ch = _mode_char(mode_in, "fft_convolve_wf")
     bad = isnan_any(w_in, 1)
     w = jnp.where(bad[..., None] if hasattr(bad, "ndim") and bad.ndim else bad, 0.0, w_in)
-    full = _conv_full_fft(w, kern)
-    out = _slice_mode(full, n, m, ch).astype(w_in.dtype)
+    sp = _sp_route(w, kern, ch, n, m)
+    if sp is not None:
+        out = sp.astype(w_in.dtype)
+    else:
+        full = _conv_full_fft(w, kern)
+        out = _slice_mode(full, n, m, ch).astype(w_in.dtype)
     return nanmask(bad | _kernel_has_nan(kern), out)
 
 

@@ -33,6 +33,73 @@ class TestSpConvolve:
         assert got.shape == (2, 512)
 
 
+class TestChainSequenceParallel:
+    def _build(self, rng, n_ev=6, nsamp=512):
+        from dspeed_tpu import lh5
+        from dspeed_tpu.processing_chain import build_processing_chain
+
+        config = {
+            "outputs": ["wf_smooth", "wf_direct"],
+            "processors": {
+                "kern": {
+                    "function": "gaussian_filter1d",
+                    "module": "dspeed_tpu.processors",
+                    "args": ["4", "3.0", "kern(25, 'f')"],
+                },
+                "wf_smooth": {
+                    "function": "fft_convolve_wf",
+                    "module": "dspeed_tpu.processors",
+                    "args": ["waveform", "kern", "'s'",
+                             "wf_smooth(len(waveform), 'f')"],
+                },
+                "wf_direct": {
+                    "function": "convolve_wf",
+                    "module": "dspeed_tpu.processors",
+                    "args": ["waveform", "kern", "'s'",
+                             "wf_direct(len(waveform), 'f')"],
+                },
+            },
+        }
+        wf = rng.normal(0, 1, (n_ev, nsamp)).astype("float32")
+        wf[1] = np.nan
+        tb = lh5.Table(
+            {
+                "waveform": lh5.WaveformTable(
+                    values=wf, t0=0.0, t0_units="ns", dt=16.0, dt_units="ns"
+                )
+            }
+        )
+        chain, _, _ = build_processing_chain(config, tb)
+        return chain
+
+    def test_sharded_sample_axis_matches_single_device(self, rng):
+        """fft_convolve_wf/convolve_wf route through the ppermute halo
+        exchange when the chain shards the sample axis; results must match
+        the unsharded chain (VERDICT r1 item 7; reference single-host hook
+        ``convolutions.py:81``)."""
+        chain = self._build(rng)
+        inputs, n = chain._gather_inputs(0, chain._buffer_len)
+        ref = {k: np.asarray(v) for k, v in
+               jax.jit(chain._build_fn())(inputs).items()}
+
+        mesh = make_mesh({"data": 2, "sp": 4})
+        chain.set_sharding(mesh, batch_axes=("data",), sample_axis="sp")
+        fn = jax.jit(chain._build_fn())
+        sharded_in = chain._shard_inputs(inputs)
+        out = {k: np.asarray(v) for k, v in fn(sharded_in).items()}
+
+        # the halo hop must actually be in the program
+        hlo = fn.lower(sharded_in).compile().as_text()
+        assert "collective-permute" in hlo
+
+        for k in ref:
+            np.testing.assert_allclose(
+                out[k], ref[k], rtol=1e-5,
+                atol=2e-6 * np.nanmax(np.abs(ref[k])),
+                equal_nan=True, err_msg=k,
+            )
+
+
 class TestChainSharding:
     def test_channel_data_mesh_matches_single_device(self):
         import sys, os
