@@ -30,7 +30,50 @@ from .processing_chain import build_processing_chain
 
 log = logging.getLogger("dspeed_tpu")
 
-__all__ = ["build_dsp"]
+__all__ = ["build_dsp", "host_partition"]
+
+
+def host_partition(
+    lh5_tables, i_start, n_entries, entry_list, entry_mask,
+    total_rows_fn, pc: int, pi: int,
+):
+    """Partition bulk-production work across ``pc`` hosts for host ``pi``.
+
+    Multiple channel tables go round-robin (the TPU-pod analog of the
+    reference's one-numba-process-per-channel batch fan-out, reference
+    ``build_dsp.py:238`` per-table loop + external scheduler); a single
+    table splits its entry range contiguously. ``total_rows_fn(tb)`` is
+    called only when the range must be derived from the file.
+    Returns ``(lh5_tables, i_start, n_entries, entry_list, entry_mask)``.
+    """
+    import numpy as np
+
+    if pc <= 1:
+        return lh5_tables, i_start, n_entries, entry_list, entry_mask
+    if len(lh5_tables) > 1:
+        mine = list(lh5_tables)[pi::pc]
+        log.info(
+            "host %d/%d: processing %d of %d tables", pi, pc, len(mine),
+            len(lh5_tables),
+        )
+        return mine, i_start, n_entries, entry_list, entry_mask
+    if entry_mask is not None:
+        entry_list = np.flatnonzero(np.asarray(entry_mask))
+        entry_mask = None
+    if entry_list is not None:
+        chunk = np.array_split(np.asarray(entry_list), pc)[pi]
+        return lh5_tables, i_start, n_entries, chunk, None
+    total = n_entries
+    if total is None:
+        total = max(0, int(total_rows_fn(lh5_tables[0])) - i_start)
+    base, rem = divmod(total, pc)
+    my_n = base + (1 if pi < rem else 0)
+    my_start = i_start + pi * base + min(pi, rem)
+    log.info(
+        "host %d/%d: entries [%d, %d) of %d", pi, pc, my_start,
+        my_start + my_n, total,
+    )
+    return lh5_tables, my_start, my_n, entry_list, entry_mask
 
 # process-wide compiled-chain cache: repeated build_dsp calls with the same
 # (config, db, input schema) reuse the traced+compiled chain instead of
@@ -66,6 +109,9 @@ def _chain_cache_key(processors, db_dict, outputs, tb_in):
             _json.dumps(db_dict, sort_keys=True, default=str),
             tuple(outputs) if outputs is not None else None,
             _schema_fingerprint(tb_in),
+            # chunk length: a cached chain's output buffers are sized for
+            # it, so a longer first chunk must not reuse a shorter build
+            len(tb_in),
         )
     except TypeError:
         return None
@@ -151,9 +197,18 @@ def build_dsp(
     buffer_len: int = 3200,
     block_width: int = 16,
     chan_config: str | Mapping[str, str] = None,
+    distribute: bool = True,
 ):
     """Run a DSP recipe over raw waveform data; see the reference docstring
     (``build_dsp.py:27-126``) for parameter semantics, which are preserved.
+
+    ``distribute`` (default on): under multi-host JAX
+    (``jax.distributed.initialize``; ``jax.process_count() > 1``) each host
+    takes its own share of the work — channel tables round-robin, or a
+    contiguous entry-range slice of a single table — and writes its own
+    output file (``dsp_out`` gains a ``.p<idx>`` suffix, or substitute a
+    ``{process}`` placeholder). The reference leaves this fan-out to
+    external batch systems (one numba process per channel job).
     """
     if isinstance(lh5_tables, str):
         lh5_tables = [lh5_tables]
@@ -192,6 +247,34 @@ def build_dsp(
         raise RuntimeError(
             f"raw_in was not a file name, Table, or LH5Iterator: {raw_in}"
         )
+
+    # ---- multi-host partitioning (BASELINE config 5) ----
+    pc, pi = 1, 0
+    if distribute:
+        try:
+            import jax
+
+            pc, pi = jax.process_count(), jax.process_index()
+        except Exception:  # backend not initialized yet: single host
+            pc, pi = 1, 0
+    if pc > 1:
+        def _total_rows(tb):
+            if isinstance(raw_in, str):
+                return lh5.read_n_rows(tb or "raw", raw_in)
+            return len(raw_in)
+
+        lh5_tables, i_start, n_entries, entry_list, entry_mask = (
+            host_partition(
+                lh5_tables, i_start, n_entries, entry_list, entry_mask,
+                _total_rows, pc, pi,
+            )
+        )
+        if isinstance(dsp_out, str):
+            if "{process}" in dsp_out:
+                dsp_out = dsp_out.format(process=pi)
+            else:
+                root, ext = os.path.splitext(dsp_out)
+                dsp_out = f"{root}.p{pi}{ext}"
 
     dsp_config = _load_mapping(dsp_config, "dsp_config")
     chan_config = _load_mapping(chan_config, "chan_config") or {}

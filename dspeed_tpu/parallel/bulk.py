@@ -38,16 +38,32 @@ def build_dsp_stacked(
     outputs: Collection[str] | None = None,
     write_mode: str | None = None,
     buffer_len: int = 3200,
+    distribute: bool = True,
 ):
     """Process ``lh5_tables`` (same config/geometry) as stacked channels.
 
     With ``mesh`` (axes ``("channel", "data")``), the stack is sharded over
     devices; without, it still batches ``C x B`` events per dispatch on one
     chip. Writes ``<table>/dsp`` groups like :func:`~dspeed_tpu.build_dsp`.
+    Under multi-host JAX each host takes a round-robin share of the channel
+    stack and writes its own ``.p<idx>``-suffixed file (see
+    :func:`dspeed_tpu.build_dsp.host_partition`).
     """
+    import os
+
     import jax
 
     lh5_tables = list(lh5_tables)
+    if distribute and jax.process_count() > 1:
+        pc, pi = jax.process_count(), jax.process_index()
+        lh5_tables = lh5_tables[pi::pc]
+        log.info("host %d/%d: stacking %d channels", pi, pc, len(lh5_tables))
+        if isinstance(dsp_out, str):
+            if "{process}" in dsp_out:
+                dsp_out = dsp_out.format(process=pi)
+            else:
+                root, ext = os.path.splitext(dsp_out)
+                dsp_out = f"{root}.p{pi}{ext}"
     n_chan = len(lh5_tables)
     iterators = [
         LH5Iterator(raw_in, tb, buffer_len=buffer_len) for tb in lh5_tables

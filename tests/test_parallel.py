@@ -213,3 +213,121 @@ class TestStackedBulk:
             st["ch0"]["dsp"]["trapEmax"].nda,
             st["ch1"]["dsp"]["trapEmax"].nda,
         )
+
+
+class TestMultiHost:
+    """Per-host work partitioning for pod-scale bulk production
+    (VERDICT r1 item 5; reference analog: one numba job per channel table
+    fanned out by external batch systems, ``build_dsp.py:238``).
+
+    ``jax.process_count``/``process_index`` are patched to simulate two
+    hosts in one process: true 2-process ``jax.distributed.initialize`` on
+    the CPU backend no-ops in this image (process_count stays 1 — verified
+    2026-08-17), so host-identity is injected where the partitioning reads
+    it. Each simulated host sees distinct channels with distinct data and
+    distinct per-channel db constants.
+    """
+
+    def _raw_file(self, tmp_path, rng):
+        import os
+        import sys
+
+        sys.path.insert(0, os.path.dirname(__file__))
+        from test_build_dsp import make_hpge_waveforms
+
+        from dspeed_tpu import lh5
+
+        path = str(tmp_path / "pod_raw.lh5")
+        amps = {}
+        for c in range(4):
+            wf, amp, t0, bl = make_hpge_waveforms(n=8, seed=11 + c)
+            tb = lh5.Table(
+                {
+                    "waveform": lh5.WaveformTable(
+                        values=wf, t0=0.0, t0_units="ns", dt=16.0,
+                        dt_units="ns",
+                    ),
+                    "baseline": lh5.Array(bl.astype("float32")),
+                }
+            )
+            lh5.write(tb, f"ch{c}/raw", path)
+            amps[f"ch{c}"] = amp
+        return path, amps
+
+    def test_channel_round_robin(self, tmp_path, rng, monkeypatch):
+        import os
+        import sys
+
+        sys.path.insert(0, os.path.dirname(__file__))
+        from test_build_dsp import CONFIG, DB_FLAT
+
+        from dspeed_tpu import build_dsp, lh5
+
+        path, amps = self._raw_file(tmp_path, rng)
+        db = {
+            f"ch{c}": {**DB_FLAT, "pz": {"tau": 27460.5 + 10 * c}}
+            for c in range(4)
+        }
+
+        # single-host reference
+        ref = build_dsp(path, None, CONFIG, database=db,
+                        outputs=["trapEmax"])
+
+        outs = {}
+        for pi in range(2):
+            monkeypatch.setattr(jax, "process_count", lambda: 2)
+            monkeypatch.setattr(jax, "process_index", lambda pi=pi: pi)
+            out_file = str(tmp_path / "pod_dsp.lh5")
+            build_dsp(path, out_file, CONFIG, database=db,
+                      outputs=["trapEmax"], write_mode="r")
+            host_file = str(tmp_path / f"pod_dsp.p{pi}.lh5")
+            assert os.path.isfile(host_file), "per-host output naming"
+            chans = {t.split("/")[0] for t in lh5.ls(host_file, "*")}
+            for ch in chans:
+                outs[ch] = lh5.read(f"{ch}/dsp", host_file)
+
+        # both hosts together cover all four channels exactly once
+        assert set(outs) == {"ch0", "ch1", "ch2", "ch3"}
+        for ch, tbl in outs.items():
+            np.testing.assert_array_equal(
+                tbl["trapEmax"].nda, ref[ch]["dsp"]["trapEmax"].nda,
+                err_msg=ch,
+            )
+
+    def test_single_table_entry_split(self, tmp_path, rng, monkeypatch):
+        import os
+        import sys
+
+        sys.path.insert(0, os.path.dirname(__file__))
+        from test_build_dsp import CONFIG, DB_FLAT, make_hpge_waveforms
+
+        from dspeed_tpu import build_dsp, lh5
+
+        path = str(tmp_path / "one_raw.lh5")
+        wf, amp, t0, bl = make_hpge_waveforms(n=11)
+        tb = lh5.Table(
+            {
+                "waveform": lh5.WaveformTable(
+                    values=wf, t0=0.0, t0_units="ns", dt=16.0, dt_units="ns"
+                ),
+                "baseline": lh5.Array(bl.astype("float32")),
+            }
+        )
+        lh5.write(tb, "det/raw", path)
+        db = {"det": DB_FLAT}
+
+        ref = build_dsp(path, None, CONFIG, database=db,
+                        outputs=["trapEmax"])
+        full = ref["det"]["dsp"]["trapEmax"].nda
+
+        pieces = []
+        for pi in range(2):
+            monkeypatch.setattr(jax, "process_count", lambda: 2)
+            monkeypatch.setattr(jax, "process_index", lambda pi=pi: pi)
+            st = build_dsp(path, None, CONFIG, database=db,
+                           outputs=["trapEmax"])
+            pieces.append(st["det"]["dsp"]["trapEmax"].nda)
+
+        # contiguous split: 6 + 5 entries, concatenation == full run
+        assert len(pieces[0]) == 6 and len(pieces[1]) == 5
+        np.testing.assert_array_equal(np.concatenate(pieces), full)
