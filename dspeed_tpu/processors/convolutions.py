@@ -10,6 +10,8 @@ real FFT — XLA picks the layout; both produce identical shapes/modes as
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 import jax
@@ -44,18 +46,18 @@ def _slice_mode(full, n, m, ch):
 
 
 def _conv_full_direct(w, kern):
-    """Full convolution of batched ``w`` with a shared 1-D kernel.
+    """Full convolution of batched ``w`` with a shared 1-D kernel; long-tap
+    kernels fall through to the FFT path (measured on v5e: direct lowering
+    wins below ~32 taps)."""
+    if kern.ndim == 1 and kern.shape[-1] > 32:
+        return _conv_full_fft(w, kern)
+    return _conv_full_direct_only(w, kern)
 
-    On TPU, short-tap kernels use the Pallas shift-FMA kernel
-    (:mod:`._pallas`); otherwise XLA's conv."""
+
+def _conv_full_direct_only(w, kern):
+    """Full convolution via ``conv_general_dilated``, no routing."""
     n = w.shape[-1]
     m = kern.shape[-1]
-    if kern.ndim == 1 and m > 32:
-        # measured on v5e (4096x4096 batch): direct lowering wins below
-        # ~32 taps; above that the matmul-FFT convolution is fastest
-        # (133 taps: 28 ms direct vs 9.5 ms matmul-FFT; the Pallas
-        # shift-FMA kernel loses at every length and is not routed)
-        return _conv_full_fft(w, kern)
     lhs = w.reshape(-1, 1, n)
     # conv_general_dilated computes correlation; flip for convolution
     rhs = kern[::-1].reshape(1, 1, m).astype(w.dtype)
@@ -108,6 +110,90 @@ def _conv_full_fft(w, kern):
         kf = jnp.fft.rfft(kern.astype(w.dtype), fsize, axis=-1)
     out = jnp.fft.irfft(wf * kf, fsize, axis=-1)[..., :size]
     return out.reshape(*lead, size).astype(w.dtype)
+
+
+def _mode_window(ch, n, m):
+    """(lo, p): the slice of the full convolution a numpy mode keeps."""
+    if ch == "f":
+        return 0, n + m - 1
+    if ch == "v":
+        return min(n, m) - 1, abs(n - m) + 1
+    return (min(n, m) - 1) // 2, max(n, m)
+
+
+def _conv_banded_matmul(w, kern, lo, p, blk=512):
+    """``full_conv(w, kern)[..., lo:lo+p]`` as banded matrix products.
+
+    The mode window of a valid/same convolution is a *band* of the Toeplitz
+    operator: computing only those outputs as an MXU matmul does
+    ``p*m`` MACs/event — for the flagship CUSP/ZAC filters ('v' mode,
+    301 outputs x 1696 taps ≈ 0.5M MAC/event) that is ~25x fewer FLOPs than
+    any full-length transform, with direct-conv accuracy (no FFT rounding
+    or pad-size games). Long output windows tile the band into blocks that
+    share one (blk+m-1, blk) matrix. Requires a concrete (config-constant)
+    kernel; matrices are host-built and trace-time constants.
+    """
+    m = int(kern.shape[-1])
+    n = w.shape[-1]
+    kern = np.asarray(kern, dtype=np.float64)
+    blk = min(blk, p)
+    nblk = -(-p // blk)
+    p_pad = nblk * blk
+    # input span for output block starting at t0: u in [t0-(m-1), t0+blk)
+    span = blk + m - 1
+    # A[s, i] = k[i + m-1 - s] (shared by every block)
+    s_idx = np.arange(span)[:, None]
+    i_idx = np.arange(blk)[None, :]
+    j = i_idx + (m - 1) - s_idx
+    A = np.where((j >= 0) & (j < m), kern[np.clip(j, 0, m - 1)], 0.0)
+    A = jnp.asarray(A.astype(np.result_type(w.dtype, np.float32)))
+
+    # pad w so every block's input span is in range: global u in
+    # [lo-(m-1), lo+p_pad) -> shift by m-1-lo after left pad
+    pad_l = max(0, m - 1 - lo)
+    pad_r = max(0, lo + p_pad - n)
+    wp = jnp.pad(w, [(0, 0)] * (w.ndim - 1) + [(pad_l, pad_r)])
+    base = lo - (m - 1) + pad_l  # index of block 0's first input sample
+    hp = jax.lax.Precision.HIGHEST
+    if nblk == 1:
+        win = jax.lax.slice_in_dim(wp, base, base + span, axis=-1)
+        out = jnp.einsum("...s,si->...i", win.astype(A.dtype), A, precision=hp)
+    else:
+        wins = jnp.stack(
+            [
+                jax.lax.slice_in_dim(
+                    wp, base + k * blk, base + k * blk + span, axis=-1
+                )
+                for k in range(nblk)
+            ],
+            axis=-2,
+        )
+        out = jnp.einsum(
+            "...ks,si->...ki", wins.astype(A.dtype), A, precision=hp
+        )
+        out = out.reshape(*out.shape[:-2], p_pad)
+    return out[..., :p].astype(w.dtype)
+
+
+# largest p*m (outputs x taps, per event) routed to the banded matmul; above
+# this the FFT path has fewer FLOPs even counting its elementwise passes
+_MATMUL_MAC_LIMIT = int(os.getenv("DSPEED_TPU_CONV_MATMUL_MACS", 16_000_000))
+
+
+def _convolve_mode(w, kern, ch, n, m, name):
+    """Route a mode-sliced convolution: direct (short taps), banded matmul
+    (constant kernel, bounded band work), else FFT."""
+    lo, p = _mode_window(ch, n, m)
+    route = os.getenv("DSPEED_TPU_CONV", "auto")
+    concrete = not isinstance(kern, jax.core.Tracer) and kern.ndim == 1
+    if route == "direct" or (route == "auto" and m <= 32 and kern.ndim == 1):
+        return _slice_mode(_conv_full_direct_only(w, kern), n, m, ch)
+    if route == "matmul" or (
+        route == "auto" and concrete and p * m <= _MATMUL_MAC_LIMIT
+    ):
+        if concrete:
+            return _conv_banded_matmul(w, np.asarray(kern), lo, p)
+    return _slice_mode(_conv_full_fft(w, kern), n, m, ch)
 
 
 def _sp_route(w, kern, ch, n, m):
@@ -175,8 +261,9 @@ def convolve_wf(w_in, kernel_in, mode_in, dims):
     if sp is not None:
         out = sp.astype(w_in.dtype)
     else:
-        full = _conv_full_direct(w_in, kern)
-        out = _slice_mode(full, n, m, ch).astype(w_in.dtype)
+        out = _convolve_mode(w_in, kern, ch, n, m, "convolve_wf").astype(
+            w_in.dtype
+        )
     bad = isnan_any(w_in, 1) | _kernel_has_nan(kern)
     return nanmask(bad, out)
 
@@ -199,8 +286,9 @@ def fft_convolve_wf(w_in, kernel_in, mode_in, dims):
     if sp is not None:
         out = sp.astype(w_in.dtype)
     else:
-        full = _conv_full_fft(w, kern)
-        out = _slice_mode(full, n, m, ch).astype(w_in.dtype)
+        out = _convolve_mode(w, kern, ch, n, m, "fft_convolve_wf").astype(
+            w_in.dtype
+        )
     return nanmask(bad | _kernel_has_nan(kern), out)
 
 
