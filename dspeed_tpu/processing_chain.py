@@ -40,6 +40,7 @@ import ast
 import importlib
 import itertools as it
 import json
+import os
 import re
 import time
 from copy import deepcopy
@@ -1062,6 +1063,315 @@ class ProcessingChain:
         self._batch_axes = tuple(batch_axes)
         self._sample_axis = sample_axis
         self._invalidate()
+
+    # -- fusion pass -------------------------------------------------------
+
+    def optimize_fusions(self) -> list[str]:
+        """Substitute TPU fused kernels for their canonical step patterns.
+
+        Two patterns (VERDICT r1 items 3-4), matched on the *built* step
+        list so any config spelling that produces them fuses — including the
+        reference's unmodified icpc JSON:
+
+        - energy front: ``pole_zero(bl_subtract(w, b), tau)`` ->
+          ``trap_norm`` -> ``amax`` becomes one
+          :func:`~dspeed_tpu.processors.fused_energy_filter` step (Pallas
+          VMEM pass on TPU; the XLA fallback composes the original kernel
+          bodies, so CPU results stay bit-identical).
+        - threshold cascade: >=3 chained ``time_point_thresh`` steps sharing
+          a waveform and a scaled threshold base become one
+          :func:`~dspeed_tpu.processors.chained_time_point_thresh` kernel
+          (bit-identical links, one fused search program).
+
+        Returns the list of substitutions applied (for logging/tests).
+        """
+        applied = []
+        try:
+            applied += self._fuse_energy_front()
+        except Exception as e:  # a miss must never break a valid chain
+            log.debug("energy-front fusion skipped: %s", e)
+        try:
+            applied += self._fuse_tp_cascade()
+        except Exception as e:
+            log.debug("tp-cascade fusion skipped: %s", e)
+        if applied:
+            self._prune_dead_steps()
+            self._invalidate()
+            log.debug("fusion pass applied: %s", applied)
+        return applied
+
+    @staticmethod
+    def _kname(step):
+        return getattr(getattr(step, "kernel", None), "__name__", None)
+
+    @staticmethod
+    def _env_key(spec):
+        return spec.key if spec.kind == "env" else None
+
+    @staticmethod
+    def _const_scalar(spec):
+        if spec.kind != "const" or spec.value is None:
+            return None
+        v = np.asarray(spec.value)
+        return v[()] if v.ndim == 0 else None
+
+    def _trap_spec_of(self, step, pz_key):
+        """(spec tuple, out var) when ``step`` is a const-parameter trapezoid
+        reading ``pz_key``; None otherwise."""
+        name = self._kname(step)
+        if name == "trap_norm" and self._env_key(step.arg_specs[0]) == pz_key:
+            rise = self._const_scalar(step.arg_specs[1])
+            flat = self._const_scalar(step.arg_specs[2])
+            if rise is not None and flat is not None:
+                return ("norm", int(rise), int(flat))
+        if (
+            name == "asym_trap_filter"
+            and self._env_key(step.arg_specs[0]) == pz_key
+        ):
+            vals = [self._const_scalar(s) for s in step.arg_specs[1:4]]
+            if all(v is not None for v in vals):
+                return ("asym", int(vals[0]), int(vals[1]), int(vals[2]))
+        return None
+
+    def _fuse_energy_front(self) -> list[str]:
+        from .processors import fused_energy_front
+
+        steps = self._steps
+        for i, bls in enumerate(steps):
+            if self._kname(bls) != "bl_subtract" or len(bls.out_specs) != 1:
+                continue
+            x_key = bls.out_specs[0].key
+            for j in range(i + 1, len(steps)):
+                pz = steps[j]
+                if (
+                    self._kname(pz) != "pole_zero"
+                    or len(pz.arg_specs) != 2
+                    or self._env_key(pz.arg_specs[0]) != x_key
+                ):
+                    continue
+                tau = self._const_scalar(pz.arg_specs[1])
+                if tau is None:
+                    continue
+                pz_key = pz.out_specs[0].key
+
+                # every const-parameter trapezoid hanging off this pole-zero
+                traps = []  # (idx, step, spec)
+                for k in range(j + 1, len(steps)):
+                    spec = self._trap_spec_of(steps[k], pz_key)
+                    if spec is not None:
+                        traps.append((k, steps[k], spec))
+                if not traps:
+                    continue
+                # the fused kernel's emax output belongs to the first trap
+                # that has an amax reduction on it
+                am_idx, am_step, first = None, None, None
+                for k, tstep, spec in traps:
+                    t_key = tstep.out_specs[0].key
+                    for a in range(k + 1, len(steps)):
+                        am = steps[a]
+                        if (
+                            self._kname(am) == "amax"
+                            and self._env_key(am.arg_specs[0]) == t_key
+                        ):
+                            am_idx, am_step, first = a, am, (k, tstep, spec)
+                            break
+                    if am_idx is not None:
+                        break
+                if am_idx is None:
+                    continue
+                ordered = [first] + [t for t in traps if t[0] != first[0]]
+                specs = [t[2] for t in ordered]
+                kern = fused_energy_front(float(tau), specs)
+                fused = KernelStep(
+                    self,
+                    kern,
+                    [bls.params[0], bls.params[1], pz.out_specs[0].var]
+                    + [t[1].out_specs[0].var for t in ordered]
+                    + [am_step.out_specs[0].var],
+                    {},
+                )
+                dead = sorted(
+                    {am_idx, *(t[0] for t in ordered)}, reverse=True
+                )
+                for idx in dead:
+                    del steps[idx]
+                steps[j] = fused
+                return [f"fused_energy_front[{len(specs)}]"]
+        return []
+
+    def _threshold_of(self, a_key):
+        """Resolve a threshold env key to (factor, base_key, base_var):
+        unwraps one ``const * base`` multiply expression."""
+        for step in self._steps:
+            if (
+                self._kname(step) == "multiply"
+                and len(step.out_specs) == 1
+                and step.out_specs[0].key == a_key
+                and len(step.arg_specs) == 2
+            ):
+                specs = step.arg_specs
+                for c_spec, e_spec in ((specs[0], specs[1]), (specs[1], specs[0])):
+                    f = self._const_scalar(c_spec)
+                    b = self._env_key(e_spec)
+                    if f is not None and b is not None:
+                        base_var = next(
+                            (
+                                p
+                                for p in step.params
+                                if isinstance(p, ProcChainVar)
+                                and p.key == b
+                            ),
+                            None,
+                        )
+                        return float(f), b, base_var, step
+        return 1.0, a_key, None, None
+
+    def _fuse_tp_cascade(self) -> list[str]:
+        from .processors import chained_time_point_thresh
+
+        steps = self._steps
+        links = []  # (idx, step, w_key, factor, base_key, base_var, dir, s_key)
+        for idx, s in enumerate(steps):
+            if self._kname(s) != "time_point_thresh" or len(s.arg_specs) != 4:
+                continue
+            w_key = self._env_key(s.arg_specs[0])
+            a_key = self._env_key(s.arg_specs[1])
+            s_key = self._env_key(s.arg_specs[2])
+            d = self._const_scalar(s.arg_specs[3])
+            if None in (w_key, a_key, s_key) or d is None:
+                continue
+            factor, base_key, base_var, mul_step = self._threshold_of(a_key)
+            links.append(
+                (idx, s, w_key, factor, base_key, base_var, int(d), s_key)
+            )
+
+        # group by (waveform, threshold base)
+        groups: dict = {}
+        for rec in links:
+            groups.setdefault((rec[2], rec[4]), []).append(rec)
+
+        for (w_key, base_key), grp in groups.items():
+            if len(grp) < 3:
+                continue
+            grp.sort(key=lambda r: r[0])
+            t_start_key = grp[0][7]
+            out_keys = [r[1].out_specs[0].key for r in grp]
+            starts = []
+            ok = True
+            for r in grp:
+                if r[7] == t_start_key:
+                    starts.append(-1)
+                elif r[7] in out_keys and out_keys.index(r[7]) < len(starts):
+                    starts.append(out_keys.index(r[7]))
+                else:
+                    ok = False
+                    break
+            if not ok:
+                continue
+            factors = [r[3] for r in grp]
+            dirs = [r[6] for r in grp]
+            first = grp[0][1]
+            w_var = first.params[0]
+            base_var = next((r[5] for r in grp if r[5] is not None), None)
+            if base_var is None:
+                # thresholds reference the base directly (factor 1 links)
+                base_var = next(
+                    (
+                        p
+                        for r in grp
+                        for p in r[1].params
+                        if isinstance(p, ProcChainVar) and p.key == base_key
+                    ),
+                    None,
+                )
+            start_var = next(
+                (
+                    p
+                    for p in first.params
+                    if isinstance(p, ProcChainVar) and p.key == t_start_key
+                ),
+                None,
+            )
+            if base_var is None or start_var is None or not isinstance(
+                w_var, ProcChainVar
+            ):
+                continue
+            kern = chained_time_point_thresh(factors, dirs, starts)
+            fused = KernelStep(
+                self,
+                kern,
+                [w_var, base_var, start_var]
+                + [r[1].out_specs[0].var for r in grp],
+                {},
+            )
+            pos = grp[0][0]
+            for idx in sorted((r[0] for r in grp), reverse=True):
+                del steps[idx]
+            steps.insert(pos, fused)
+            return [f"chained_time_point_thresh[{len(grp)}]"]
+        return []
+
+    def _prune_dead_steps(self) -> None:
+        """Remove steps whose outputs nothing reads (e.g. the ``0.99*base``
+        multiplies absorbed into a fused cascade). Conservative: a step of
+        unknown shape is kept, and pruning only removes known-pure steps."""
+        # materialize the lazy output ConvertSteps so their reads count
+        for man in self._output_managers.values():
+            man.out_keys()
+        needed = set()
+        for man in self._output_managers.values():
+            needed.update(man.out_keys())
+
+        def reads(step):
+            if isinstance(step, KernelStep):
+                specs = list(step.arg_specs) + list(step.kwarg_specs.values())
+                return {s.key for s in specs if s.kind == "env"}
+            if isinstance(step, ConvertStep):
+                r = {step.in_key}
+                for off in (step.from_offset, step.to_offset):
+                    if isinstance(off, str):
+                        r.add(off)
+                return r
+            if isinstance(step, AliasStep):
+                return {step.src_key}
+            if isinstance(step, SliceStep):
+                return {step.src_key}
+            if isinstance(step, FuncStep):
+                return {k for k in step.in_keys if isinstance(k, str)}
+            return None  # unknown: treat as reading everything
+
+        def writes(step):
+            if isinstance(step, KernelStep):
+                return {s.key for s in step.out_specs}
+            if isinstance(step, (ConvertStep, FuncStep)):
+                return {step.out_key}
+            if isinstance(step, AliasStep):
+                return {step.dst_key}
+            if isinstance(step, SliceStep):
+                return {step.out_key}
+            return None
+
+        keep = []
+        for step in reversed(self._steps):
+            w = writes(step)
+            r = reads(step)
+            if w is None or r is None or (w & needed) or not isinstance(
+                step, (KernelStep, FuncStep, AliasStep, SliceStep)
+            ):
+                keep.append(step)
+                if r is None:
+                    needed.update(w or ())
+                    # unknown reads: every earlier key may be needed
+                    needed.add("*")
+                else:
+                    needed.update(r)
+                continue
+            if "*" in needed:
+                keep.append(step)
+                needed.update(r)
+                continue
+            log.debug("pruned dead step %s", step)
+        self._steps = list(reversed(keep))
 
     def _sample_cfg(self):
         if self._mesh is None or getattr(self, "_sample_axis", None) is None:
@@ -2912,4 +3222,6 @@ def build_processing_chain(
             ) from e
 
     field_mask = input_par_list + copy_par_list
+    if os.getenv("DSPEED_TPU_FUSE", "1") not in ("0", "false"):
+        proc_chain.optimize_fusions()
     return proc_chain, field_mask, tb_out

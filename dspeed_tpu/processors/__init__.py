@@ -66,6 +66,7 @@ _modules = {
     "svm_predict": "svm",
     "tf_model": "tf_model",
     "fused_energy_filter": "fused",
+    "fused_energy_front": "fused",
     "chained_time_point_thresh": "tp_chain",
     "trap_filter": "trap_filters",
     "trap_norm": "trap_filters",

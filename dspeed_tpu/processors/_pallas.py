@@ -133,8 +133,10 @@ _EN_BLK = 512
 
 
 def _fused_energy_kernel(w_ref, bl_ref, tri_ref, tri8_ref, omc_ref,
-                         pz_ref, trap_ref, emax_ref, *, rise: int, flat: int,
-                         n: int):
+                         *refs, trap_specs: tuple, n: int):
+    pz_ref = refs[0]
+    trap_refs = refs[1:-1]
+    emax_ref = refs[-1]
     nb = n // _EN_BLK
     w = w_ref[:] - bl_ref[:]  # (TB, n) baseline-subtracted
     omc = omc_ref[0, 0]
@@ -166,17 +168,53 @@ def _fused_energy_kernel(w_ref, bl_ref, tri_ref, tri8_ref, omc_ref,
         pad = jnp.zeros((_EN_TILE_B, k), jnp.float32)
         return jnp.concatenate([pad, spz[:, : n - k]], axis=1)
 
-    trap = (
-        spz - shifted(rise) - shifted(rise + flat) + shifted(2 * rise + flat)
-    ) * (1.0 / rise)
-    trap_ref[:] = trap
-    emax_ref[:] = jnp.max(trap, axis=1, keepdims=True)
+    def pz_shift(k):
+        if k == 0:
+            return pz
+        pad = jnp.zeros((_EN_TILE_B, k), jnp.float32)
+        return jnp.concatenate([pad, pz[:, : n - k]], axis=1)
+
+    def window_sum(length, off):
+        """Sum of pz over ``[t-off-length+1, t-off]`` per output t.
+
+        Short windows add the samples directly (prefix differences of the
+        ~1e8-magnitude Spz would leave eps*|Spz| ~ O(1) absolute error,
+        which a /8 normalization cannot hide); long windows amortize that
+        rounding over the window length and use the Spz difference.
+        """
+        if length <= 32:
+            acc = pz_shift(off)
+            for k in range(off + 1, off + length):
+                acc = acc + pz_shift(k)
+            return acc
+        return shifted(off) - shifted(off + length)
+
+    done = {}
+    first_trap = None
+    for spec, t_ref in zip(trap_specs, trap_refs):
+        if spec in done:
+            trap = done[spec]
+        elif spec[0] == "norm":
+            rise, flat = spec[1], spec[2]
+            trap = (
+                window_sum(rise, 0) - window_sum(rise, rise + flat)
+            ) * (1.0 / rise)
+        else:  # asym: per-section normalization
+            rise, flat, fall = spec[1], spec[2], spec[3]
+            trap = window_sum(rise, 0) * (1.0 / rise) - window_sum(
+                fall, rise + flat
+            ) * (1.0 / fall)
+        done[spec] = trap
+        t_ref[:] = trap
+        if first_trap is None:
+            first_trap = trap
+    emax_ref[:] = jnp.max(first_trap, axis=1, keepdims=True)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("rise", "flat", "interpret")
+    jax.jit, static_argnames=("trap_specs", "interpret")
 )
-def _fused_energy_call(w, bl, omc, rise, flat, interpret=False):
+def _fused_energy_call(w, bl, omc, trap_specs, interpret=False):
     import numpy as np
 
     from jax.experimental import pallas as pl
@@ -189,41 +227,54 @@ def _fused_energy_call(w, bl, omc, rise, flat, interpret=False):
     tri8 = jnp.asarray(np.triu(np.ones((nb, nb), np.float32), 1))
 
     kern = functools.partial(
-        _fused_energy_kernel, rise=rise, flat=flat, n=n
+        _fused_energy_kernel, trap_specs=trap_specs, n=n
     )
     grid = (b // _EN_TILE_B,)
+    k = len(trap_specs)
+
+    def row_spec(width):
+        return pl.BlockSpec(
+            (_EN_TILE_B, width), lambda i: (i, 0), memory_space=pltpu.VMEM
+        )
+
     return pl.pallas_call(
         kern,
-        out_shape=(
-            jax.ShapeDtypeStruct((b, n), jnp.float32),
-            jax.ShapeDtypeStruct((b, n), jnp.float32),
-            jax.ShapeDtypeStruct((b, 1), jnp.float32),
+        out_shape=tuple(
+            [jax.ShapeDtypeStruct((b, n), jnp.float32)] * (1 + k)
+            + [jax.ShapeDtypeStruct((b, 1), jnp.float32)]
         ),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((_EN_TILE_B, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_EN_TILE_B, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            row_spec(n),
+            row_spec(1),
             pl.BlockSpec((_EN_BLK, _EN_BLK), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((nb, nb), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((_EN_TILE_B, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_EN_TILE_B, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_EN_TILE_B, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ),
+        out_specs=tuple([row_spec(n)] * (1 + k) + [row_spec(1)]),
         interpret=interpret,
     )(w, bl, tri, tri8, omc)
 
 
-def fused_energy(w, baseline, tau, rise: int, flat: int, interpret: bool = False):
-    """Fused bl_subtract -> pole_zero(tau) -> trap_norm(rise, flat) -> amax.
+def fused_energy(
+    w, baseline, tau, rise: int | None = None, flat: int | None = None,
+    trap_specs=None, interpret: bool = False,
+):
+    """Fused bl_subtract -> pole_zero(tau) -> trapezoids -> amax.
 
-    Returns ``(wf_pz, wf_trap, trapEmax)``; one HBM read of the waveform
-    plus two writes replace the unfused chain's ~8 passes. ``n`` must be a
-    multiple of 512 (callers pad the batch to a multiple of 8).
+    With ``rise``/``flat``: legacy single-trap form returning
+    ``(wf_pz, wf_trap, trapEmax)``. With ``trap_specs`` (tuple of
+    ``("norm", rise, flat)`` / ``("asym", rise, flat, fall)``): returns
+    ``(wf_pz, [traps...], emax_of_first)``. One HBM read of the waveform
+    replaces the unfused chain's per-processor passes; ``n`` must be a
+    multiple of 512.
     """
     import numpy as np
+
+    legacy = trap_specs is None
+    if legacy:
+        trap_specs = (("norm", int(rise), int(flat)),)
+    trap_specs = tuple(tuple(s) for s in trap_specs)
 
     *lead, n = w.shape
     w2 = jnp.asarray(w, jnp.float32).reshape(-1, n)
@@ -237,10 +288,10 @@ def fused_energy(w, baseline, tau, rise: int, flat: int, interpret: bool = False
     if pad_b:
         bl = jnp.pad(bl, ((0, pad_b), (0, 0)))
     omc = jnp.full((1, 1), -np.expm1(-1.0 / float(tau)), jnp.float32)
-    pz, trap, emax = _fused_energy_call(
-        w2, bl, omc, int(rise), int(flat), interpret=interpret
-    )
-    pz = pz[:b].reshape(*lead, n)
-    trap = trap[:b].reshape(*lead, n)
-    emax = emax[:b, 0].reshape(lead)
-    return pz, trap, emax
+    outs = _fused_energy_call(w2, bl, omc, trap_specs, interpret=interpret)
+    pz = outs[0][:b].reshape(*lead, n)
+    traps = [t[:b].reshape(*lead, n) for t in outs[1:-1]]
+    emax = outs[-1][:b, 0].reshape(lead)
+    if legacy:
+        return pz, traps[0], emax
+    return pz, traps, emax

@@ -38,6 +38,7 @@ def _build(n_ev=16):
     from dspeed_tpu import lh5
     from dspeed_tpu.processing_chain import build_processing_chain
 
+
     wf, amp, t0, bl = make_hpge_waveforms(n=n_ev)
     tb = lh5.Table(
         {
@@ -47,9 +48,20 @@ def _build(n_ev=16):
             "baseline": lh5.Array(bl.astype("float32")),
         }
     )
-    chain, _, tb_out = build_processing_chain(
-        REF_CONFIG, tb, db_dict=DB_FLAT
-    )
+    # keep the unfused per-kernel steps: the oracle pass substitutes the
+    # reference body into each one (the fusion pass's own bit-identity is
+    # covered by tests/test_fusion.py)
+    prev = os.environ.get("DSPEED_TPU_FUSE")
+    os.environ["DSPEED_TPU_FUSE"] = "0"
+    try:
+        chain, _, tb_out = build_processing_chain(
+            REF_CONFIG, tb, db_dict=DB_FLAT
+        )
+    finally:
+        if prev is None:
+            os.environ.pop("DSPEED_TPU_FUSE", None)
+        else:
+            os.environ["DSPEED_TPU_FUSE"] = prev
     return chain, tb_out
 
 

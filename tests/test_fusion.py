@@ -1,0 +1,107 @@
+"""Engine fusion pass (``ProcessingChain.optimize_fusions``): the energy
+front and the threshold cascade fuse automatically — with no config edits —
+and stay bit-identical to the unfused chain (VERDICT r1 items 3-4)."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+
+sys.path.insert(0, os.path.dirname(__file__))
+
+REF_ICPC = "/root/reference/tests/configs/icpc-dsp-config.json"
+
+
+def _outputs(config, db, n=12, fuse=True, monkeypatch=None):
+    from test_build_dsp import make_hpge_waveforms
+
+    from dspeed_tpu import lh5
+    from dspeed_tpu.processing_chain import build_processing_chain
+
+    wf, amp, t0, bl = make_hpge_waveforms(n=n)
+    tb = lh5.Table(
+        {
+            "waveform": lh5.WaveformTable(
+                values=wf, t0=0.0, t0_units="ns", dt=16.0, dt_units="ns"
+            ),
+            "baseline": lh5.Array(bl.astype("float32")),
+        }
+    )
+    prev = os.environ.get("DSPEED_TPU_FUSE")
+    os.environ["DSPEED_TPU_FUSE"] = "1" if fuse else "0"
+    try:
+        chain, _, _ = build_processing_chain(config, tb, db_dict=db)
+    finally:
+        if prev is None:
+            os.environ.pop("DSPEED_TPU_FUSE", None)
+        else:
+            os.environ["DSPEED_TPU_FUSE"] = prev
+    inputs, _ = chain._gather_inputs(0, chain._buffer_len)
+    out = jax.jit(chain._build_fn())(inputs)
+    named = {k.split("#")[0]: np.asarray(v) for k, v in out.items()}
+    return chain, named
+
+
+def _assert_bit_identical(a, b):
+    assert set(a) == set(b)
+    for k in a:
+        arr_a, arr_b = a[k], b[k]
+        if arr_a.dtype.kind in "fc":
+            np.testing.assert_array_equal(
+                np.nan_to_num(arr_a, nan=-12345.0),
+                np.nan_to_num(arr_b, nan=-12345.0),
+                err_msg=k,
+            )
+        else:
+            np.testing.assert_array_equal(arr_a, arr_b, err_msg=k)
+
+
+def test_flagship_chain_fuses_bit_identically():
+    config = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "configs", "hpge-energy-timing.yaml",
+    )
+    db = {"pz": {"tau": 27460.5}}
+    chain_f, out_f = _outputs(config, db, fuse=True)
+    chain_u, out_u = _outputs(config, db, fuse=False)
+
+    names = [str(s) for s in chain_f._steps]
+    assert any("fused_energy_front" in s for s in names), names
+    assert any("chained_time_point_thresh" in s for s in names), names
+    assert len(chain_f._steps) < len(chain_u._steps)
+    _assert_bit_identical(out_f, out_u)
+
+
+@pytest.mark.skipif(
+    not os.path.isfile(REF_ICPC), reason="reference icpc config missing"
+)
+def test_reference_icpc_config_fuses_bit_identically():
+    """VERDICT r1 item 4 done-criterion: the reference's UNMODIFIED
+    icpc-dsp-config.json takes the fused path and stays bit-identical."""
+    from test_build_dsp import DB_FLAT
+
+    chain_f, out_f = _outputs(REF_ICPC, DB_FLAT, fuse=True)
+    chain_u, out_u = _outputs(REF_ICPC, DB_FLAT, fuse=False)
+
+    names = [str(s) for s in chain_f._steps]
+    assert any("fused_energy_front" in s for s in names), names
+    assert any("chained_time_point_thresh" in s for s in names), names
+    _assert_bit_identical(out_f, out_u)
+
+
+def test_fusion_prunes_dead_multiplies():
+    config = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "configs", "hpge-energy-timing.yaml",
+    )
+    chain_f, _ = _outputs(config, {"pz": {"tau": 27460.5}}, fuse=True)
+    # the 0.99*trapTmax-style threshold expressions are absorbed into the
+    # chained kernel; their multiply steps must not survive
+    mults = [
+        s for s in chain_f._steps
+        if "multiply" in str(s) and "trapTmax" in str(s)
+    ]
+    assert mults == [], [str(s) for s in mults]
