@@ -168,7 +168,11 @@ def main() -> None:
     RESULT["platform"] = platform
 
     t_start = time.perf_counter()
-    budget_s = float(os.getenv("DSPEED_BENCH_BUDGET_S", "900"))
+    # round-2 chains compile cold on the driver TPU (the fusion pass and conv
+    # routing changed every program); through the tunnel that is 2-10 min per
+    # program, so the budget must cover ~3 cold compiles. The SIGTERM handler
+    # emits whatever was measured if the driver loses patience first.
+    budget_s = float(os.getenv("DSPEED_BENCH_BUDGET_S", "1500"))
 
     def remaining() -> float:
         return budget_s - (time.perf_counter() - t_start)
