@@ -30,7 +30,16 @@ from .processing_chain import build_processing_chain
 
 log = logging.getLogger("dspeed_tpu")
 
-__all__ = ["build_dsp", "host_partition"]
+__all__ = ["build_dsp", "host_partition", "per_host_out_path"]
+
+
+def per_host_out_path(dsp_out: str, pi: int) -> str:
+    """Per-host output file name: substitute a ``{process}`` placeholder, or
+    insert a ``.p<idx>`` suffix before the extension."""
+    if "{process}" in dsp_out:
+        return dsp_out.format(process=pi)
+    root, ext = os.path.splitext(dsp_out)
+    return f"{root}.p{pi}{ext}"
 
 
 def host_partition(
@@ -257,24 +266,26 @@ def build_dsp(
             pc, pi = jax.process_count(), jax.process_index()
         except Exception:  # backend not initialized yet: single host
             pc, pi = 1, 0
+    write_base = 0
     if pc > 1:
         def _total_rows(tb):
             if isinstance(raw_in, str):
                 return lh5.read_n_rows(tb or "raw", raw_in)
             return len(raw_in)
 
+        orig_i_start = i_start
         lh5_tables, i_start, n_entries, entry_list, entry_mask = (
             host_partition(
                 lh5_tables, i_start, n_entries, entry_list, entry_mask,
                 _total_rows, pc, pi,
             )
         )
+        # each host writes its own file: positions are local to the host's
+        # entry range, not global (a fresh .p<idx> file written at the
+        # global offset would carry a zero-filled prefix)
+        write_base = i_start - orig_i_start
         if isinstance(dsp_out, str):
-            if "{process}" in dsp_out:
-                dsp_out = dsp_out.format(process=pi)
-            else:
-                root, ext = os.path.splitext(dsp_out)
-                dsp_out = f"{root}.p{pi}{ext}"
+            dsp_out = per_host_out_path(dsp_out, pi)
 
     dsp_config = _load_mapping(dsp_config, "dsp_config")
     chan_config = _load_mapping(chan_config, "chan_config") or {}
@@ -466,7 +477,7 @@ def build_dsp(
                     name=dsp_name,
                     lh5_file=dsp_out,
                     wo_mode="o" if write_mode == "u" else "a",
-                    write_start=i_start + i_entry,
+                    write_start=i_start - write_base + i_entry,
                     n_rows=len(tb_in),
                 )
             else:

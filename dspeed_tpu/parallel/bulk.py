@@ -49,21 +49,21 @@ def build_dsp_stacked(
     stack and writes its own ``.p<idx>``-suffixed file (see
     :func:`dspeed_tpu.build_dsp.host_partition`).
     """
-    import os
-
     import jax
+
+    from ..build_dsp import per_host_out_path
 
     lh5_tables = list(lh5_tables)
     if distribute and jax.process_count() > 1:
         pc, pi = jax.process_count(), jax.process_index()
         lh5_tables = lh5_tables[pi::pc]
         log.info("host %d/%d: stacking %d channels", pi, pc, len(lh5_tables))
+        if not lh5_tables:
+            # more hosts than channels: this host has nothing to do
+            log.info("host %d/%d: no channels assigned", pi, pc)
+            return lh5.Struct() if dsp_out is None else None
         if isinstance(dsp_out, str):
-            if "{process}" in dsp_out:
-                dsp_out = dsp_out.format(process=pi)
-            else:
-                root, ext = os.path.splitext(dsp_out)
-                dsp_out = f"{root}.p{pi}{ext}"
+            dsp_out = per_host_out_path(dsp_out, pi)
     n_chan = len(lh5_tables)
     iterators = [
         LH5Iterator(raw_in, tb, buffer_len=buffer_len) for tb in lh5_tables

@@ -1086,14 +1086,19 @@ class ProcessingChain:
         Returns the list of substitutions applied (for logging/tests).
         """
         applied = []
-        try:
-            applied += self._fuse_energy_front()
-        except Exception as e:  # a miss must never break a valid chain
-            log.debug("energy-front fusion skipped: %s", e)
-        try:
-            applied += self._fuse_tp_cascade()
-        except Exception as e:
-            log.debug("tp-cascade fusion skipped: %s", e)
+        # each helper substitutes one pattern instance per call: iterate to
+        # a fixpoint so chains with several energy fronts / cascades fuse
+        # them all (bounded by the step count)
+        for fuse in (self._fuse_energy_front, self._fuse_tp_cascade):
+            for _ in range(len(self._steps)):
+                try:
+                    got = fuse()
+                except Exception as e:  # a miss must never break a chain
+                    log.debug("fusion pass skipped: %s", e)
+                    break
+                if not got:
+                    break
+                applied += got
         if applied:
             self._prune_dead_steps()
             self._invalidate()
@@ -1315,6 +1320,11 @@ class ProcessingChain:
         """Remove steps whose outputs nothing reads (e.g. the ``0.99*base``
         multiplies absorbed into a fused cascade). Conservative: a step of
         unknown shape is kept, and pruning only removes known-pure steps."""
+        if not self._output_managers:
+            # liveness is seeded from the output managers; without them
+            # (manual-API chain before link_output_buffer) every step would
+            # look dead — skip pruning entirely
+            return
         # materialize the lazy output ConvertSteps so their reads count
         for man in self._output_managers.values():
             man.out_keys()

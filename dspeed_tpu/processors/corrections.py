@@ -34,7 +34,9 @@ def inl_correction(w_in, inl):
     else:
         corr = jnp.take_along_axis(inl, jnp.clip(code, 0, p - 1), axis=-1)
     out = w_in + corr
-    bad = ~ok | jnp.any(jnp.isnan(inl))
+    # per-event reduction: a NaN in one event's INL table (batched inl)
+    # must poison only that event; a shared 1-D table poisons all
+    bad = ~ok | isnan_any(inl, 1)
     return nanmask(bad, out.astype(corr.dtype))
 
 

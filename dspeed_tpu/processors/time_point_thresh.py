@@ -207,50 +207,105 @@ def multi_time_point_thresh(w_in, a_threshold, t_start, polarity, mode_in):
     a_start = take_last(w_in, ti)
 
     def search(pol_static):
-        """Crossing predicate cross[i] = w[i] <= thr < w[i+pol].
+        """Chained walk over sorted thresholds (time_point_thresh.py:316-399).
 
-        Walk ranges mirror the reference exactly (time_point_thresh.py:
-        327-330, 371-374), including its wrap-around artifact: for
-        ``polarity=-1`` the up-side walk reaches ``i_wf=0`` where
-        ``w_in[i_wf - 1]`` is Python-negative-indexed to ``w_in[n-1]`` —
-        unintended upstream, but user-visible behavior and hence the spec.
+        The reference sorts the thresholds, splits them at ``w[t_start]``
+        into an up-side suffix and a down-side prefix, and walks each group
+        *sequentially*: threshold k+1 continues from threshold k's crossing
+        position (the ``while`` re-checks the same ``i_wf``), and if any
+        threshold in a group is never found, every later one in that group
+        stays NaN. A per-threshold independent first-crossing search is NOT
+        equivalent on non-monotone waveforms, so this runs a ``lax.scan``
+        over the sorted thresholds (m is small and static) with carry
+        (position, alive).
+
+        Walk ranges mirror the reference exactly, including its wrap-around
+        artifacts: for ``polarity=-1`` the up-side walk reaches ``i_wf=0``
+        where ``w_in[i_wf - 1]`` Python-negative-indexes to ``w_in[n-1]``
+        (handled by the roll), and the down-side walk starts at
+        ``i_wf = t_start - 1 = -1`` when ``t_start == 0``, reading
+        ``w_in[-1]/w_in[-2]`` and recording ``-1`` (the virtual slot below)
+        — unintended upstream, but user-visible behavior and hence the spec.
         """
-        pos = jnp.arange(n)
-        thr = a[..., :, None]  # [..., m, 1]
-        w = w_in[..., None, :]  # [..., 1, n]
-        # roll wraps exactly like the reference's negative indexing at i=0
-        w_next = jnp.roll(w_in, -pol_static, axis=-1)[..., None, :]
-        cross = (w <= thr) & (thr < w_next)
-        # up-side thresholds (thr >= w[t_start]) search from t_start along pol;
-        # down-side search from t_start-1 against pol.
-        up_side = a >= a_start[..., None]  # [..., m]
-        ts = ti[..., None, None]  # broadcast over (m, n)
-        # first/last-true via masked-iota min/max reductions (no reversed
-        # copies: a [..., ::-1] materializes a waveform-sized intermediate)
-        posi = pos.astype(jnp.int32)
+        from jax import lax
 
-        def first_true(valid):
-            i = jnp.min(jnp.where(valid, posi, n), axis=-1)
-            f = i < n
-            return jnp.where(f, i, 0), f
+        m = a.shape[-1]
+        bshape = jnp.broadcast_shapes(w_in.shape[:-1], a.shape[:-1], ti.shape)
+        w = jnp.broadcast_to(w_in, (*bshape, n))
+        ab = jnp.broadcast_to(a, (*bshape, m))
+        tib = jnp.broadcast_to(ti, bshape)
+        # roll wraps exactly like the reference's negative indexing
+        w_next = jnp.roll(w, -pol_static, axis=-1)
+        pos = jnp.arange(n, dtype=jnp.int32)
 
-        def last_true(valid):
-            i = jnp.max(jnp.where(valid, posi, -1), axis=-1)
-            f = i >= 0
-            return jnp.where(f, i, n - 1), f
+        order = jnp.argsort(ab, axis=-1, stable=True)
+        a_sorted = jnp.take_along_axis(ab, order, axis=-1)
+        up_sorted = a_sorted >= jnp.broadcast_to(a_start, bshape)[..., None]
 
-        if pol_static > 0:
-            # up: range(ts, n-1); down: range(ts-1, -1, -1)
-            up_idx, up_found = first_true(cross & (pos >= ts) & (pos <= n - 2))
-            dn_idx, dn_found = last_true(cross & (pos <= ts - 1))
-        else:
-            # up: range(ts, -1, -1) — includes i=0 (wrap); down: range(ts-1, n-1)
-            up_idx, up_found = last_true(cross & (pos <= ts))
-            dn_idx, dn_found = first_true(
-                cross & (pos >= ts - 1) & (pos <= n - 2)
+        # scan axes lead: [m, *bshape]
+        thr_seq = jnp.moveaxis(a_sorted, -1, 0)
+        up_seq = jnp.moveaxis(up_sorted, -1, 0)
+
+        def chain(thr_xs, active_xs, p0, increasing, virtual_minus1):
+            def step(carry, x):
+                p, alive = carry
+                thr, active = x
+                tcol = thr[..., None]
+                crossk = (w <= tcol) & (tcol < w_next)
+                if increasing:
+                    valid = (
+                        crossk
+                        & (pos >= jnp.maximum(p, 0)[..., None])
+                        & (pos <= n - 2)
+                    )
+                    idxk = jnp.min(jnp.where(valid, pos, n), axis=-1)
+                    foundk = idxk < n
+                    idxk = jnp.where(foundk, idxk, 0)
+                    if virtual_minus1:
+                        vhit = (p <= -1) & crossk[..., n - 1]
+                        idxk = jnp.where(vhit, -1, idxk)
+                        foundk = foundk | vhit
+                else:
+                    valid = crossk & (pos <= p[..., None])
+                    idxk = jnp.max(jnp.where(valid, pos, -1), axis=-1)
+                    foundk = idxk >= 0
+                    idxk = jnp.where(foundk, idxk, 0)
+                hit = active & alive & foundk
+                return (
+                    (jnp.where(hit, idxk, p), alive & (foundk | ~active)),
+                    (jnp.where(hit, idxk, 0), hit),
+                )
+
+            alive0 = jnp.ones(bshape, bool)
+            _, (idxs, hits) = lax.scan(
+                step, (p0, alive0), (thr_xs, active_xs)
             )
-        idx = jnp.where(up_side, up_idx, dn_idx)
-        found = jnp.where(up_side, up_found, dn_found)
+            return idxs, hits
+
+        # up-side: ascending thresholds from i_start, walk from t_start
+        # along polarity (range(ts, n-1) resp. range(ts, -1, -1))
+        up_idx, up_hit = chain(
+            thr_seq, up_seq, tib, increasing=pol_static > 0,
+            virtual_minus1=False,
+        )
+        # down-side: descending thresholds from i_start-1, walk from
+        # t_start-1 against polarity (range(ts-1, -1, -1) resp.
+        # range(ts-1, n-1), the latter with the i_wf=-1 virtual start)
+        dn_idx_r, dn_hit_r = chain(
+            thr_seq[::-1], ~up_seq[::-1], tib - 1,
+            increasing=pol_static < 0, virtual_minus1=pol_static < 0,
+        )
+        dn_idx, dn_hit = dn_idx_r[::-1], dn_hit_r[::-1]
+
+        idx_sorted = jnp.moveaxis(
+            jnp.where(up_seq, up_idx, dn_idx), 0, -1
+        )
+        found_sorted = jnp.moveaxis(
+            jnp.where(up_seq, up_hit, dn_hit), 0, -1
+        )
+        inv = jnp.argsort(order, axis=-1)
+        idx = jnp.take_along_axis(idx_sorted, inv, axis=-1)
+        found = jnp.take_along_axis(found_sorted, inv, axis=-1)
         return idx, found
 
     if pols is not None:

@@ -20,6 +20,23 @@ def test_inl_correction(rng):
     assert np.all(np.isfinite(np.asarray(y2)[1]))
 
 
+def test_inl_correction_batched_inl_nan_is_per_event(rng):
+    """A NaN in ONE event's INL table (batched inl) poisons only that event;
+    a NaN in a shared 1-D table poisons all (round-2 review finding)."""
+    codes = rng.integers(0, 50, (3, 64)).astype("int32")
+    inl = np.tile(rng.normal(0, 0.1, 50), (3, 1))
+    inl[1, 7] = np.nan
+    (y,) = dp.inl_correction(codes, inl)
+    y = np.asarray(y)
+    assert np.all(np.isfinite(y[0])) and np.all(np.isfinite(y[2]))
+    assert np.all(np.isnan(y[1]))
+    # shared 1-D table with NaN: every event poisoned
+    inl1 = rng.normal(0, 0.1, 50)
+    inl1[3] = np.nan
+    (y2,) = dp.inl_correction(codes, inl1)
+    assert np.all(np.isnan(np.asarray(y2)))
+
+
 def test_wf_correction(rng):
     w = rng.normal(0, 1, (3, 128)).astype("float64")
     corr = rng.normal(0, 1, 30)

@@ -85,6 +85,32 @@ class TestTimePointThresh:
             rtol=1e-9,
         )
 
+    @pytest.mark.parametrize("polarity", [1.0, -1.0])
+    @pytest.mark.parametrize("t_start", [0.0, 1.0, 17.0, 31.0])
+    @pytest.mark.parametrize("mode", list("iarl"))
+    def test_multi_chained_nonmonotone(self, rng, mode, polarity, t_start):
+        """Non-monotone waveforms exercise the reference's *sequential*
+        sorted-threshold walk (each threshold continues from the previous
+        crossing position; an unfound threshold kills the rest of its group)
+        — independent per-threshold first-crossing search diverges here.
+        ``t_start=0`` with ``polarity=-1`` also hits the reference's
+        ``i_wf=-1`` negative-index wrap start of the down-side walk
+        (time_point_thresh.py:367-374)."""
+        w = rng.normal(0, 3, size=(6, 32))
+        w[:, -1] = -5.0
+        w[:, -2] = 5.0
+        thr = rng.normal(0, 3, size=(6, 4))
+        thr[:, 0] = thr[:, -1]  # duplicate thresholds share a crossing
+        parity(
+            "multi_time_point_thresh",
+            w,
+            thr,
+            t_start,
+            polarity,
+            ord(mode),
+            rtol=1e-9,
+        )
+
 
 class TestBiLevelZeroCrossing:
     @pytest.fixture

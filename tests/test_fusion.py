@@ -92,6 +92,81 @@ def test_reference_icpc_config_fuses_bit_identically():
     _assert_bit_identical(out_f, out_u)
 
 
+def test_double_energy_front_fuses_both():
+    """Two independent pole-zero branches each carrying const-parameter
+    trapezoids + amax: the fixpoint loop in optimize_fusions must fuse BOTH
+    fronts, not return after the first substitution (round-2 review
+    finding)."""
+    amax = {
+        "function": "amax",
+        "module": "numpy",
+        "kwargs": {"signature": "(n),()->()", "types": ["fi->f"]},
+    }
+    config = {
+        "outputs": ["e1", "e2"],
+        "processors": {
+            "wf_blsub": {
+                "function": "bl_subtract",
+                "module": "dspeed_tpu.processors",
+                "args": ["waveform", "baseline", "wf_blsub(unit='ADC')"],
+            },
+            "wf_pz1": {
+                "function": "pole_zero",
+                "module": "dspeed_tpu.processors",
+                "args": ["wf_blsub", "27460.5", "wf_pz1"],
+            },
+            "wf_pz2": {
+                "function": "pole_zero",
+                "module": "dspeed_tpu.processors",
+                "args": ["wf_blsub", "14000.0", "wf_pz2"],
+            },
+            "wf_t1": {
+                "function": "trap_norm",
+                "module": "dspeed_tpu.processors",
+                "args": ["wf_pz1", "10*us", "3*us", "wf_t1"],
+            },
+            "wf_t2": {
+                "function": "trap_norm",
+                "module": "dspeed_tpu.processors",
+                "args": ["wf_pz2", "4*us", "1*us", "wf_t2"],
+            },
+            "e1": {**amax, "args": ["wf_t1", 1, "e1"]},
+            "e2": {**amax, "args": ["wf_t2", 1, "e2"]},
+        },
+    }
+    chain_f, out_f = _outputs(config, {}, fuse=True)
+    chain_u, out_u = _outputs(config, {}, fuse=False)
+
+    names = [str(s) for s in chain_f._steps]
+    n_fused = sum("fused_energy_front" in s for s in names)
+    assert n_fused == 2, names
+    assert not any("pole_zero" in s for s in names), names
+    _assert_bit_identical(out_f, out_u)
+
+
+def test_optimize_fusions_before_output_link_is_safe():
+    """optimize_fusions() on a manually built chain (no output buffers
+    linked yet) must not prune the whole step list (liveness is seeded from
+    output managers; round-2 review finding)."""
+    from dspeed_tpu import processors as dp
+    from dspeed_tpu.processing_chain import ProcessingChain
+
+    chain = ProcessingChain(buffer_len=4)
+    wf = np.cumsum(
+        np.random.default_rng(0).normal(1.0, 0.1, (4, 256)).astype("float32"),
+        axis=1,
+    )
+    chain.add_variable("waveform", "float32", (256,), unit="ADC")
+    chain.add_variable("baseline", "float32", (), unit="ADC")
+    chain.add_processor(
+        dp.bl_subtract, "waveform", "baseline", "wf_blsub(unit='ADC')"
+    )
+    chain.add_processor(dp.pole_zero, "wf_blsub", 27460.5, "wf_pz")
+    n_before = len(chain._steps)
+    chain.optimize_fusions()
+    assert len(chain._steps) == n_before  # nothing silently deleted
+
+
 def test_fusion_prunes_dead_multiplies():
     config = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),

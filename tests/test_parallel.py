@@ -331,3 +331,68 @@ class TestMultiHost:
         # contiguous split: 6 + 5 entries, concatenation == full run
         assert len(pieces[0]) == 6 and len(pieces[1]) == 5
         np.testing.assert_array_equal(np.concatenate(pieces), full)
+
+    def test_single_table_entry_split_to_files(self, tmp_path, rng,
+                                               monkeypatch):
+        """Each host's ``.p<idx>`` file holds exactly its local rows at
+        offset 0 — no zero-filled prefix of global-offset length (round-2
+        review finding: write_start must be host-local for fresh files)."""
+        import os
+        import sys
+
+        sys.path.insert(0, os.path.dirname(__file__))
+        from test_build_dsp import CONFIG, DB_FLAT, make_hpge_waveforms
+
+        from dspeed_tpu import build_dsp, lh5
+
+        path = str(tmp_path / "one_raw.lh5")
+        wf, amp, t0, bl = make_hpge_waveforms(n=11)
+        tb = lh5.Table(
+            {
+                "waveform": lh5.WaveformTable(
+                    values=wf, t0=0.0, t0_units="ns", dt=16.0, dt_units="ns"
+                ),
+                "baseline": lh5.Array(bl.astype("float32")),
+            }
+        )
+        lh5.write(tb, "det/raw", path)
+        db = {"det": DB_FLAT}
+
+        ref = build_dsp(path, None, CONFIG, database=db,
+                        outputs=["trapEmax"])
+        full = ref["det"]["dsp"]["trapEmax"].nda
+
+        pieces = []
+        for pi in range(2):
+            monkeypatch.setattr(jax, "process_count", lambda: 2)
+            monkeypatch.setattr(jax, "process_index", lambda pi=pi: pi)
+            build_dsp(path, str(tmp_path / "split_dsp.lh5"), CONFIG,
+                      database=db, outputs=["trapEmax"], write_mode="r")
+            host_file = str(tmp_path / f"split_dsp.p{pi}.lh5")
+            assert os.path.isfile(host_file)
+            pieces.append(lh5.read("det/dsp", host_file)["trapEmax"].nda)
+
+        assert len(pieces[0]) == 6 and len(pieces[1]) == 5
+        np.testing.assert_array_equal(np.concatenate(pieces), full)
+
+    def test_stacked_more_hosts_than_channels(self, tmp_path, rng,
+                                              monkeypatch):
+        """A surplus host (no assigned channels) returns empty instead of
+        crashing on ``min()`` over an empty iterator list."""
+        import os
+        import sys
+
+        sys.path.insert(0, os.path.dirname(__file__))
+        from test_build_dsp import CONFIG, DB_FLAT
+
+        from dspeed_tpu.parallel.bulk import build_dsp_stacked
+
+        path, amps = self._raw_file(tmp_path, rng)
+        db = {f"ch{c}": DB_FLAT for c in range(4)}
+        monkeypatch.setattr(jax, "process_count", lambda: 5)
+        monkeypatch.setattr(jax, "process_index", lambda: 4)
+        out = build_dsp_stacked(
+            path, None, CONFIG, [f"ch{c}/raw" for c in range(4)],
+            database=db, outputs=["trapEmax"],
+        )
+        assert len(out) == 0
