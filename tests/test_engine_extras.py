@@ -179,6 +179,24 @@ class TestDplms:
         y = np.convolve(reference, k, mode="valid")
         assert np.amax(y) == pytest.approx(1.0, rel=1e-6)
 
+    def test_dplms_filter_alias(self, rng):
+        """``dplms_filter`` is registered as an alias of ``dplms`` (the
+        reference exports the name in processors/__init__.py without its own
+        definition); both registry names must resolve to the same kernel and
+        produce identical output."""
+        length, ssize = 8, 32
+        noise = rng.normal(0, 1, (length, 20))
+        noise_mat = noise @ noise.T / 20
+        t = np.arange(ssize)
+        reference = 1 / (1 + np.exp(-(t - 16) / 2.0))
+        dims = {"n": length, "m": ssize}
+        assert dp.dplms_filter is dp.dplms
+        (k1,) = dp.dplms(noise_mat, reference, 50.0, 0.1, 1.0, 1.0, dims=dims)
+        (k2,) = dp.dplms_filter(
+            noise_mat, reference, 50.0, 0.1, 1.0, 1.0, dims=dims
+        )
+        np.testing.assert_array_equal(np.asarray(k1), np.asarray(k2))
+
 
 class TestConvolveModes:
     @pytest.mark.parametrize("mode,npmode", [("f", "full"), ("v", "valid"), ("s", "same")])
