@@ -1089,7 +1089,11 @@ class ProcessingChain:
         # each helper substitutes one pattern instance per call: iterate to
         # a fixpoint so chains with several energy fronts / cascades fuse
         # them all (bounded by the step count)
-        for fuse in (self._fuse_energy_front, self._fuse_tp_cascade):
+        for fuse in (
+            self._fuse_energy_front,
+            self._fuse_tp_cascade,
+            self._fuse_current_front,
+        ):
             for _ in range(len(self._steps)):
                 try:
                     got = fuse()
@@ -1202,6 +1206,112 @@ class ProcessingChain:
                     del steps[idx]
                 steps[j] = fused
                 return [f"fused_energy_front[{len(specs)}]"]
+        return []
+
+    def _env_read_counts(self):
+        """env key -> number of reading sites (steps + output managers)."""
+        counts: dict = {}
+        for step in self._steps:
+            keys = set()
+            if isinstance(step, KernelStep):
+                specs = list(step.arg_specs) + list(step.kwarg_specs.values())
+                keys = {s.key for s in specs if s.kind == "env"}
+            elif isinstance(step, ConvertStep):
+                keys = {step.in_key}
+                for off in (step.from_offset, step.to_offset):
+                    if isinstance(off, str):
+                        keys.add(off)
+            elif isinstance(step, AliasStep):
+                keys = {step.src_key}
+            elif isinstance(step, SliceStep):
+                keys = {step.src_key}
+            elif isinstance(step, FuncStep):
+                keys = {k for k in step.in_keys if isinstance(k, str)}
+            for k in keys:
+                counts[k] = counts.get(k, 0) + 1
+        for man in self._output_managers.values():
+            for k in man.out_keys():
+                counts[k] = counts.get(k, 0) + 1
+        return counts
+
+    def _fuse_current_front(self) -> list[str]:
+        """upsampler(int ratio) -> moving_window_multi(const) -> min_max,
+        with the intermediates unread elsewhere, becomes one
+        :func:`~dspeed_tpu.processors.fused_current_front` step (Pallas
+        VMEM pass on TPU; the upsampled waveform never reaches HBM)."""
+        from .processors import fused_current_front
+
+        steps = self._steps
+        reads = None
+        for i, ups in enumerate(steps):
+            if (
+                self._kname(ups) != "upsampler"
+                or len(ups.out_specs) != 1
+                or len(ups.arg_specs) != 2
+            ):
+                continue
+            ratio = self._const_scalar(ups.arg_specs[1])
+            if ratio is None or float(ratio) != int(ratio) or int(ratio) <= 0:
+                continue
+            ratio = int(ratio)
+            up_key = ups.out_specs[0].key
+            c_var = ups.params[0]
+            if not isinstance(c_var, ProcChainVar) or not c_var.shape:
+                continue
+            n_curr = int(c_var.shape[-1])
+            n_up = int(ups.out_specs[0].shape[-1])
+            # the fused kernel requires every output slot written (no NaN
+            # padding from the replication map)
+            if ratio // 2 + n_up > n_curr * ratio:
+                continue
+            for j in range(i + 1, len(steps)):
+                mwm = steps[j]
+                if (
+                    self._kname(mwm) != "moving_window_multi"
+                    or len(mwm.arg_specs) != 4
+                    or self._env_key(mwm.arg_specs[0]) != up_key
+                ):
+                    continue
+                length = self._const_scalar(mwm.arg_specs[1])
+                num = self._const_scalar(mwm.arg_specs[2])
+                mtype = self._const_scalar(mwm.arg_specs[3])
+                if None in (length, num, mtype):
+                    continue
+                if (
+                    float(length) != int(length)
+                    or not (0 <= int(length) <= min(128, n_up - 1))
+                    or float(num) != int(num)
+                    or int(num) < 0
+                    or int(mtype) not in (0, 1, 2)
+                ):
+                    continue
+                av_key = mwm.out_specs[0].key
+                for k in range(j + 1, len(steps)):
+                    mm = steps[k]
+                    if (
+                        self._kname(mm) != "min_max"
+                        or self._env_key(mm.arg_specs[0]) != av_key
+                        or len(mm.out_specs) != 4
+                    ):
+                        continue
+                    if reads is None:
+                        reads = self._env_read_counts()
+                    # intermediates must feed only this pipeline
+                    if reads.get(up_key, 0) != 1 or reads.get(av_key, 0) != 1:
+                        continue
+                    kern = fused_current_front(
+                        n_up, ratio, int(length), int(num), int(mtype)
+                    )
+                    fused = KernelStep(
+                        self,
+                        kern,
+                        [c_var] + [s.var for s in mm.out_specs],
+                        {},
+                    )
+                    for idx in sorted((i, j, k), reverse=True):
+                        del steps[idx]
+                    steps.insert(i, fused)
+                    return ["fused_current_front"]
         return []
 
     def _threshold_of(self, a_key):

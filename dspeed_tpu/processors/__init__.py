@@ -67,6 +67,7 @@ _modules = {
     "tf_model": "tf_model",
     "fused_energy_filter": "fused",
     "fused_energy_front": "fused",
+    "fused_current_front": "fused",
     "chained_time_point_thresh": "tp_chain",
     "trap_filter": "trap_filters",
     "trap_norm": "trap_filters",

@@ -24,7 +24,7 @@ import os
 import jax
 import jax.numpy as jnp
 
-__all__ = ["pallas_available", "fused_energy"]
+__all__ = ["pallas_available", "fused_energy", "fused_current"]
 
 _SMOKE_OK: bool | None = None
 
@@ -52,6 +52,9 @@ def pallas_available() -> bool:
             outs = _fused_energy_call(
                 w, bl, omc, (("norm", 4, 2), ("asym", 3, 2, 5))
             )
+            jax.block_until_ready(outs)
+            c = jnp.ones((_CUR_TILE_B, 600), jnp.float32)
+            outs = _fused_current_call(c, n_up=600, L=48, num=3, mtype=0)
             jax.block_until_ready(outs)
             _SMOKE_OK = True
         except Exception:
@@ -88,17 +91,22 @@ def _fused_energy_kernel(w_ref, bl_ref, tri_ref, tri8_ref, omc_ref,
 
     wb = w.reshape(_EN_TILE_B * nb, _EN_BLK)
     tri = tri_ref[:]  # (BLK, BLK) inclusive lower-triangular ones
-    local = jnp.dot(wb, tri, preferred_element_type=jnp.float32)  # in-blk cumsum
+    hp = jax.lax.Precision.HIGHEST  # default (bf16) rounds the ~1e8 sums
+    local = jnp.dot(wb, tri, preferred_element_type=jnp.float32,
+                    precision=hp)  # in-blk cumsum
     sums = local[:, _EN_BLK - 1].reshape(_EN_TILE_B, nb)
     tri8x = tri8_ref[:]  # (nb, nb) strictly-lower ones: exclusive carry
-    carry = jnp.dot(sums, tri8x, preferred_element_type=jnp.float32)
+    carry = jnp.dot(sums, tri8x, preferred_element_type=jnp.float32,
+                    precision=hp)
     S = (local.reshape(_EN_TILE_B, nb, _EN_BLK)
          + carry[:, :, None]).reshape(_EN_TILE_B, n)
 
     sb = S.reshape(_EN_TILE_B * nb, _EN_BLK)
-    local2 = jnp.dot(sb, tri, preferred_element_type=jnp.float32)
+    local2 = jnp.dot(sb, tri, preferred_element_type=jnp.float32,
+                     precision=hp)
     sums2 = local2[:, _EN_BLK - 1].reshape(_EN_TILE_B, nb)
-    carry2 = jnp.dot(sums2, tri8x, preferred_element_type=jnp.float32)
+    carry2 = jnp.dot(sums2, tri8x, preferred_element_type=jnp.float32,
+                     precision=hp)
     S2 = (local2.reshape(_EN_TILE_B, nb, _EN_BLK)
           + carry2[:, :, None]).reshape(_EN_TILE_B, n)
 
@@ -199,6 +207,206 @@ def _fused_energy_call(w, bl, omc, trap_specs, interpret=False):
         out_specs=tuple([row_spec(n)] * (1 + k) + [row_spec(1)]),
         interpret=interpret,
     )(w, bl, tri, tri8, omc)
+
+
+# ---------------------------------------------------------------------------
+# fused current pipeline: upsample -> moving_window_multi -> min_max
+# ---------------------------------------------------------------------------
+#
+# The A/E branch of the HPGe chain (upsampler x16 -> three alternating
+# 48-sample moving averages -> min_max) costs ~3 ms/4096 events unfused: the
+# upsampled [B, ~4.8k] intermediates make ~10 HBM passes (three blocked
+# cumsums with pad-slices, two reversal copies, the upsample materialization).
+# Here the whole branch runs in one VMEM pass per row block, reading the
+# SHORT current waveform (~300 samples/row) and writing four scalars — the
+# upsampled signal never touches HBM.
+#
+# No global prefix sums are needed: a length-L (<=128) box window spans at
+# most two 128-sample blocks, so window sums come from in-block triangular-
+# matmul cumsums plus the previous block's sum — rounding stays bounded by
+# in-block magnitudes (no large-S cancellation, no compensation required).
+
+_CUR_TILE_B = 8
+_CUR_BLK = 128
+
+
+def _fused_current_kernel(
+    x_ref, tri_ref, sup_ref, triL_ref, *out_refs,
+    n_up: int, L: int, num: int, mtype: int,
+):
+    t_min_ref, t_max_ref, a_min_ref, a_max_ref = out_refs
+    tb = _CUR_TILE_B
+    blk = _CUR_BLK
+    nb = -(-n_up // blk)
+    n_pad = nb * blk
+    x = x_ref[:]  # (TB, n_up): the (XLA-)upsampled current waveform
+    if n_pad > n_up:
+        x = jnp.concatenate(
+            [x, jnp.zeros((tb, n_pad - n_up), jnp.float32)], axis=1
+        )
+
+    idx = jax.lax.broadcasted_iota(jnp.int32, (tb, n_pad), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tb, n_pad), 1) % blk
+    invL = 1.0 / L
+
+    def box_back(x):
+        """``B[i] = sum x[i-L+1..i]``; for ``i < L`` this is the inclusive
+        prefix ``S[i]`` — exactly what the moving-average ramp needs. A
+        window spans at most two 128-blocks, so only in-block triangular-
+        matmul cumsums plus the previous block's sum are involved (rounding
+        bounded by in-block magnitudes; no global prefix, no compensation).
+        """
+        loc2 = jnp.dot(
+            x.reshape(tb * nb, blk), tri_ref[:],
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        bs = loc2[:, blk - 1].reshape(tb, nb)
+        # bs of the PREVIOUS block at each slot (superdiagonal matmul)
+        bsp = jnp.dot(
+            bs, sup_ref[:], preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        loc = loc2.reshape(tb, n_pad)
+        bsp_full = (
+            jnp.zeros((tb, nb, blk), jnp.float32) + bsp[:, :, None]
+        ).reshape(tb, n_pad)
+        # loc at linear position i-L (flat shift crosses block boundaries)
+        locL = jnp.concatenate(
+            [jnp.zeros((tb, L), jnp.float32), loc[:, : n_pad - L]], axis=1
+        )
+        return loc - locL + jnp.where(lane < L, bsp_full, 0.0)
+
+    def mwl(x):
+        box = box_back(x)
+        x0 = x[:, :1]
+        # i < L: box == S[i] (in-block prefix of block 0)
+        ramp = x0 + (box - (idx + 1).astype(jnp.float32) * x0) * invL
+        return jnp.where(idx < L, ramp, box * invL)
+
+    def mwr(x):
+        box = box_back(x)
+        # forward window sum x[i..i+L-1] = box at i+L-1 (shift left by L-1)
+        boxf = jnp.concatenate(
+            [box[:, L - 1 :], jnp.zeros((tb, L - 1), jnp.float32)], axis=1
+        )
+        # ramp over the last L samples: R[i] = sum x[i..n_up-1] (<= L terms)
+        tail = x[:, n_up - L : n_up]  # (TB, L)
+        tailS = jnp.dot(
+            tail, triL_ref[:], preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        R = tailS[:, L - 1 :] - tailS + tail  # suffix sums of the tail
+        Rfull = jnp.concatenate(
+            [
+                jnp.zeros((tb, n_up - L), jnp.float32),
+                R,
+                jnp.zeros((tb, n_pad - n_up), jnp.float32),
+            ],
+            axis=1,
+        )
+        xlast = x[:, n_up - 1 : n_up]
+        ramp = xlast + (Rfull - (n_up - idx).astype(jnp.float32) * xlast) * invL
+        return jnp.where(idx >= n_up - L, ramp, boxf * invL)
+
+    for it in range(num):
+        go_right = ((it % 2 == 1) and (mtype == 0)) or (mtype == 2)
+        x = mwr(x) if go_right else mwl(x)
+
+    big = jnp.float32(jnp.inf)
+    valid = idx < n_up
+    a_min = jnp.min(jnp.where(valid, x, big), axis=1, keepdims=True)
+    a_max = jnp.max(jnp.where(valid, x, -big), axis=1, keepdims=True)
+    t_min = jnp.min(
+        jnp.where(valid & (x == a_min), idx, n_up), axis=1, keepdims=True
+    )
+    t_max = jnp.min(
+        jnp.where(valid & (x == a_max), idx, n_up), axis=1, keepdims=True
+    )
+    a_min_ref[:] = a_min
+    a_max_ref[:] = a_max
+    t_min_ref[:] = t_min.astype(jnp.float32)
+    t_max_ref[:] = t_max.astype(jnp.float32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_up", "L", "num", "mtype", "interpret"),
+)
+def _fused_current_call(x, n_up, L, num, mtype, interpret=False):
+    import numpy as np
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b = x.shape[0]
+    nb = -(-n_up // _CUR_BLK)
+    tri = jnp.asarray(
+        np.tril(np.ones((_CUR_BLK, _CUR_BLK), np.float32)).T
+    )
+    sup = jnp.asarray(np.eye(nb, k=1, dtype=np.float32))
+    triL = jnp.asarray(np.tril(np.ones((L, L), np.float32)).T)
+    kern = functools.partial(
+        _fused_current_kernel, n_up=n_up, L=L, num=num, mtype=mtype
+    )
+    grid = (b // _CUR_TILE_B,)
+
+    def row_spec(width):
+        return pl.BlockSpec(
+            (_CUR_TILE_B, width), lambda i: (i, 0), memory_space=pltpu.VMEM
+        )
+
+    def const_spec(shape):
+        return pl.BlockSpec(
+            shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+        )
+
+    return pl.pallas_call(
+        kern,
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((b, 1), jnp.float32) for _ in range(4)
+        ),
+        grid=grid,
+        in_specs=[
+            row_spec(n_up),
+            const_spec((_CUR_BLK, _CUR_BLK)),
+            const_spec((nb, nb)),
+            const_spec((L, L)),
+        ],
+        out_specs=tuple(row_spec(1) for _ in range(4)),
+        interpret=interpret,
+    )(x, tri, sup, triL)
+
+
+def fused_current(
+    c, ratio: int, half: int, n_up: int, L: int, num: int, mtype: int,
+    interpret: bool = False,
+):
+    """Fused upsample(replicate, ``ratio``) -> ``num`` alternating
+    ``L``-sample moving averages (``mtype`` as in ``moving_window_multi``)
+    -> min_max. Returns ``(t_min, t_max, a_min, a_max)`` per row.
+
+    The replication runs as one fused XLA broadcast (Mosaic cannot shape-
+    cast the interleave); the three moving averages and the min/max — the
+    ~10 HBM passes of the unfused branch — run in one VMEM-resident Pallas
+    pass. Requires ``L <= 128`` and an all-valid replication map
+    (``half + n_up <= n_curr * ratio``).
+    """
+    *lead, n_curr = c.shape
+    c2 = jnp.asarray(c, jnp.float32).reshape(-1, n_curr)
+    b = c2.shape[0]
+    pad_b = (-b) % _CUR_TILE_B
+    if pad_b:
+        c2 = jnp.pad(c2, ((0, pad_b), (0, 0)))
+    # curr_up[j] = curr[(j+half)//ratio] — replicate + static slice
+    rep = jnp.repeat(c2, int(ratio), axis=-1)
+    if half + n_up > rep.shape[-1]:
+        rep = jnp.pad(rep, ((0, 0), (0, half + n_up - rep.shape[-1])))
+    x = rep[:, half : half + n_up]
+    outs = _fused_current_call(
+        x, int(n_up), int(L), int(num), int(mtype), interpret=interpret
+    )
+    return tuple(o[:b, 0].reshape(lead) for o in outs)
 
 
 def fused_energy(

@@ -16,9 +16,78 @@ import jax.numpy as jnp
 from ..errors import DSPFatal
 from ._helpers import isnan_any, nanmask, static_float, static_int
 from ._kernel import Kernel, kernel
-from ._pallas import fused_energy, pallas_available
+from ._pallas import fused_current, fused_energy, pallas_available
 
-__all__ = ["fused_energy_filter", "fused_energy_front"]
+__all__ = [
+    "fused_energy_filter",
+    "fused_energy_front",
+    "fused_current_front",
+]
+
+
+def fused_current_front(
+    n_up: int, ratio: int, length: int, num_mw: int, mw_type: int
+) -> Kernel:
+    """Factory: the A/E current branch — ``upsampler(ratio)`` ->
+    ``moving_window_multi(length, num_mw, mw_type)`` -> ``min_max`` — as one
+    VMEM pass (:func:`._pallas.fused_current`). Returns a kernel
+    ``(curr,) -> (t_min, t_max, a_min, a_max)``; the upsampled intermediates
+    never reach HBM. The XLA fallback composes the original kernel bodies
+    (bit-identical to the unfused steps, which the fusion pass relies on).
+
+    Requires an integer ``ratio`` whose replication map covers every output
+    slot (``half + n_up <= n * ratio``, checked at trace time) and
+    ``length <= 128`` (the in-VMEM box-window scheme spans at most two
+    128-sample blocks).
+    """
+    n_up = int(n_up)
+    ratio = int(ratio)
+    length = int(length)
+    num_mw = int(num_mw)
+    mw_type = int(mw_type)
+    half = ratio // 2
+    if length > 128:
+        raise DSPFatal("fused_current_front requires length <= 128")
+    if mw_type not in (0, 1, 2):
+        raise DSPFatal("Invalid mw_type")
+
+    def fn(c_in):
+        n = c_in.shape[-1]
+        if not (0 <= length < n_up):
+            raise DSPFatal("The length of the moving window is out of range")
+        if half + n_up > n * ratio:
+            raise DSPFatal(
+                "fused_current_front requires an all-valid upsample map"
+            )
+        bad = isnan_any(c_in, 1)
+        if pallas_available():
+            t_min, t_max, a_min, a_max = fused_current(
+                c_in, ratio, half, n_up, length, num_mw, mw_type
+            )
+        else:
+            from .min_max import min_max
+            from .moving_windows import moving_window_multi
+            from .upsampler import upsampler
+
+            (up,) = upsampler(c_in, float(ratio), dims={"m": n_up})
+            (av,) = moving_window_multi(
+                up, float(length), float(num_mw), np.int32(mw_type)
+            )
+            t_min, t_max, a_min, a_max = min_max(av)
+        dt = c_in.dtype
+        return (
+            nanmask(bad, t_min.astype(dt)),
+            nanmask(bad, t_max.astype(dt)),
+            nanmask(bad, a_min.astype(dt)),
+            nanmask(bad, a_max.astype(dt)),
+        )
+
+    return Kernel(
+        fn,
+        "(n)->(),(),(),()",
+        ["f->ffff", "d->dddd"],
+        name="fused_current_front",
+    )
 
 
 def fused_energy_front(tau, trap_specs) -> Kernel:

@@ -108,3 +108,68 @@ def test_fused_energy_front_fallback_matches_unfused(rng):
     np.testing.assert_array_equal(
         np.asarray(emax), np.asarray(t0_ref).max(-1)
     )
+
+
+def test_fused_current_interpret_matches_oracle(rng):
+    """Interpret-mode fused current front (upsample x16 -> L/R/L 48-sample
+    moving averages -> min_max) vs a float64 re-derivation of the composed
+    reference semantics (upsampler.py:19, moving_windows.py:125,
+    min_max.py:19). n_up=4784 is NOT a multiple of the 128 block."""
+    from dspeed_tpu.processors._pallas import fused_current
+
+    c = np.abs(rng.normal(0, 10, (16, 300))).astype("float32")
+    n_up, ratio, L = 4784, 16, 48
+
+    def mwl64(x, L):
+        n = x.shape[-1]
+        S = np.cumsum(x, -1)
+        i = np.arange(n)
+        ramp = x[..., :1] + (S - (i + 1) * x[..., :1]) / L
+        SL = np.zeros_like(S)
+        SL[..., L:] = S[..., :-L]
+        return np.where(i < L, ramp, (S - SL) / L)
+
+    x = np.repeat(c.astype("f8"), ratio, -1)[:, ratio // 2 : ratio // 2 + n_up]
+    for right in (False, True, False):
+        x = mwl64(x[..., ::-1], L)[..., ::-1] if right else mwl64(x, L)
+
+    t_min, t_max, a_min, a_max = [
+        np.asarray(o)
+        for o in fused_current(c, ratio, ratio // 2, n_up, L, 3, 0,
+                               interpret=True)
+    ]
+    np.testing.assert_allclose(a_max, x.max(-1), rtol=1e-5)
+    np.testing.assert_allclose(a_min, x.min(-1), rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(t_max, x.argmax(-1))
+    np.testing.assert_array_equal(t_min, x.argmin(-1))
+
+
+@pytest.mark.parametrize("mtype,num", [(0, 3), (1, 2), (2, 2), (0, 0)])
+def test_fused_current_front_fallback_matches_unfused(rng, mtype, num):
+    """The XLA fallback composes the original kernel bodies — bit-identical
+    to the unfused upsampler -> moving_window_multi -> min_max steps (the
+    fusion pass relies on this)."""
+    from dspeed_tpu import processors as dp
+
+    c = rng.normal(0, 5, (6, 100)).astype("float32")
+    n_up = 790
+    kern = dp.fused_current_front(n_up, 8, 32, num, mtype)
+    outs = [np.asarray(o) for o in kern(c)]
+    (up,) = dp.upsampler(c, 8.0, dims={"m": n_up})
+    (av,) = dp.moving_window_multi(
+        np.asarray(up), 32.0, float(num), np.int32(mtype)
+    )
+    refs = [np.asarray(o) for o in dp.min_max(np.asarray(av))]
+    for a, b in zip(outs, refs):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_fused_current_front_nan_poisoning(rng):
+    from dspeed_tpu import processors as dp
+
+    c = rng.normal(0, 5, (4, 100)).astype("float32")
+    c[2, 50] = np.nan
+    kern = dp.fused_current_front(790, 8, 32, 3, 0)
+    for o in kern(c):
+        o = np.asarray(o)
+        assert np.all(np.isnan(o[2])) and np.all(np.isfinite(o[[0, 1, 3]]))

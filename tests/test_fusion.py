@@ -89,7 +89,48 @@ def test_reference_icpc_config_fuses_bit_identically():
     names = [str(s) for s in chain_f._steps]
     assert any("fused_energy_front" in s for s in names), names
     assert any("chained_time_point_thresh" in s for s in names), names
+    assert any("fused_current_front" in s for s in names), names
     _assert_bit_identical(out_f, out_u)
+
+
+def test_current_front_not_fused_when_intermediate_is_output():
+    """``curr_av`` requested as a chain output is read by an output manager,
+    so the upsampler -> moving_window_multi -> min_max branch must NOT be
+    collapsed into fused_current_front (which only emits the min_max
+    scalars)."""
+    import yaml
+
+    from test_build_dsp import CONFIG, DB_FLAT, make_hpge_waveforms
+
+    from dspeed_tpu import build_dsp, lh5
+
+    cfg = yaml.safe_load(open(CONFIG))
+    cfg["outputs"] = ["A_max", "curr_av"]
+    wf, amp, t0, bl = make_hpge_waveforms(n=8)
+    tb = lh5.Table(
+        {
+            "waveform": lh5.WaveformTable(
+                values=wf, t0=0.0, t0_units="ns", dt=16.0, dt_units="ns"
+            ),
+            "baseline": lh5.Array(bl.astype("float32")),
+        }
+    )
+    from dspeed_tpu.processing_chain import build_processing_chain
+
+    prev = os.environ.get("DSPEED_TPU_FUSE")
+    os.environ["DSPEED_TPU_FUSE"] = "1"
+    try:
+        chain, _, tb_out = build_processing_chain(cfg, tb, db_dict=DB_FLAT)
+    finally:
+        if prev is None:
+            os.environ.pop("DSPEED_TPU_FUSE", None)
+        else:
+            os.environ["DSPEED_TPU_FUSE"] = prev
+    names = [str(s) for s in chain._steps]
+    assert not any("fused_current_front" in s for s in names), names
+    # and the chain still runs, producing the full-length curr_av
+    out = build_dsp(tb, dsp_config=cfg, database=DB_FLAT)
+    assert out["curr_av"].nda.shape[-1] == 4784
 
 
 def test_double_energy_front_fuses_both():
