@@ -40,6 +40,7 @@ RESULT: dict = {
     "fused_wfps": None,
     "production_wfps_with_io": None,
     "cpu_same_chain_wfps": None,
+    "numerics_max_rel_err": None,
 }
 _emitted = False
 
@@ -102,6 +103,37 @@ def _bench_backend(
             dt = time.perf_counter() - t0
             best = max(best, n_ev * iters / dt)
     return best
+
+
+def _numerics_check(n_ev: int = 256) -> float:
+    """Max relative trapEmax error of the FUSED chain vs a float64 oracle,
+    measured on the bench device. Guards against fast-but-wrong kernels:
+    Pallas dots default to bf16 MXU passes, and CPU tests cannot see that
+    (caught in round 2 — the round-1 fused numbers carried ~3e-3 error)."""
+    import jax
+
+    from __graft_entry__ import _build_chain, _make_inputs
+
+    chain, inputs, _, _ = _build_chain(n_ev=n_ev, fused=True)
+    out = jax.jit(chain._build_fn())(inputs)
+    emax = np.asarray(
+        next(v for k, v in out.items() if k.split("#")[0] == "trapEmax")
+    ).reshape(-1)
+
+    wf, bl = _make_inputs(n_ev)
+    tau, rise, flat = 27460.5, 625, 188
+    w = wf.astype("f8") - bl[:, None]
+    omc = -np.expm1(-1.0 / tau)
+    S = np.cumsum(w, 1)
+    Spz = np.cumsum(w + omc * (S - w), 1)
+
+    def sh(k):
+        o = np.zeros_like(Spz)
+        o[:, k:] = Spz[:, : Spz.shape[1] - k]
+        return o
+
+    exp = ((Spz - sh(rise) - sh(rise + flat) + sh(2 * rise + flat)) / rise).max(1)
+    return float(np.abs(emax - exp).max() / exp.max())
 
 
 def _bench_production(n_ev: int = 4096, trials: int = 3) -> float:
@@ -227,6 +259,16 @@ def main() -> None:
         lambda: _bench_backend(platform, n_ev, iters, fused=True, trials=1),
         min_budget_s=30.0,
     )
+
+    # 3b. numerics guard: fused-chain trapEmax vs f64 oracle on this device
+    # (phase() rounds to 0.1 — report the raw error instead)
+    if remaining() > 30.0:
+        try:
+            err = _numerics_check()
+            RESULT["numerics_max_rel_err"] = float(f"{err:.3e}")
+            print(f"# numerics_check: {err:.3e} max rel err", file=sys.stderr)
+        except Exception as e:
+            print(f"# numerics_check failed: {e}", file=sys.stderr)
 
     # 4. production with IO
     RESULT["production_wfps_with_io"] = phase(
