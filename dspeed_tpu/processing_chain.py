@@ -1171,40 +1171,64 @@ class ProcessingChain:
                         traps.append((k, steps[k], spec))
                 if not traps:
                     continue
-                # the fused kernel's emax output belongs to the first trap
-                # that has an amax reduction on it
-                am_idx, am_step, first = None, None, None
-                for k, tstep, spec in traps:
-                    t_key = tstep.out_specs[0].key
-                    for a in range(k + 1, len(steps)):
-                        am = steps[a]
-                        if (
-                            self._kname(am) == "amax"
-                            and self._env_key(am.arg_specs[0]) == t_key
-                        ):
-                            am_idx, am_step, first = a, am, (k, tstep, spec)
-                            break
-                    if am_idx is not None:
-                        break
-                if am_idx is None:
+                # spec-identical traps share ONE kernel output (the Pallas
+                # kernel would write the same full-length array twice);
+                # duplicates become env aliases of the kept output
+                uniq = []  # (idx, step, spec) — first occurrence per spec
+                upos: dict = {}  # spec -> position in uniq
+                aliases = []  # (dup step, kept step)
+                for rec in traps:
+                    if rec[2] in upos:
+                        aliases.append((rec[1], uniq[upos[rec[2]]][1]))
+                    else:
+                        upos[rec[2]] = len(uniq)
+                        uniq.append(rec)
+                # EVERY amax over any of these traps becomes an in-VMEM
+                # reduction output of the fused kernel (each unfused amax
+                # re-reads a full waveform-sized array from HBM)
+                am_steps = []  # (step idx, amax step, unique trap pos)
+                trap_key_pos = {
+                    t[1].out_specs[0].key: upos[t[2]] for t in traps
+                }
+                for a, am in enumerate(steps):
+                    if (
+                        self._kname(am) == "amax"
+                        and len(am.out_specs) == 1
+                        and self._env_key(am.arg_specs[0]) in trap_key_pos
+                    ):
+                        am_steps.append(
+                            (a, am, trap_key_pos[self._env_key(am.arg_specs[0])])
+                        )
+                if not am_steps:
                     continue
-                ordered = [first] + [t for t in traps if t[0] != first[0]]
-                specs = [t[2] for t in ordered]
-                kern = fused_energy_front(float(tau), specs)
+                specs = [t[2] for t in uniq]
+                emax_for = [rec[2] for rec in am_steps]
+                kern = fused_energy_front(float(tau), specs, emax_for)
                 fused = KernelStep(
                     self,
                     kern,
                     [bls.params[0], bls.params[1], pz.out_specs[0].var]
-                    + [t[1].out_specs[0].var for t in ordered]
-                    + [am_step.out_specs[0].var],
+                    + [t[1].out_specs[0].var for t in uniq]
+                    + [rec[1].out_specs[0].var for rec in am_steps],
                     {},
                 )
                 dead = sorted(
-                    {am_idx, *(t[0] for t in ordered)}, reverse=True
+                    {
+                        *(rec[0] for rec in am_steps),
+                        *(t[0] for t in traps),
+                    },
+                    reverse=True,
                 )
                 for idx in dead:
                     del steps[idx]
                 steps[j] = fused
+                for dup, kept in aliases:
+                    steps.insert(
+                        j + 1,
+                        AliasStep(
+                            kept.out_specs[0].key, dup.out_specs[0].key
+                        ),
+                    )
                 return [f"fused_energy_front[{len(specs)}]"]
         return []
 

@@ -81,10 +81,12 @@ _EN_BLK = 512
 
 
 def _fused_energy_kernel(w_ref, bl_ref, tri_ref, tri8_ref, omc_ref,
-                         *refs, trap_specs: tuple, n: int):
+                         *refs, trap_specs: tuple, n: int,
+                         emax_for: tuple = (0,)):
     pz_ref = refs[0]
-    trap_refs = refs[1:-1]
-    emax_ref = refs[-1]
+    k = len(trap_specs)
+    trap_refs = refs[1 : 1 + k]
+    emax_refs = refs[1 + k :]
     nb = n // _EN_BLK
     w = w_ref[:] - bl_ref[:]  # (TB, n) baseline-subtracted
     omc = omc_ref[0, 0]
@@ -143,7 +145,7 @@ def _fused_energy_kernel(w_ref, bl_ref, tri_ref, tri8_ref, omc_ref,
         return shifted(off) - shifted(off + length)
 
     done = {}
-    first_trap = None
+    traps = []
     for spec, t_ref in zip(trap_specs, trap_refs):
         if spec in done:
             trap = done[spec]
@@ -159,15 +161,18 @@ def _fused_energy_kernel(w_ref, bl_ref, tri_ref, tri8_ref, omc_ref,
             ) * (1.0 / fall)
         done[spec] = trap
         t_ref[:] = trap
-        if first_trap is None:
-            first_trap = trap
-    emax_ref[:] = jnp.max(first_trap, axis=1, keepdims=True)
+        traps.append(trap)
+    emax_done = {}
+    for ti, e_ref in zip(emax_for, emax_refs):
+        if ti not in emax_done:
+            emax_done[ti] = jnp.max(traps[ti], axis=1, keepdims=True)
+        e_ref[:] = emax_done[ti]
 
 
 @functools.partial(
-    jax.jit, static_argnames=("trap_specs", "interpret")
+    jax.jit, static_argnames=("trap_specs", "emax_for", "interpret")
 )
-def _fused_energy_call(w, bl, omc, trap_specs, interpret=False):
+def _fused_energy_call(w, bl, omc, trap_specs, emax_for=(0,), interpret=False):
     import numpy as np
 
     from jax.experimental import pallas as pl
@@ -180,10 +185,11 @@ def _fused_energy_call(w, bl, omc, trap_specs, interpret=False):
     tri8 = jnp.asarray(np.triu(np.ones((nb, nb), np.float32), 1))
 
     kern = functools.partial(
-        _fused_energy_kernel, trap_specs=trap_specs, n=n
+        _fused_energy_kernel, trap_specs=trap_specs, n=n, emax_for=emax_for
     )
     grid = (b // _EN_TILE_B,)
     k = len(trap_specs)
+    ke = len(emax_for)
 
     def row_spec(width):
         return pl.BlockSpec(
@@ -194,7 +200,7 @@ def _fused_energy_call(w, bl, omc, trap_specs, interpret=False):
         kern,
         out_shape=tuple(
             [jax.ShapeDtypeStruct((b, n), jnp.float32)] * (1 + k)
-            + [jax.ShapeDtypeStruct((b, 1), jnp.float32)]
+            + [jax.ShapeDtypeStruct((b, 1), jnp.float32)] * ke
         ),
         grid=grid,
         in_specs=[
@@ -204,7 +210,7 @@ def _fused_energy_call(w, bl, omc, trap_specs, interpret=False):
             pl.BlockSpec((nb, nb), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
-        out_specs=tuple([row_spec(n)] * (1 + k) + [row_spec(1)]),
+        out_specs=tuple([row_spec(n)] * (1 + k) + [row_spec(1)] * ke),
         interpret=interpret,
     )(w, bl, tri, tri8, omc)
 
@@ -411,16 +417,18 @@ def fused_current(
 
 def fused_energy(
     w, baseline, tau, rise: int | None = None, flat: int | None = None,
-    trap_specs=None, interpret: bool = False,
+    trap_specs=None, emax_for=(0,), interpret: bool = False,
 ):
-    """Fused bl_subtract -> pole_zero(tau) -> trapezoids -> amax.
+    """Fused bl_subtract -> pole_zero(tau) -> trapezoids -> amaxes.
 
     With ``rise``/``flat``: legacy single-trap form returning
     ``(wf_pz, wf_trap, trapEmax)``. With ``trap_specs`` (tuple of
     ``("norm", rise, flat)`` / ``("asym", rise, flat, fall)``): returns
-    ``(wf_pz, [traps...], emax_of_first)``. One HBM read of the waveform
-    replaces the unfused chain's per-processor passes; ``n`` must be a
-    multiple of 512.
+    ``(wf_pz, [traps...], [emaxes...])`` with one maximum per entry of
+    ``emax_for`` (indices into ``trap_specs`` — the in-VMEM reduction
+    replaces a full-array HBM re-read per amax step). One HBM read of the
+    waveform replaces the unfused chain's per-processor passes; ``n`` must
+    be a multiple of 512.
     """
     import numpy as np
 
@@ -428,6 +436,7 @@ def fused_energy(
     if legacy:
         trap_specs = (("norm", int(rise), int(flat)),)
     trap_specs = tuple(tuple(s) for s in trap_specs)
+    emax_for = tuple(int(i) for i in emax_for)
 
     *lead, n = w.shape
     w2 = jnp.asarray(w, jnp.float32).reshape(-1, n)
@@ -441,10 +450,13 @@ def fused_energy(
     if pad_b:
         bl = jnp.pad(bl, ((0, pad_b), (0, 0)))
     omc = jnp.full((1, 1), -np.expm1(-1.0 / float(tau)), jnp.float32)
-    outs = _fused_energy_call(w2, bl, omc, trap_specs, interpret=interpret)
+    outs = _fused_energy_call(
+        w2, bl, omc, trap_specs, emax_for=emax_for, interpret=interpret
+    )
+    k = len(trap_specs)
     pz = outs[0][:b].reshape(*lead, n)
-    traps = [t[:b].reshape(*lead, n) for t in outs[1:-1]]
-    emax = outs[-1][:b, 0].reshape(lead)
+    traps = [t[:b].reshape(*lead, n) for t in outs[1 : 1 + k]]
+    emaxes = [e[:b, 0].reshape(lead) for e in outs[1 + k :]]
     if legacy:
-        return pz, traps[0], emax
-    return pz, traps, emax
+        return pz, traps[0], emaxes[0]
+    return pz, traps, emaxes

@@ -90,13 +90,15 @@ def fused_current_front(
     )
 
 
-def fused_energy_front(tau, trap_specs) -> Kernel:
+def fused_energy_front(tau, trap_specs, emax_for=(0,)) -> Kernel:
     """Factory: one VMEM pass producing the pole-zero waveform, every
-    trapezoid read off it, and the first trapezoid's maximum.
+    trapezoid read off it, and the requested trapezoid maxima.
 
     ``trap_specs`` is a list of ``("norm", rise, flat)`` /
-    ``("asym", rise, flat, fall)`` tuples. Returns a kernel
-    ``(w_in, a_baseline) -> (pz, trap_0, ..., trap_{k-1}, emax_0)``.
+    ``("asym", rise, flat, fall)`` tuples; ``emax_for`` indexes the traps
+    whose maxima are emitted (in-VMEM reductions — each one replaces a
+    full-array HBM re-read by an unfused amax step). Returns a kernel
+    ``(w_in, a_baseline) -> (pz, trap_0, ..., trap_{k-1}, emax...)``.
     The XLA fallback composes the original kernel bodies (bit-identical to
     the unfused steps); on TPU the Pallas kernel computes every trap from
     one in-VMEM prefix-sum pair (:mod:`._pallas`).
@@ -115,6 +117,9 @@ def fused_energy_front(tau, trap_specs) -> Kernel:
     k = len(specs)
     if k == 0:
         raise DSPFatal("fused_energy_front needs at least one trap spec")
+    emax_for = tuple(int(i) for i in emax_for)
+    if not emax_for or any(not (0 <= i < k) for i in emax_for):
+        raise DSPFatal("emax_for must index trap_specs")
 
     def fn(w_in, a_baseline):
         n = w_in.shape[-1]
@@ -125,8 +130,8 @@ def fused_energy_front(tau, trap_specs) -> Kernel:
         bad = isnan_any(w_in, 1) | isnan_any(jnp.asarray(a_baseline))
 
         if pallas_available() and n % 512 == 0:
-            pz, traps, emax = fused_energy(
-                w_in, a_baseline, tau, trap_specs=specs
+            pz, traps, emaxes = fused_energy(
+                w_in, a_baseline, tau, trap_specs=specs, emax_for=emax_for
             )
         else:
             from .bl_subtract import bl_subtract
@@ -147,14 +152,18 @@ def fused_energy_front(tau, trap_specs) -> Kernel:
                     (t,) = asym_trap_filter(pz, s[1], s[2], s[3])
                 done[s] = t
                 traps.append(t)
-            emax = jnp.max(traps[0], axis=-1)
+            emaxes = [jnp.max(traps[i], axis=-1) for i in emax_for]
         outs = [nanmask(bad, pz.astype(w_in.dtype))]
         outs += [nanmask(bad, t.astype(w_in.dtype)) for t in traps]
-        outs.append(nanmask(bad, emax.astype(w_in.dtype)))
+        outs += [nanmask(bad, e.astype(w_in.dtype)) for e in emaxes]
         return tuple(outs)
 
-    sig = "(n),()->(n)," + ",".join(["(n)"] * k) + ",()"
-    nouts = k + 2
+    sig = (
+        "(n),()->(n),"
+        + ",".join(["(n)"] * k)
+        + "," + ",".join(["()"] * len(emax_for))
+    )
+    nouts = k + 1 + len(emax_for)
     types = ["ff->" + "f" * nouts, "dd->" + "d" * nouts]
     return Kernel(fn, sig, types, name="fused_energy_front")
 

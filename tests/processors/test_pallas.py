@@ -61,10 +61,11 @@ def test_fused_energy_multitrap_interpret_matches_oracle():
     wf, amp, t0, bl = make_hpge_waveforms(n=16)
     tau = 27460.5
     specs = (("norm", 625, 188), ("asym", 8, 4, 125), ("norm", 250, 6))
-    pz, traps, emax = fused_energy(
-        wf, bl, tau, trap_specs=specs, interpret=True
+    pz, traps, emaxes = fused_energy(
+        wf, bl, tau, trap_specs=specs, emax_for=(0, 2), interpret=True
     )
-    assert len(traps) == 3
+    assert len(traps) == 3 and len(emaxes) == 2
+    emax = emaxes[0]
 
     w = wf.astype("f8") - bl[:, None]
     omc = -np.expm1(-1.0 / tau)
@@ -87,6 +88,9 @@ def test_fused_energy_multitrap_interpret_matches_oracle():
     # (~amp/rise ~ 375 ADC/sample) that shifts thresholds by < 1e-3 samples
     np.testing.assert_allclose(np.asarray(traps[1]), exp1, rtol=0, atol=2.5e-1)
     np.testing.assert_allclose(np.asarray(traps[2]), exp2, rtol=0, atol=2.5e-1)
+    np.testing.assert_allclose(
+        np.asarray(emaxes[1]), exp2.max(1), rtol=1e-5
+    )
 
 
 def test_fused_energy_front_fallback_matches_unfused(rng):
