@@ -129,7 +129,9 @@ def fused_energy_front(tau, trap_specs, emax_for=(0,)) -> Kernel:
                 raise DSPFatal("The trapezoid width is wider than the waveform")
         bad = isnan_any(w_in, 1) | isnan_any(jnp.asarray(a_baseline))
 
-        if pallas_available() and n % 512 == 0:
+        from . import _pallas
+
+        if pallas_available() and n % _pallas._EN_BLK == 0:
             pz, traps, emaxes = fused_energy(
                 w_in, a_baseline, tau, trap_specs=specs, emax_for=emax_for
             )
@@ -184,7 +186,9 @@ def fused_energy_filter(w_in, a_baseline, t_tau, rise, flat):
         raise DSPFatal("The trapezoid width is wider than the waveform")
     bad = isnan_any(w_in, 1) | isnan_any(jnp.asarray(a_baseline))
 
-    if pallas_available() and n % 512 == 0:
+    from . import _pallas
+
+    if pallas_available() and n % _pallas._EN_BLK == 0:
         pz, trap, emax = fused_energy(w_in, a_baseline, tau, r, f)
     else:
         # XLA fallback: compose the ORIGINAL kernel bodies so the fused
