@@ -54,7 +54,9 @@ def pallas_available() -> bool:
             )
             jax.block_until_ready(outs)
             c = jnp.ones((_CUR_TILE_B, 600), jnp.float32)
-            outs = _fused_current_call(c, n_up=600, L=48, num=3, mtype=0)
+            outs = _fused_current_call(
+                c, half=0, n_up=600, L=48, num=3, mtype=0
+            )
             jax.block_until_ready(outs)
             _SMOKE_OK = True
         except Exception:
@@ -237,22 +239,26 @@ _CUR_BLK = 128
 
 
 def _fused_current_kernel(
-    x_ref, tri_ref, sup_ref, triL_ref, *out_refs,
-    n_up: int, L: int, num: int, mtype: int,
+    rep_ref, tri_ref, sup_ref, triL_ref, *out_refs,
+    half: int, n_up: int, L: int, num: int, mtype: int,
 ):
     t_min_ref, t_max_ref, a_min_ref, a_max_ref = out_refs
     tb = _CUR_TILE_B
     blk = _CUR_BLK
     nb = -(-n_up // blk)
     n_pad = nb * blk
-    x = x_ref[:]  # (TB, n_up): the (XLA-)upsampled current waveform
+    # slice the replicated waveform to the upsampler's window in VMEM (an
+    # XLA-side slice would cost a full extra HBM pass) and zero-pad to the
+    # block grid
+    x = rep_ref[:][:, half : half + n_up]
     if n_pad > n_up:
         x = jnp.concatenate(
             [x, jnp.zeros((tb, n_pad - n_up), jnp.float32)], axis=1
         )
 
-    idx = jax.lax.broadcasted_iota(jnp.int32, (tb, n_pad), 1)
     lane = jax.lax.broadcasted_iota(jnp.int32, (tb, n_pad), 1) % blk
+    # Mosaic only supports integer iota — build f32 lane indices by cast
+    iotaL = jax.lax.broadcasted_iota(jnp.int32, (tb, L), 1).astype(jnp.float32)
     invL = 1.0 / L
 
     def box_back(x):
@@ -283,19 +289,19 @@ def _fused_current_kernel(
         )
         return loc - locL + jnp.where(lane < L, bsp_full, 0.0)
 
+    # ramps only touch L lanes at one end: patch them by concatenation
+    # instead of full-width selects (saves several VPU passes per stage)
     def mwl(x):
         box = box_back(x)
         x0 = x[:, :1]
         # i < L: box == S[i] (in-block prefix of block 0)
-        ramp = x0 + (box - (idx + 1).astype(jnp.float32) * x0) * invL
-        return jnp.where(idx < L, ramp, box * invL)
+        ramp = x0 + (box[:, :L] - (iotaL + 1.0) * x0) * invL
+        return jnp.concatenate([ramp, box[:, L:] * invL], axis=1)
 
     def mwr(x):
         box = box_back(x)
         # forward window sum x[i..i+L-1] = box at i+L-1 (shift left by L-1)
-        boxf = jnp.concatenate(
-            [box[:, L - 1 :], jnp.zeros((tb, L - 1), jnp.float32)], axis=1
-        )
+        steady = box[:, L - 1 :] * invL  # value at i for i <= n_pad-L
         # ramp over the last L samples: R[i] = sum x[i..n_up-1] (<= L terms)
         tail = x[:, n_up - L : n_up]  # (TB, L)
         tailS = jnp.dot(
@@ -303,31 +309,30 @@ def _fused_current_kernel(
             precision=jax.lax.Precision.HIGHEST,
         )
         R = tailS[:, L - 1 :] - tailS + tail  # suffix sums of the tail
-        Rfull = jnp.concatenate(
+        xlast = x[:, n_up - 1 : n_up]
+        ramp = xlast + (R - (L - iotaL) * xlast) * invL
+        return jnp.concatenate(
             [
-                jnp.zeros((tb, n_up - L), jnp.float32),
-                R,
+                steady[:, : n_up - L],
+                ramp,
                 jnp.zeros((tb, n_pad - n_up), jnp.float32),
             ],
             axis=1,
         )
-        xlast = x[:, n_up - 1 : n_up]
-        ramp = xlast + (Rfull - (n_up - idx).astype(jnp.float32) * xlast) * invL
-        return jnp.where(idx >= n_up - L, ramp, boxf * invL)
 
     for it in range(num):
         go_right = ((it % 2 == 1) and (mtype == 0)) or (mtype == 2)
         x = mwr(x) if go_right else mwl(x)
 
-    big = jnp.float32(jnp.inf)
-    valid = idx < n_up
-    a_min = jnp.min(jnp.where(valid, x, big), axis=1, keepdims=True)
-    a_max = jnp.max(jnp.where(valid, x, -big), axis=1, keepdims=True)
+    xv = x[:, :n_up]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (tb, n_up), 1)
+    a_min = jnp.min(xv, axis=1, keepdims=True)
+    a_max = jnp.max(xv, axis=1, keepdims=True)
     t_min = jnp.min(
-        jnp.where(valid & (x == a_min), idx, n_up), axis=1, keepdims=True
+        jnp.where(xv == a_min, iota, n_up), axis=1, keepdims=True
     )
     t_max = jnp.min(
-        jnp.where(valid & (x == a_max), idx, n_up), axis=1, keepdims=True
+        jnp.where(xv == a_max, iota, n_up), axis=1, keepdims=True
     )
     a_min_ref[:] = a_min
     a_max_ref[:] = a_max
@@ -337,15 +342,15 @@ def _fused_current_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_up", "L", "num", "mtype", "interpret"),
+    static_argnames=("half", "n_up", "L", "num", "mtype", "interpret"),
 )
-def _fused_current_call(x, n_up, L, num, mtype, interpret=False):
+def _fused_current_call(rep, half, n_up, L, num, mtype, interpret=False):
     import numpy as np
 
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    b = x.shape[0]
+    b, n_rep = rep.shape
     nb = -(-n_up // _CUR_BLK)
     tri = jnp.asarray(
         np.tril(np.ones((_CUR_BLK, _CUR_BLK), np.float32)).T
@@ -353,7 +358,7 @@ def _fused_current_call(x, n_up, L, num, mtype, interpret=False):
     sup = jnp.asarray(np.eye(nb, k=1, dtype=np.float32))
     triL = jnp.asarray(np.tril(np.ones((L, L), np.float32)).T)
     kern = functools.partial(
-        _fused_current_kernel, n_up=n_up, L=L, num=num, mtype=mtype
+        _fused_current_kernel, half=half, n_up=n_up, L=L, num=num, mtype=mtype
     )
     grid = (b // _CUR_TILE_B,)
 
@@ -374,14 +379,14 @@ def _fused_current_call(x, n_up, L, num, mtype, interpret=False):
         ),
         grid=grid,
         in_specs=[
-            row_spec(n_up),
+            row_spec(n_rep),
             const_spec((_CUR_BLK, _CUR_BLK)),
             const_spec((nb, nb)),
             const_spec((L, L)),
         ],
         out_specs=tuple(row_spec(1) for _ in range(4)),
         interpret=interpret,
-    )(x, tri, sup, triL)
+    )(rep, tri, sup, triL)
 
 
 def fused_current(
@@ -393,9 +398,9 @@ def fused_current(
     -> min_max. Returns ``(t_min, t_max, a_min, a_max)`` per row.
 
     The replication runs as one fused XLA broadcast (Mosaic cannot shape-
-    cast the interleave); the three moving averages and the min/max — the
-    ~10 HBM passes of the unfused branch — run in one VMEM-resident Pallas
-    pass. Requires ``L <= 128`` and an all-valid replication map
+    cast the interleave); the upsampler's window slice and everything after
+    — the ~10 HBM passes of the unfused branch — run in one VMEM-resident
+    Pallas pass. Requires ``L <= 128`` and an all-valid replication map
     (``half + n_up <= n_curr * ratio``).
     """
     *lead, n_curr = c.shape
@@ -404,13 +409,14 @@ def fused_current(
     pad_b = (-b) % _CUR_TILE_B
     if pad_b:
         c2 = jnp.pad(c2, ((0, pad_b), (0, 0)))
-    # curr_up[j] = curr[(j+half)//ratio] — replicate + static slice
+    # curr_up[j] = curr[(j+half)//ratio] — replicate; the window slice
+    # happens inside the kernel (VMEM), not as an extra HBM pass
     rep = jnp.repeat(c2, int(ratio), axis=-1)
     if half + n_up > rep.shape[-1]:
         rep = jnp.pad(rep, ((0, 0), (0, half + n_up - rep.shape[-1])))
-    x = rep[:, half : half + n_up]
     outs = _fused_current_call(
-        x, int(n_up), int(L), int(num), int(mtype), interpret=interpret
+        rep, int(half), int(n_up), int(L), int(num), int(mtype),
+        interpret=interpret,
     )
     return tuple(o[:b, 0].reshape(lead) for o in outs)
 
