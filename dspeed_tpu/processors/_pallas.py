@@ -92,6 +92,17 @@ def _fused_energy_kernel(w_ref, bl_ref, tri_ref, tri8_ref, omc_ref,
     nb = n // _EN_BLK
     w = w_ref[:] - bl_ref[:]  # (TB, n) baseline-subtracted
     omc = omc_ref[0, 0]
+    # NaN poisoning in-kernel: the row is already resident in VMEM, so the
+    # scan + the per-output selects are VPU-only — the XLA-side nanmask
+    # would re-read and re-write every (B, n) output from HBM (~4 ms/iter
+    # at 16384 events, measured). NaN in the baseline poisons w, so one
+    # check covers both inputs. Explicit x != x (int max reduce) rather
+    # than relying on NaN propagation through a float min.
+    bad = jnp.max((w != w).astype(jnp.int32), axis=1, keepdims=True) > 0
+    nanv = jnp.float32(jnp.nan)
+
+    def poison(x):
+        return jnp.where(bad, nanv, x)
 
     wb = w.reshape(_EN_TILE_B * nb, _EN_BLK)
     tri = tri_ref[:]  # (BLK, BLK) inclusive lower-triangular ones
@@ -115,7 +126,7 @@ def _fused_energy_kernel(w_ref, bl_ref, tri_ref, tri8_ref, omc_ref,
           + carry2[:, :, None]).reshape(_EN_TILE_B, n)
 
     pz = w + omc * (S - w)
-    pz_ref[:] = pz
+    pz_ref[:] = poison(pz)
     spz = (1.0 - omc) * S + omc * S2
 
     def shifted(k):
@@ -162,13 +173,13 @@ def _fused_energy_kernel(w_ref, bl_ref, tri_ref, tri8_ref, omc_ref,
                 fall, rise + flat
             ) * (1.0 / fall)
         done[spec] = trap
-        t_ref[:] = trap
+        t_ref[:] = poison(trap)
         traps.append(trap)
     emax_done = {}
     for ti, e_ref in zip(emax_for, emax_refs):
         if ti not in emax_done:
             emax_done[ti] = jnp.max(traps[ti], axis=1, keepdims=True)
-        e_ref[:] = emax_done[ti]
+        e_ref[:] = poison(emax_done[ti])
 
 
 @functools.partial(

@@ -127,15 +127,18 @@ def fused_energy_front(tau, trap_specs, emax_for=(0,)) -> Kernel:
             width = 2 * s[1] + s[2] if s[0] == "norm" else s[1] + s[2] + s[3]
             if width > n:
                 raise DSPFatal("The trapezoid width is wider than the waveform")
-        bad = isnan_any(w_in, 1) | isnan_any(jnp.asarray(a_baseline))
-
         from . import _pallas
 
         if pallas_available() and n % _pallas._EN_BLK == 0:
+            # the kernel NaN-poisons in VMEM (row scan + selects are free
+            # there; an XLA-side nanmask re-reads and re-writes every (B, n)
+            # output from HBM) — static False short-circuits nanmask below
+            bad = False
             pz, traps, emaxes = fused_energy(
                 w_in, a_baseline, tau, trap_specs=specs, emax_for=emax_for
             )
         else:
+            bad = isnan_any(w_in, 1) | isnan_any(jnp.asarray(a_baseline))
             from .bl_subtract import bl_subtract
             from .pole_zero import pole_zero
             from .trap_filters import asym_trap_filter, trap_norm
@@ -184,13 +187,14 @@ def fused_energy_filter(w_in, a_baseline, t_tau, rise, flat):
     f = static_int(flat, "fused_energy_filter", "flat")
     if 2 * r + f > n:
         raise DSPFatal("The trapezoid width is wider than the waveform")
-    bad = isnan_any(w_in, 1) | isnan_any(jnp.asarray(a_baseline))
 
     from . import _pallas
 
     if pallas_available() and n % _pallas._EN_BLK == 0:
+        bad = False  # kernel NaN-poisons in VMEM (see fused_energy_front)
         pz, trap, emax = fused_energy(w_in, a_baseline, tau, r, f)
     else:
+        bad = isnan_any(w_in, 1) | isnan_any(jnp.asarray(a_baseline))
         # XLA fallback: compose the ORIGINAL kernel bodies so the fused
         # step is bit-identical to the unfused pole_zero -> trap_norm ->
         # amax chain it replaces (the fusion pass relies on this)

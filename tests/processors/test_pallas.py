@@ -93,6 +93,31 @@ def test_fused_energy_multitrap_interpret_matches_oracle():
     )
 
 
+def test_fused_energy_interpret_nan_poisoning():
+    """The kernel NaN-poisons in VMEM (NaN waveform sample or NaN baseline
+    -> whole-row NaN outputs); rows without NaN stay finite."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from test_build_dsp import make_hpge_waveforms
+
+    from dspeed_tpu.processors._pallas import fused_energy
+
+    wf, amp, t0, bl = make_hpge_waveforms(n=8)
+    wf = wf.copy()
+    wf[1, 700] = np.nan  # NaN sample
+    bl = bl.copy()
+    bl[3] = np.nan  # NaN baseline
+    specs = (("norm", 625, 188), ("asym", 8, 4, 125))
+    pz, traps, emaxes = fused_energy(
+        wf, bl, 27460.5, trap_specs=specs, emax_for=(0,), interpret=True
+    )
+    for arr in [pz, *traps, *emaxes]:
+        a = np.asarray(arr)
+        assert np.all(np.isnan(a[1])) and np.all(np.isnan(a[3]))
+        ok = [0, 2, 4, 5, 6, 7]
+        assert np.all(np.isfinite(a[ok]))
+
+
 def test_fused_energy_front_fallback_matches_unfused(rng):
     from dspeed_tpu import processors as dp
 
