@@ -58,6 +58,13 @@ def pallas_available() -> bool:
                 c, half=0, n_up=600, L=48, num=3, mtype=0
             )
             jax.block_until_ready(outs)
+            cp = jnp.ones((_POLY_TILE_B, 40), jnp.float32)
+            assert _poly_plan(40, 16, 8, 600, 48, 3, 0) is not None
+            outs = _fused_current_poly_call(
+                cp, n_curr=40, ratio=16, half=8, n_up=600, L=48, num=3,
+                mtype=0,
+            )
+            jax.block_until_ready(outs)
             _SMOKE_OK = True
         except Exception:
             _SMOKE_OK = False
@@ -249,23 +256,14 @@ _CUR_TILE_B = 16  # tuned on v5e (8: +18%, 32: +25% slower)
 _CUR_BLK = 128
 
 
-def _fused_current_kernel(
-    rep_ref, tri_ref, sup_ref, triL_ref, *out_refs,
-    half: int, n_up: int, L: int, num: int, mtype: int,
-):
-    t_min_ref, t_max_ref, a_min_ref, a_max_ref = out_refs
-    tb = _CUR_TILE_B
+def _mw_apply(x, tri, sup, triL, L, num, mtype, n_up, n_pad, tb):
+    """Apply the ``moving_window_multi`` cascade (``num`` alternating
+    ``L``-sample moving averages, ``mtype`` as in the unfused kernel) to
+    ``x`` of shape ``(tb, n_pad)`` whose first ``n_up`` lanes are valid
+    (rest zero). VMEM-resident; shared by the up-domain kernel and the
+    polyphase kernel's edge windows."""
     blk = _CUR_BLK
-    nb = -(-n_up // blk)
-    n_pad = nb * blk
-    # slice the replicated waveform to the upsampler's window in VMEM (an
-    # XLA-side slice would cost a full extra HBM pass) and zero-pad to the
-    # block grid
-    x = rep_ref[:][:, half : half + n_up]
-    if n_pad > n_up:
-        x = jnp.concatenate(
-            [x, jnp.zeros((tb, n_pad - n_up), jnp.float32)], axis=1
-        )
+    nb = n_pad // blk
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (tb, n_pad), 1) % blk
     # Mosaic only supports integer iota — build f32 lane indices by cast
@@ -280,14 +278,14 @@ def _fused_current_kernel(
         bounded by in-block magnitudes; no global prefix, no compensation).
         """
         loc2 = jnp.dot(
-            x.reshape(tb * nb, blk), tri_ref[:],
+            x.reshape(tb * nb, blk), tri,
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
         bs = loc2[:, blk - 1].reshape(tb, nb)
         # bs of the PREVIOUS block at each slot (superdiagonal matmul)
         bsp = jnp.dot(
-            bs, sup_ref[:], preferred_element_type=jnp.float32,
+            bs, sup, preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
         loc = loc2.reshape(tb, n_pad)
@@ -316,24 +314,44 @@ def _fused_current_kernel(
         # ramp over the last L samples: R[i] = sum x[i..n_up-1] (<= L terms)
         tail = x[:, n_up - L : n_up]  # (TB, L)
         tailS = jnp.dot(
-            tail, triL_ref[:], preferred_element_type=jnp.float32,
+            tail, triL, preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
         R = tailS[:, L - 1 :] - tailS + tail  # suffix sums of the tail
         xlast = x[:, n_up - 1 : n_up]
         ramp = xlast + (R - (L - iotaL) * xlast) * invL
-        return jnp.concatenate(
-            [
-                steady[:, : n_up - L],
-                ramp,
-                jnp.zeros((tb, n_pad - n_up), jnp.float32),
-            ],
-            axis=1,
-        )
+        parts = [steady[:, : n_up - L], ramp]
+        if n_pad > n_up:  # Mosaic rejects zero-size vectors
+            parts.append(jnp.zeros((tb, n_pad - n_up), jnp.float32))
+        return jnp.concatenate(parts, axis=1)
 
     for it in range(num):
         go_right = ((it % 2 == 1) and (mtype == 0)) or (mtype == 2)
         x = mwr(x) if go_right else mwl(x)
+    return x
+
+
+def _fused_current_kernel(
+    rep_ref, tri_ref, sup_ref, triL_ref, *out_refs,
+    half: int, n_up: int, L: int, num: int, mtype: int,
+):
+    t_min_ref, t_max_ref, a_min_ref, a_max_ref = out_refs
+    tb = _CUR_TILE_B
+    blk = _CUR_BLK
+    nb = -(-n_up // blk)
+    n_pad = nb * blk
+    # slice the replicated waveform to the upsampler's window in VMEM (an
+    # XLA-side slice would cost a full extra HBM pass) and zero-pad to the
+    # block grid
+    x = rep_ref[:][:, half : half + n_up]
+    if n_pad > n_up:
+        x = jnp.concatenate(
+            [x, jnp.zeros((tb, n_pad - n_up), jnp.float32)], axis=1
+        )
+    x = _mw_apply(
+        x, tri_ref[:], sup_ref[:], triL_ref[:], L, num, mtype, n_up,
+        n_pad, tb,
+    )
 
     xv = x[:, :n_up]
     iota = jax.lax.broadcasted_iota(jnp.int32, (tb, n_up), 1)
@@ -400,6 +418,248 @@ def _fused_current_call(rep, half, n_up, L, num, mtype, interpret=False):
     )(rep, tri, sup, triL)
 
 
+# --- polyphase formulation -------------------------------------------------
+#
+# Away from the edges the whole cascade is LTI: out = h * x_up with
+# h = the convolution of the ``num`` boxes. Since x_up[j] = c[(j+half)//ratio]
+# is a replication, out[ratio*t + p] = sum_q H_p[q] c[t + q] with ~len(h)/
+# ratio-tap per-phase filters H_p — so the interior collapses to small
+# banded MXU matmuls on the SHORT current waveform, ~10x fewer FLOPs than
+# running the box cascade at upsampled width (which is what the up-domain
+# kernel above does). Only two ``_POLY_W``-wide windows at the true edges
+# still run the exact staged cascade (the ramps are not LTI); host-side
+# margin analysis (:func:`_poly_plan`) proves which output ranges each
+# method owns, and falls back to the up-domain kernel when the geometry's
+# margins don't hold.
+
+_POLY_TILE_B = 64
+_POLY_W = 2 * _CUR_BLK  # edge-window width (samples, up-domain)
+_POLY_T = 32  # interior block width (samples, c-domain)
+
+
+def _poly_plan(n_curr, ratio, half, n_up, L, num, mtype):
+    """Host-side constants for the polyphase kernel, or ``None`` when the
+    geometry's edge margins don't hold (caller uses the up-domain kernel).
+    All entries are numpy/int — safe to build at trace time."""
+    import numpy as np
+
+    W, T = _POLY_W, _POLY_T
+    if n_up < W or L >= W // 2 or half + n_up > n_curr * ratio:
+        return None
+    stages = [
+        ((it % 2 == 1) and (mtype == 0)) or (mtype == 2)
+        for it in range(num)
+    ]
+    # composite interior filter: out[j] = sum_s h[s] x_up[j - s]
+    h = np.ones(1)
+    s_min = 0
+    for right in stages:
+        h = np.convolve(h, np.full(L, 1.0 / L))
+        if right:
+            s_min -= L - 1
+    s_max = s_min + len(h) - 1
+
+    # LEFT edge window [0, W): a mwr stage's right ramp is globally wrong
+    # here — track the lowest corrupted local index (mwl introduces nothing:
+    # its left ramp IS the global edge)
+    c_lo = W
+    for right in stages:
+        if right:
+            c_lo = min(c_lo - (L - 1), W - L)
+    EL = ratio * -(-max(s_max, 1) // ratio)  # interior start (mult of ratio)
+    need_hi = EL  # dependency cone of outputs [0, EL)
+    for right in reversed(stages):
+        if right:
+            need_hi += L - 1
+    if not (0 < EL <= c_lo and need_hi <= W):
+        return None
+
+    # RIGHT edge window [n_up - W, n_up): mwl's left ramp is globally wrong
+    # here — track the exclusive upper bound of corruption from the left
+    c_hi = 0
+    for right in stages:
+        if not right:
+            c_hi = max(c_hi + (L - 1) if c_hi else 0, L)
+    j_end = ratio * ((n_up + s_min) // ratio)  # interior validity bound
+    ERW = n_up - j_end
+    need_lo = W - ERW
+    for right in reversed(stages):
+        if not right:
+            need_lo -= L - 1
+    if not (W - ERW >= c_hi and need_lo >= 0 and EL < j_end):
+        return None
+
+    # per-phase filters H_p[q] (q in [q_min, q_max], c-domain taps)
+    s_idx = np.arange(s_min, s_max + 1)
+    qs = [(p - s_idx + half) // ratio for p in range(ratio)]
+    q_min = int(min(q.min() for q in qs))
+    q_max = int(max(q.max() for q in qs))
+    nq = q_max - q_min + 1
+    Hm = np.zeros((ratio, nq))
+    for p in range(ratio):
+        np.add.at(Hm[p], (qs[p] - q_min).astype(int), h)
+
+    # interior block geometry (c-domain t units)
+    t0_base = EL // ratio
+    total_t = (j_end - EL) // ratio
+    nblk = -(-total_t // T)
+    T_last = total_t - (nblk - 1) * T
+    # every block's c reads must be in range
+    if t0_base + q_min < 0:
+        return None
+    if t0_base + (nblk - 1) * T + T_last - 1 + q_max >= n_curr:
+        return None
+
+    def build_A(Tb):
+        span = Tb + nq - 1
+        A = np.zeros((span, ratio * Tb))
+        for tl in range(Tb):
+            A[tl : tl + nq, ratio * tl : ratio * (tl + 1)] = Hm.T
+        return A.astype(np.float32)
+
+    def build_sel(j0):
+        R = np.zeros((n_curr, W), np.float32)
+        src = (j0 + np.arange(W) + half) // ratio
+        if src.min() < 0 or src.max() >= n_curr:
+            return None
+        R[src, np.arange(W)] = 1.0
+        return R
+
+    RL = build_sel(0)
+    RR = build_sel(n_up - W)
+    if RL is None or RR is None:
+        return None
+    return dict(
+        A=build_A(T), A_last=build_A(T_last), RL=RL, RR=RR,
+        EL=EL, ERW=ERW, nq=nq, q_min=q_min, t0_base=t0_base,
+        nblk=nblk, T_last=T_last,
+    )
+
+
+def _fused_current_poly_kernel(
+    c_ref, tri_ref, supW_ref, triL_ref, rl_ref, rr_ref, a_ref, alast_ref,
+    *out_refs, n_curr: int, ratio: int, half: int, n_up: int, L: int,
+    num: int, mtype: int, EL: int, ERW: int, nq: int, q_min: int,
+    t0_base: int, nblk: int, T_last: int,
+):
+    t_min_ref, t_max_ref, a_min_ref, a_max_ref = out_refs
+    tb = _POLY_TILE_B
+    W = _POLY_W
+    T = _POLY_T
+    hp = jax.lax.Precision.HIGHEST
+    c = c_ref[:]  # (TB, n_curr)
+    big = jnp.int32(1 << 30)
+
+    def region(vals, j0, state):
+        """Fold a region's (first-occurrence) extrema into the running
+        state; regions arrive in ascending-j order, so strict comparisons
+        keep the earliest index on ties — global first-occurrence."""
+        wdt = vals.shape[1]
+        iota = jax.lax.broadcasted_iota(jnp.int32, (tb, wdt), 1) + j0
+        v_mn = jnp.min(vals, axis=1, keepdims=True)
+        v_mx = jnp.max(vals, axis=1, keepdims=True)
+        i_mn = jnp.min(
+            jnp.where(vals == v_mn, iota, big), axis=1, keepdims=True
+        )
+        i_mx = jnp.min(
+            jnp.where(vals == v_mx, iota, big), axis=1, keepdims=True
+        )
+        if state is None:
+            return v_mn, i_mn, v_mx, i_mx
+        vmin, jmin, vmax, jmax = state
+        tk = v_mn < vmin
+        tx = v_mx > vmax
+        return (
+            jnp.where(tk, v_mn, vmin), jnp.where(tk, i_mn, jmin),
+            jnp.where(tx, v_mx, vmax), jnp.where(tx, i_mx, jmax),
+        )
+
+    # left edge: exact staged cascade on a W-wide window
+    xl = jnp.dot(c, rl_ref[:], preferred_element_type=jnp.float32,
+                 precision=hp)
+    yl = _mw_apply(xl, tri_ref[:], supW_ref[:], triL_ref[:], L, num,
+                   mtype, W, W, tb)
+    state = region(yl[:, :EL], 0, None)
+
+    # interior: banded polyphase matmuls on the short waveform
+    A = a_ref[:]
+    span = T + nq - 1
+    for i in range(nblk):
+        lo = t0_base + i * T + q_min
+        if i < nblk - 1:
+            y = jnp.dot(c[:, lo : lo + span], A,
+                        preferred_element_type=jnp.float32, precision=hp)
+        else:
+            span_l = T_last + nq - 1
+            y = jnp.dot(c[:, lo : lo + span_l], alast_ref[:],
+                        preferred_element_type=jnp.float32, precision=hp)
+        state = region(y, EL + i * T * ratio, state)
+
+    # right edge: exact staged cascade aligned to the global end
+    xr = jnp.dot(c, rr_ref[:], preferred_element_type=jnp.float32,
+                 precision=hp)
+    yr = _mw_apply(xr, tri_ref[:], supW_ref[:], triL_ref[:], L, num,
+                   mtype, W, W, tb)
+    state = region(yr[:, W - ERW :], n_up - ERW, state)
+
+    vmin, jmin, vmax, jmax = state
+    a_min_ref[:] = vmin
+    a_max_ref[:] = vmax
+    t_min_ref[:] = jmin.astype(jnp.float32)
+    t_max_ref[:] = jmax.astype(jnp.float32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_curr", "ratio", "half", "n_up", "L", "num", "mtype", "interpret"
+    ),
+)
+def _fused_current_poly_call(
+    c, n_curr, ratio, half, n_up, L, num, mtype, interpret=False
+):
+    import numpy as np
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    plan = _poly_plan(n_curr, ratio, half, n_up, L, num, mtype)
+    b = c.shape[0]
+    W = _POLY_W
+    nbW = W // _CUR_BLK
+    tri = jnp.asarray(np.tril(np.ones((_CUR_BLK, _CUR_BLK), np.float32)).T)
+    supW = jnp.asarray(np.eye(nbW, k=1, dtype=np.float32))
+    triL = jnp.asarray(np.tril(np.ones((L, L), np.float32)).T)
+    kern = functools.partial(
+        _fused_current_poly_kernel, n_curr=n_curr, ratio=ratio, half=half,
+        n_up=n_up, L=L, num=num, mtype=mtype, EL=plan["EL"],
+        ERW=plan["ERW"], nq=plan["nq"], q_min=plan["q_min"],
+        t0_base=plan["t0_base"], nblk=plan["nblk"], T_last=plan["T_last"],
+    )
+
+    def row_spec(width):
+        return pl.BlockSpec(
+            (_POLY_TILE_B, width), lambda i: (i, 0), memory_space=pltpu.VMEM
+        )
+
+    def const_spec(shape):
+        return pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+    consts = [tri, supW, triL, jnp.asarray(plan["RL"]),
+              jnp.asarray(plan["RR"]), jnp.asarray(plan["A"]),
+              jnp.asarray(plan["A_last"])]
+    return pl.pallas_call(
+        kern,
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((b, 1), jnp.float32) for _ in range(4)
+        ),
+        grid=(b // _POLY_TILE_B,),
+        in_specs=[row_spec(n_curr)] + [const_spec(x.shape) for x in consts],
+        out_specs=tuple(row_spec(1) for _ in range(4)),
+        interpret=interpret,
+    )(c, *consts)
+
+
 def fused_current(
     c, ratio: int, half: int, n_up: int, L: int, num: int, mtype: int,
     interpret: bool = False,
@@ -408,15 +668,27 @@ def fused_current(
     ``L``-sample moving averages (``mtype`` as in ``moving_window_multi``)
     -> min_max. Returns ``(t_min, t_max, a_min, a_max)`` per row.
 
-    The replication runs as one fused XLA broadcast (Mosaic cannot shape-
-    cast the interleave); the upsampler's window slice and everything after
-    — the ~10 HBM passes of the unfused branch — run in one VMEM-resident
-    Pallas pass. Requires ``L <= 128`` and an all-valid replication map
-    (``half + n_up <= n_curr * ratio``).
+    Preferred route: the polyphase kernel (interior as banded per-phase
+    matmuls on the short waveform + exact staged cascades on two edge
+    windows — see ``_poly_plan``). Falls back to the up-domain kernel
+    (replicate via XLA broadcast, cascade at upsampled width in VMEM) when
+    the geometry's edge margins don't hold. Requires ``L <= 128`` and an
+    all-valid replication map (``half + n_up <= n_curr * ratio``).
     """
     *lead, n_curr = c.shape
+    ratio, half = int(ratio), int(half)
+    n_up, L, num, mtype = int(n_up), int(L), int(num), int(mtype)
     c2 = jnp.asarray(c, jnp.float32).reshape(-1, n_curr)
     b = c2.shape[0]
+    if _poly_plan(n_curr, ratio, half, n_up, L, num, mtype) is not None:
+        pad_b = (-b) % _POLY_TILE_B
+        if pad_b:
+            c2 = jnp.pad(c2, ((0, pad_b), (0, 0)))
+        outs = _fused_current_poly_call(
+            c2, n_curr, ratio, half, n_up, L, num, mtype,
+            interpret=interpret,
+        )
+        return tuple(o[:b, 0].reshape(lead) for o in outs)
     pad_b = (-b) % _CUR_TILE_B
     if pad_b:
         c2 = jnp.pad(c2, ((0, pad_b), (0, 0)))

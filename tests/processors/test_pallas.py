@@ -162,10 +162,31 @@ def test_fused_current_interpret_matches_oracle(rng):
     for right in (False, True, False):
         x = mwl64(x[..., ::-1], L)[..., ::-1] if right else mwl64(x, L)
 
+    # routed path (polyphase for this geometry — _poly_plan is not None)
+    from dspeed_tpu.processors import _pallas as P
+
+    assert P._poly_plan(300, ratio, ratio // 2, n_up, L, 3, 0) is not None
     t_min, t_max, a_min, a_max = [
         np.asarray(o)
         for o in fused_current(c, ratio, ratio // 2, n_up, L, 3, 0,
                                interpret=True)
+    ]
+    np.testing.assert_allclose(a_max, x.max(-1), rtol=1e-5)
+    np.testing.assert_allclose(a_min, x.min(-1), rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(t_max, x.argmax(-1))
+    np.testing.assert_array_equal(t_min, x.argmin(-1))
+
+    # up-domain kernel (the fallback route for geometries _poly_plan
+    # rejects) against the same oracle
+    import jax.numpy as jnp
+
+    c2 = jnp.asarray(c)
+    rep = jnp.repeat(c2, ratio, axis=-1)
+    t_min, t_max, a_min, a_max = [
+        np.asarray(o[:, 0])
+        for o in P._fused_current_call(
+            rep, ratio // 2, n_up, L, 3, 0, interpret=True
+        )
     ]
     np.testing.assert_allclose(a_max, x.max(-1), rtol=1e-5)
     np.testing.assert_allclose(a_min, x.min(-1), rtol=1e-4, atol=1e-4)
