@@ -595,12 +595,15 @@ def _fused_current_poly_kernel(
                         preferred_element_type=jnp.float32, precision=hp)
         state = region(y, EL + i * T * ratio, state)
 
-    # right edge: exact staged cascade aligned to the global end
-    xr = jnp.dot(c, rr_ref[:], preferred_element_type=jnp.float32,
-                 precision=hp)
-    yr = _mw_apply(xr, tri_ref[:], supW_ref[:], triL_ref[:], L, num,
-                   mtype, W, W, tb)
-    state = region(yr[:, W - ERW :], n_up - ERW, state)
+    # right edge: exact staged cascade aligned to the global end (skipped
+    # when the interior is valid to the very end — ERW == 0 would make a
+    # zero-size region, which Mosaic rejects anyway)
+    if ERW > 0:
+        xr = jnp.dot(c, rr_ref[:], preferred_element_type=jnp.float32,
+                     precision=hp)
+        yr = _mw_apply(xr, tri_ref[:], supW_ref[:], triL_ref[:], L, num,
+                       mtype, W, W, tb)
+        state = region(yr[:, W - ERW :], n_up - ERW, state)
 
     vmin, jmin, vmax, jmax = state
     a_min_ref[:] = vmin

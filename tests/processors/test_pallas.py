@@ -223,3 +223,68 @@ def test_fused_current_front_nan_poisoning(rng):
     for o in kern(c):
         o = np.asarray(o)
         assert np.all(np.isnan(o[2])) and np.all(np.isfinite(o[[0, 1, 3]]))
+
+
+@pytest.mark.parametrize(
+    "n_curr,ratio,n_up,L,num,mtype",
+    [
+        (301, 16, 4788, 48, 3, 0),   # flagship A/E geometry
+        (301, 16, 4784, 48, 3, 0),   # n_up not a multiple of the block
+        (200, 8, 1590, 24, 2, 0),    # L-R cascade, ratio 8
+        (300, 16, 4700, 32, 3, 1),   # all-left cascade
+        (300, 16, 4700, 32, 3, 2),   # all-right cascade
+        (128, 4, 500, 12, 1, 0),     # single stage, small ratio
+    ],
+)
+def test_poly_vs_updomain_interpret(rng, n_curr, ratio, n_up, L, num, mtype):
+    """The polyphase route must agree with the up-domain kernel it replaces
+    on every geometry its margin analysis accepts: values to float32
+    rounding, extremum indices exactly (random data, no ties)."""
+    import jax.numpy as jnp
+
+    from dspeed_tpu.processors import _pallas as P
+
+    half = ratio // 2
+    plan = P._poly_plan(n_curr, ratio, half, n_up, L, num, mtype)
+    assert plan is not None, "margin analysis rejected a supported geometry"
+
+    b = 64
+    c = rng.normal(0, 30, (b, n_curr)).astype("float32")
+    c[:, n_curr // 3] += 500.0
+
+    pad_b = (-b) % P._POLY_TILE_B
+    cp = jnp.pad(jnp.asarray(c), ((0, pad_b), (0, 0))) if pad_b else jnp.asarray(c)
+    got = [
+        np.asarray(o[:b, 0])
+        for o in P._fused_current_poly_call(
+            cp, n_curr, ratio, half, n_up, L, num, mtype, interpret=True
+        )
+    ]
+    rep = jnp.repeat(jnp.asarray(c), ratio, axis=-1)
+    if half + n_up > rep.shape[-1]:
+        rep = jnp.pad(rep, ((0, 0), (0, half + n_up - rep.shape[-1])))
+    want = [
+        np.asarray(o[:b, 0])
+        for o in P._fused_current_call(
+            rep, half, n_up, L, num, mtype, interpret=True
+        )
+    ]
+    scale = max(np.abs(want[2]).max(), np.abs(want[3]).max(), 1.0)
+    np.testing.assert_allclose(got[2], want[2], atol=2e-5 * scale, rtol=0)
+    np.testing.assert_allclose(got[3], want[3], atol=2e-5 * scale, rtol=0)
+    # indices must match except where the two implementations' rounding
+    # flips a near-tie (the extremum VALUES agree within tolerance above,
+    # which is exactly the near-tie evidence); allow only a few such rows
+    assert (got[0] != want[0]).sum() <= b // 16, "t_min beyond near-ties"
+    assert (got[1] != want[1]).sum() <= b // 16, "t_max beyond near-ties"
+
+
+def test_poly_plan_rejects_bad_geometries():
+    from dspeed_tpu.processors import _pallas as P
+
+    # n_up smaller than the edge windows
+    assert P._poly_plan(100, 4, 2, 200, 24, 3, 0) is None
+    # replication map not all-valid
+    assert P._poly_plan(30, 16, 8, 600, 48, 3, 0) is None
+    # L too large relative to the edge window
+    assert P._poly_plan(301, 16, 8, 4788, 128, 3, 0) is None
