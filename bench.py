@@ -105,6 +105,31 @@ def _bench_backend(
     return best
 
 
+def _oracle_constants() -> tuple[float, int, int]:
+    """(tau, rise_samples, flat_samples) for the float64 trapEmax oracle,
+    derived from the same YAML config + database the chain is built from —
+    a config change makes the guard follow instead of validating the wrong
+    geometry (ADVICE r2)."""
+    import yaml
+
+    from __graft_entry__ import CONFIG_PATH, DB, DT_NS
+
+    from dspeed_tpu.units import ureg
+
+    with open(CONFIG_PATH) as f:
+        cfg = yaml.safe_load(f)
+    defaults = cfg["processors"]["wf_etrap"]["defaults"]
+
+    def samples(expr: str) -> int:
+        return int(round(float(ureg(str(expr)) / (DT_NS * ureg("ns")))))
+
+    return (
+        float(DB["pz"]["tau"]),
+        samples(defaults["db.etrap.rise"]),
+        samples(defaults["db.etrap.flat"]),
+    )
+
+
 def _numerics_check(n_ev: int = 256) -> float:
     """Max relative trapEmax error of the FUSED chain vs a float64 oracle,
     measured on the bench device. Guards against fast-but-wrong kernels:
@@ -121,7 +146,7 @@ def _numerics_check(n_ev: int = 256) -> float:
     ).reshape(-1)
 
     wf, bl = _make_inputs(n_ev)
-    tau, rise, flat = 27460.5, 625, 188
+    tau, rise, flat = _oracle_constants()
     w = wf.astype("f8") - bl[:, None]
     omc = -np.expm1(-1.0 / tau)
     S = np.cumsum(w, 1)

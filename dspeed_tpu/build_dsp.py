@@ -242,14 +242,15 @@ def build_dsp(
             lh5_tables = [
                 tab for tab_wc in lh5_tables for tab in lh5.ls(raw_in, f"{prefix}{tab_wc}")
             ]
-        # sometimes 'raw' is nested, e.g. ch024/raw
-        tbs_new = []
-        for tb in lh5_tables:
-            if lh5.ls(raw_in, f"{tb}/*") == [f"{tb}/raw"]:
-                tbs_new.append(f"{tb}/raw")
-            elif lh5.ls(raw_in, tb):
-                tbs_new.append(tb)
-        lh5_tables = tbs_new
+        # a discovered channel group may hold a single nested 'raw' table
+        # (e.g. ch024/raw): descend into it; drop names that resolve to
+        # nothing in the file
+        def _resolve_tb(name: str) -> str | None:
+            if lh5.ls(raw_in, f"{name}/*") == [f"{name}/raw"]:
+                return f"{name}/raw"
+            return name if lh5.ls(raw_in, name) else None
+
+        lh5_tables = [t for t in map(_resolve_tb, lh5_tables) if t]
         if len(lh5_tables) == 0:
             raise RuntimeError(f"could not find any valid LH5 table in {raw_in}")
     else:
@@ -309,11 +310,12 @@ def build_dsp(
         dsp_st = LH5Store(keep_open=True)
 
     for tb in lh5_tables:
-        this_config = dsp_config
-        for pat, config in chan_config.items():
-            if fnmatch(tb, pat):
-                this_config = config
-                break
+        # per-channel config selection: first matching chan_config wildcard
+        # wins, else the shared dsp_config
+        this_config = next(
+            (cfg for pat, cfg in chan_config.items() if fnmatch(tb, pat)),
+            dsp_config,
+        )
         if this_config is None:
             log.info("no config for table %s; skipping", tb)
             continue

@@ -326,27 +326,21 @@ class ProcChainVar:
     ) -> None:
         """Fill in any metadata still set to ``auto``; leave the rest alone
         (reference ``processing_chain.py:332-371``)."""
-        updated = False
         if grid is auto and period is not None:
             if isinstance(offset, str):
                 offset = self.proc_chain.get_variable(offset, expr_only=True)
             grid = CoordinateGrid(period, offset)
-        if self.shape is auto and shape is not auto:
-            self.shape = shape
-            updated = True
-        if self.dtype is auto and dtype is not auto:
-            self.dtype = dtype
-            updated = True
-        if self.grid is auto and grid is not auto:
-            self.grid = grid
-            updated = True
-        if self.unit is auto and unit is not auto:
-            self.unit = unit
-            updated = True
-        if self.is_coord is auto and is_coord is not auto:
-            self.is_coord = is_coord
-            updated = True
-        if self.vector_len is None and vector_len is not None:
+        # a deduced value only lands on attributes still set to `auto`:
+        # anything the user (or an earlier deduction) pinned stays pinned
+        updated = False
+        for attr, new in (
+            ("shape", shape), ("dtype", dtype), ("grid", grid),
+            ("unit", unit), ("is_coord", is_coord),
+        ):
+            if new is not auto and getattr(self, attr) is auto:
+                setattr(self, attr, new)
+                updated = True
+        if vector_len is not None and self.vector_len is None:
             self.vector_len = vector_len
         if updated:
             log.debug("updated variable: %s", self.description())
@@ -1098,7 +1092,15 @@ class ProcessingChain:
                 try:
                     got = fuse()
                 except Exception as e:  # a miss must never break a chain
-                    log.debug("fusion pass skipped: %s", e)
+                    # ... but a silently-disabled matcher is a silent perf
+                    # regression: surface it, and raise under strict mode so
+                    # CI can catch matcher regressions (ADVICE r2)
+                    if os.getenv("DSPEED_TPU_FUSE") == "strict":
+                        raise
+                    log.warning(
+                        "fusion matcher %s failed (chain runs unfused): %s",
+                        fuse.__name__, e,
+                    )
                     break
                 if not got:
                     break
@@ -1531,6 +1533,13 @@ class ProcessingChain:
         nb = len(self._batch_axes)
         samp = getattr(self, "_sample_axis", None)
         nsh = self._mesh.shape[samp] if samp is not None else 1
+        # sample-shard only the waveform-length arrays: short per-event
+        # auxiliary vectors (an 8-wide params array on an 8-way sample mesh)
+        # would otherwise get sample-sharded, and GSPMD then pays reshard
+        # collectives to undo it (ADVICE r2)
+        wf_len = max(
+            (v.shape[-1] for v in inputs.values() if v.ndim > nb), default=0
+        )
         out = {}
         for k, v in inputs.items():
             axes = list(self._batch_axes[: min(nb, v.ndim)])
@@ -1538,6 +1547,7 @@ class ProcessingChain:
             if (
                 samp is not None
                 and v.ndim > len(axes)
+                and v.shape[-1] == wf_len
                 and v.shape[-1] % nsh == 0
                 and v.shape[-1] >= nsh
             ):
@@ -2433,72 +2443,69 @@ class ProcessingChain:
             raise ProcessingChainError(f"{condition} must be a boolean variable")
 
         name = f"where({condition}, {a}, {b})"
-        if isinstance(a, ProcChainVar) and isinstance(b, ProcChainVar):
-            if a.period != b.period:
-                raise ProcessingChainError(
-                    f"Cannot select between {a} and {b} with different periods"
-                )
-            if a.is_coord != b.is_coord:
-                raise ProcessingChainError(
-                    f"Cannot select between {a} and {b} with different is_coord"
-                )
+        n_vars = sum(isinstance(x, ProcChainVar) for x in (a, b))
+
+        if n_vars == 2:
+            # two chain variables: periods and coordinate-ness must agree;
+            # mismatched *offsets* select per-event between the two grids
+            for attr, label in (("period", "periods"), ("is_coord", "is_coord")):
+                if getattr(a, attr) != getattr(b, attr):
+                    raise ProcessingChainError(
+                        f"Cannot select between {a} and {b} with different {label}"
+                    )
             is_coord = a.is_coord
-            if a.offset == b.offset or (
+            same_offset = a.offset == b.offset or (
                 isinstance(a.offset, ProcChainVar) and a.offset is b.offset
-            ):
+            )
+            if same_offset:
                 grid = a.grid
             elif a.grid in (None, auto) or b.grid in (None, auto):
                 grid = None
-            else:
-                grid = CoordinateGrid(
-                    a.period, self._where(condition, a.offset, b.offset)
-                )
-            unit_a = Unit(a.unit) if is_in_ureg(a.unit) else a.unit
-            unit_b = Unit(b.unit) if is_in_ureg(b.unit) else b.unit
-            if unit_a == unit_b or unit_b in (None, auto):
-                unit = unit_a
-            elif unit_a in (None, auto):
-                unit = unit_b
+            else:  # recursive select over the per-event offsets
+                off = self._where(condition, a.offset, b.offset)
+                grid = CoordinateGrid(a.period, off)
+            norm = [
+                Unit(v.unit) if is_in_ureg(v.unit) else v.unit for v in (a, b)
+            ]
+            blank = [u in (None, auto) for u in norm]
+            if norm[0] == norm[1] or blank[1]:
+                unit = norm[0]
+            elif blank[0]:
+                unit = norm[1]
             else:
                 raise ProcessingChainError(
                     f"{a} and {b} do not have compatible units"
                 )
-        elif isinstance(a, ProcChainVar) or isinstance(b, ProcChainVar):
+        elif n_vars == 1:
+            # one variable + one literal: the variable's metadata wins; a
+            # unitted literal is converted into the variable's own system
+            # (its grid period when it is a coordinate)
             var, const = (a, b) if isinstance(a, ProcChainVar) else (b, a)
-            grid = var.grid
-            is_coord = var.is_coord
-            if var.unit in (None, auto):
-                unit = var.unit
-            elif not isinstance(const, (Quantity, Unit)):
-                unit = var.unit
-            elif is_in_ureg(var.unit):
-                q = Quantity(1, const) if isinstance(const, Unit) else const
-                ref = var.period if is_coord is True else Quantity(1, var.unit)
-                unit = var.unit
-                conv = float(q / ref)
-                if isinstance(a, ProcChainVar):
+            grid, is_coord, unit = var.grid, var.is_coord, var.unit
+            if unit not in (None, auto) and isinstance(const, (Quantity, Unit)):
+                if not is_in_ureg(unit):
+                    raise ProcessingChainError(
+                        f"{a} and {b} do not have compatible units"
+                    )
+                q = const if isinstance(const, Quantity) else Quantity(1, const)
+                denom = var.period if is_coord is True else Quantity(1, unit)
+                conv = float(q / denom)
+                if var is a:
                     b = conv
                 else:
                     a = conv
-            else:
-                raise ProcessingChainError(
-                    f"{a} and {b} do not have compatible units"
-                )
         else:
-            grid = None
-            is_coord = False
-            if isinstance(a, Quantity) and isinstance(b, Quantity):
-                unit = a.u
-                b = float(b / Quantity(1, unit))
-                a = a.m
-            elif isinstance(a, Quantity):
+            # two literals: adopt the first unitted one's unit and express
+            # the other in it
+            grid, is_coord, unit = None, False, None
+            if isinstance(a, Quantity):
                 unit = a.u
                 a = a.m
+                if isinstance(b, Quantity):
+                    b = float(b / Quantity(1, unit))
             elif isinstance(b, Quantity):
                 unit = b.u
                 b = b.m
-            else:
-                unit = None
 
         out = ProcChainVar(self, name, auto, dtype, grid, unit, is_coord)
         self._add_step(KernelStep(self, processors.where, [condition, a, b, out]))

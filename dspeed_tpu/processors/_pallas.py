@@ -677,6 +677,15 @@ def fused_current(
     (replicate via XLA broadcast, cascade at upsampled width in VMEM) when
     the geometry's edge margins don't hold. Requires ``L <= 128`` and an
     all-valid replication map (``half + n_up <= n_curr * ratio``).
+
+    Index-stability caveat (ADVICE r2): the interior banded matmuls and the
+    edge-window cascades round differently, so a *degenerate* waveform whose
+    global extremum near-ties (within ~1 ulp) across a region boundary can
+    report a ``t_min``/``t_max`` that differs from the unfused kernel by
+    whole samples — an integer discrepancy the ~1e-6 amplitude tolerance
+    does not cover. Amplitudes (``a_min``/``a_max``, hence A/E) stay within
+    the normal tolerance; downstream cuts on A/E *timing* should treat the
+    index as ±1 upsampled sample on near-tied waveforms.
     """
     *lead, n_curr = c.shape
     ratio, half = int(ratio), int(half)
