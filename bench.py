@@ -39,7 +39,11 @@ RESULT: dict = {
     "standard_wfps": None,
     "fused_wfps": None,
     "production_wfps_with_io": None,
+    "production_split_s": None,  # {loading, processing, write, total}
+    "cpu_production_wfps": None,
     "cpu_same_chain_wfps": None,
+    "sipm_wfps": None,  # BASELINE config 3: scan-heavy pulse finding
+    "stacked_wfps": None,  # BASELINE config 5: multi-channel production
     "numerics_max_rel_err": None,
 }
 _emitted = False
@@ -65,10 +69,48 @@ def _on_signal(signum, frame):  # emit partial results before dying
     sys.exit(1)
 
 
+def _build_sipm_inputs(n_ev: int, nsamp: int = 1024, seed: int = 3):
+    """Synthetic SiPM-like batch: flat baseline + Poisson-count fast pulses."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(nsamp)[None, :]
+    wf = rng.normal(0.0, 1.0, (n_ev, nsamp))
+    n_pulse = rng.poisson(2.0, n_ev)
+    for i in range(n_ev):
+        for t0 in rng.uniform(50, nsamp - 50, n_pulse[i]):
+            a = rng.uniform(20, 200)
+            wf[i] += a * np.exp(-np.abs(t[0] - t0) / np.where(t[0] > t0, 80, 3))
+    return wf.astype("float32")
+
+
+def _build_sipm_chain(n_ev: int):
+    """(chain, inputs) for the SiPM pulse-finding chain (BASELINE config 3:
+    the ``lax.scan``-heavy workload — get_multi_local_extrema, VoV outputs;
+    reference twin ``tests/configs/sipm-dsp-config.json``)."""
+    from dspeed_tpu import lh5
+    from dspeed_tpu.processing_chain import build_processing_chain
+
+    wf = _build_sipm_inputs(n_ev)
+    tb = lh5.Table(
+        {
+            "waveform": lh5.WaveformTable(
+                values=wf, t0=0.0, t0_units="ns", dt=16.0, dt_units="ns"
+            )
+        }
+    )
+    config = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "configs",
+        "sipm-pulse-finding.yaml",
+    )
+    chain, _, _ = build_processing_chain(config, tb)
+    inputs, _ = chain._gather_inputs(0, n_ev)
+    return chain, inputs
+
+
 def _bench_backend(
-    backend: str, n_ev: int, iters: int, fused: bool = False, trials: int = 3
+    backend: str, n_ev: int, iters: int, fused: bool = False, trials: int = 3,
+    builder=None,
 ) -> float:
-    """Sustained waveforms/sec of the flagship chain on one device.
+    """Sustained waveforms/sec of a chain on one device.
 
     Each iteration is serialized with a real data dependency (feed
     ``0*out[k]`` back into an input) and the loop ends with a host fetch —
@@ -80,7 +122,10 @@ def _bench_backend(
     from __graft_entry__ import _build_chain
 
     device = jax.devices(backend)[0]
-    chain, inputs, _, _ = _build_chain(n_ev=n_ev, fused=fused)
+    if builder is not None:
+        chain, inputs = builder(n_ev)
+    else:
+        chain, inputs, _, _ = _build_chain(n_ev=n_ev, fused=fused)
     best = 0.0
     with jax.default_device(device):
         fn = jax.jit(chain._build_fn())
@@ -91,7 +136,10 @@ def _bench_backend(
         # remote-compile queues that block_until_ready does not observe
 
         key = sorted(out)[0]
-        blk = sorted(k for k in inputs if np.asarray(inputs[k]).ndim == 1)[0]
+        # serialization feed target: prefer a 1-D per-event input, else any
+        blk = sorted(
+            inputs, key=lambda k: (np.asarray(inputs[k]).ndim != 1, k)
+        )[0]
         for _trial in range(trials):
             t0 = time.perf_counter()
             cur = dict(inputs)
@@ -161,40 +209,114 @@ def _numerics_check(n_ev: int = 256) -> float:
     return float(np.abs(emax - exp).max() / exp.max())
 
 
-def _bench_production(n_ev: int = 4096, trials: int = 3) -> float:
-    """End-to-end build_dsp throughput (LH5 read -> chain -> LH5 write)."""
+def _write_bench_raw(n_ev: int, n_chan: int = 1) -> tuple[str, str, dict]:
+    """(tmpdir, raw_path, db): synthetic HPGe raw file with ``n_chan``
+    channel tables of ``n_ev`` rows each, uint16 ADC codes like a real DAQ
+    file (halves the host->device transfer; the chain casts on device)."""
     import tempfile
 
-    from __graft_entry__ import _make_inputs
+    from __graft_entry__ import DB, _make_inputs
 
-    from dspeed_tpu import build_dsp, lh5
+    from dspeed_tpu import lh5
 
-    wf, bl = _make_inputs(n_ev)
-    # store ADC codes as uint16 like a real DAQ raw file: halves the
-    # host->device transfer; the chain casts to f32 on device
-    wf = np.clip(np.round(wf), 0, 65535).astype(np.uint16)
     tmp = tempfile.mkdtemp()
     raw = os.path.join(tmp, "bench_raw.lh5")
-    tb = lh5.Table(
-        {
-            "waveform": lh5.WaveformTable(
-                values=wf, t0=0.0, t0_units="ns", dt=16.0, dt_units="ns"
-            ),
-            "baseline": lh5.Array(bl.astype(np.float32)),
-        }
-    )
-    lh5.write(tb, "det/raw", raw)
-    config = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "configs",
-        "hpge-energy-timing.yaml",
-    )
+    db = {}
+    for c in range(n_chan):
+        wf, bl = _make_inputs(n_ev, seed=7 + c)
+        wf = np.clip(np.round(wf), 0, 65535).astype(np.uint16)
+        tb = lh5.Table(
+            {
+                "waveform": lh5.WaveformTable(
+                    values=wf, t0=0.0, t0_units="ns", dt=16.0, dt_units="ns"
+                ),
+                "baseline": lh5.Array(bl.astype(np.float32)),
+            }
+        )
+        name = "det" if n_chan == 1 else f"ch{c:03d}"
+        lh5.write(tb, f"{name}/raw", raw)
+        db[name] = DB
+    return tmp, raw, db
+
+
+def _bench_production(
+    n_ev: int = 4096, trials: int = 3, backend: str | None = None
+) -> float:
+    """End-to-end build_dsp throughput (LH5 read -> chain -> LH5 write).
+
+    ``backend="cpu"`` measures the single-chip CPU production baseline the
+    TPU number is anchored against (the reference's numba engine is not
+    installable here; JAX-CPU on the same chain stands in). The best
+    trial's loading/processing/write split lands in ``RESULT``.
+    """
+    import jax
+
+    from __graft_entry__ import CONFIG_PATH
+
+    from dspeed_tpu import build_dsp
+
+    tmp, raw, db = _write_bench_raw(n_ev)
     out = os.path.join(tmp, "bench_dsp.lh5")
-    db = {"det": {"pz": {"tau": 27460.5}}}
-    build_dsp(raw, out, config, database=db, write_mode="r")  # warm compile
+
+    import contextlib
+
+    ctx = (
+        jax.default_device(jax.devices(backend)[0])
+        if backend is not None
+        else contextlib.nullcontext()
+    )
+    if backend == "cpu":
+        os.environ["DSPEED_TPU_PALLAS"] = "0"
+    try:
+        with ctx:
+            build_dsp(raw, out, CONFIG_PATH, database=db, write_mode="r")
+            best_dt, best_stats = None, None
+            for _trial in range(trials):  # remote-transport variance is large
+                stats: dict = {}
+                t0 = time.perf_counter()
+                build_dsp(
+                    raw, out, CONFIG_PATH, database=db, write_mode="r",
+                    stats=stats,
+                )
+                dt = time.perf_counter() - t0
+                if best_dt is None or dt < best_dt:
+                    best_dt, best_stats = dt, stats
+    finally:
+        if backend == "cpu":
+            os.environ.pop("DSPEED_TPU_PALLAS", None)
+    if backend is None and best_stats:
+        RESULT["production_split_s"] = {
+            "loading": round(best_stats.get("loading_s", 0.0), 3),
+            "processing": round(best_stats.get("processing_s", 0.0), 3),
+            "write": round(best_stats.get("write_s", 0.0), 3),
+            "total": round(best_stats.get("total_s", 0.0), 3),
+        }
+    for f in (raw, out):
+        try:
+            os.remove(f)
+        except OSError:
+            pass
+    return n_ev / best_dt
+
+
+def _bench_stacked(n_ev: int = 4096, n_chan: int = 4, trials: int = 2) -> float:
+    """Stacked multi-channel bulk production (BASELINE config 5): ``n_chan``
+    channel tables batched into one SPMD dispatch per chunk via
+    ``parallel.build_dsp_stacked``; returns total waveforms/sec."""
+    from __graft_entry__ import CONFIG_PATH, DB
+
+    from dspeed_tpu.parallel import build_dsp_stacked
+
+    tmp, raw, _ = _write_bench_raw(n_ev, n_chan=n_chan)
+    out = os.path.join(tmp, "bench_stacked_dsp.lh5")
+    tables = [f"ch{c:03d}/raw" for c in range(n_chan)]
+    kw = dict(database=DB, write_mode="r", buffer_len=n_ev)
+    build_dsp_stacked(raw, out, CONFIG_PATH, tables, **kw)  # warm compile
     best_dt = None
-    for _trial in range(trials):  # remote-transport variance is large
+    for _trial in range(trials):
+        os.path.isfile(out) and os.remove(out)
         t0 = time.perf_counter()
-        build_dsp(raw, out, config, database=db, write_mode="r")
+        build_dsp_stacked(raw, out, CONFIG_PATH, tables, **kw)
         dt = time.perf_counter() - t0
         best_dt = dt if best_dt is None else min(best_dt, dt)
     for f in (raw, out):
@@ -202,7 +324,7 @@ def _bench_production(n_ev: int = 4096, trials: int = 3) -> float:
             os.remove(f)
         except OSError:
             pass
-    return n_ev / best_dt
+    return n_ev * n_chan / best_dt
 
 
 def main() -> None:
@@ -272,10 +394,11 @@ def main() -> None:
     if on_accel:
         RESULT["cpu_same_chain_wfps"] = phase("cpu_same_chain", cpu_run)
 
-    # 2. standard chain — the headline number (one trial first; extra trials
-    #    come out of leftover budget at the end)
+    # 2. standard chain — the headline number (two trials: the first
+    #    measurement through a cold tunnel under-reported 4x in round 2;
+    #    extra trials still come out of leftover budget at the end)
     RESULT["standard_wfps"] = phase(
-        "standard", lambda: _bench_backend(platform, n_ev, iters, trials=1)
+        "standard", lambda: _bench_backend(platform, n_ev, iters, trials=2)
     )
     if not on_accel:
         RESULT["cpu_same_chain_wfps"] = RESULT["standard_wfps"]
@@ -297,12 +420,40 @@ def main() -> None:
         except Exception as e:
             print(f"# numerics_check failed: {e}", file=sys.stderr)
 
-    # 4. production with IO
+    # 4. production with IO (split into loading/processing/write via stats)
     RESULT["production_wfps_with_io"] = phase(
         "production",
         lambda: _bench_production(n_ev, trials=1),
         min_budget_s=30.0,
     )
+
+    # 5. SiPM pulse-finding chain (BASELINE config 3) — the scan-heavy
+    #    workload; smaller batch, the chain has far fewer samples/event
+    RESULT["sipm_wfps"] = phase(
+        "sipm",
+        lambda: _bench_backend(
+            platform, n_ev, iters, trials=2, builder=_build_sipm_chain
+        ),
+        min_budget_s=120.0,
+    )
+
+    # 6. stacked multi-channel production (BASELINE config 5)
+    RESULT["stacked_wfps"] = phase(
+        "stacked",
+        lambda: _bench_stacked(n_ev // 2, n_chan=4, trials=2),
+        min_budget_s=90.0,
+    )
+
+    # 7. CPU production baseline: anchors production_wfps_with_io the way
+    #    cpu_same_chain anchors the compute number
+    if on_accel:
+        RESULT["cpu_production_wfps"] = phase(
+            "cpu_production",
+            lambda: _bench_production(1024, trials=1, backend="cpu"),
+            min_budget_s=60.0,
+        )
+    else:
+        RESULT["cpu_production_wfps"] = RESULT["production_wfps_with_io"]
 
     # leftover budget: extra trials of the headline numbers (cache is warm
     # now, so these are seconds, not minutes)

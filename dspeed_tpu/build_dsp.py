@@ -21,7 +21,7 @@ import re
 import time
 from copy import deepcopy
 from fnmatch import fnmatch
-from typing import Collection, Mapping
+from typing import Collection, Mapping, MutableMapping
 
 from . import lh5
 from .errors import DSPFatal, ProcessingChainError
@@ -207,9 +207,17 @@ def build_dsp(
     block_width: int = 16,
     chan_config: str | Mapping[str, str] = None,
     distribute: bool = True,
+    stats: MutableMapping | None = None,
 ):
     """Run a DSP recipe over raw waveform data; see the reference docstring
     (``build_dsp.py:27-126``) for parameter semantics, which are preserved.
+
+    ``stats``: optional mutable mapping filled with the run's timing split —
+    ``loading_s`` (time blocked on input read-ahead), ``processing_s``
+    (dispatch + device compute + D2H fetch), ``write_s`` (output-manager +
+    LH5 writes on the writer thread), ``total_s`` and ``rows`` — summed over
+    all processed tables. Compute, fetch and write overlap across chunks,
+    so the components can legitimately sum past ``total_s``.
 
     ``distribute`` (default on): under multi-host JAX
     (``jax.distributed.initialize``; ``jax.process_count() > 1``) each host
@@ -461,35 +469,73 @@ def build_dsp(
             if isinstance(lh5_it, LH5Iterator)
             else ((tb, None, 0) for tb in lh5_it)
         )
-        for tb_in, staged, i_entry in chunk_iter:
-            loading_time += time.time() - curr
-            t_proc = time.time()
-            try:
-                proc_chain(tb_in, tb_out, staged=staged)
-            except DSPFatal as e:
-                e.wf_range = (i_entry, i_entry + len(tb_in))
-                raise e
-            processing_time += time.time() - t_proc
 
-            t_write = time.time()
+        # output pipeline: dispatch chunk i+1 to the device FIRST, then join
+        # chunk i's writer job (D2H fetch + output-manager write + LH5
+        # write on one FIFO worker thread). The device computes chunk i+1
+        # while chunk i drains to disk — with the input-side read-ahead in
+        # _prefetched this triple-buffers read / compute / write. The join
+        # before the next writer submit keeps tb_out single-buffered: a
+        # chunk's managers never write while the store still reads it.
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _drain(pending, n, i_entry):
+            t0 = time.time()
+            proc_chain.finish_chunk(pending, n)
+            t1 = time.time()
             if isinstance(dsp_st, LH5Store):
-                out_view = tb_out[0 : len(tb_in)] if len(tb_in) != len(tb_out) else tb_out
+                out_view = tb_out[0:n] if n != len(tb_out) else tb_out
                 dsp_st.write(
                     obj=out_view,
                     name=dsp_name,
                     lh5_file=dsp_out,
                     wo_mode="o" if write_mode == "u" else "a",
                     write_start=i_start - write_base + i_entry,
-                    n_rows=len(tb_in),
+                    n_rows=n,
                 )
             else:
-                tb_fill.append(
-                    tb_out[0 : len(tb_in)] if len(tb_in) != len(tb_out) else tb_out
-                )
-            write_time += time.time() - t_write
+                tb_fill.append(tb_out[0:n] if n != len(tb_out) else tb_out)
+            return time.time() - t0, time.time() - t1
+
+        writer = ThreadPoolExecutor(1)
+        in_flight = None  # (future, wf_range)
+
+        def _join(in_flight):
+            nonlocal processing_time, write_time
+            fut, wf_range = in_flight
+            try:
+                drain_s, write_s = fut.result()
+            except DSPFatal as e:
+                e.wf_range = wf_range
+                raise e
+            processing_time += drain_s - write_s
+            write_time += write_s
             if progress_bar is not None:
-                progress_bar.update(len(tb_in))
-            curr = time.time()
+                progress_bar.update(wf_range[1] - wf_range[0])
+
+        try:
+            for tb_in, staged, i_entry in chunk_iter:
+                loading_time += time.time() - curr
+                t_proc = time.time()
+                try:
+                    pending, n = proc_chain.dispatch_chunk(tb_in, staged=staged)
+                except DSPFatal as e:
+                    e.wf_range = (i_entry, i_entry + len(tb_in))
+                    raise e
+                processing_time += time.time() - t_proc
+                if in_flight is not None:
+                    _join(in_flight)
+                if pending is not None:
+                    in_flight = (
+                        writer.submit(_drain, pending, n, i_entry),
+                        (i_entry, i_entry + n),
+                    )
+                curr = time.time()
+            if in_flight is not None:
+                _join(in_flight)
+                curr = time.time()
+        finally:
+            writer.shutdown(wait=True)
 
         if progress_bar is not None:
             progress_bar.close()
@@ -497,10 +543,17 @@ def build_dsp(
             profiler_cm.__exit__(None, None, None)
             log.info("JAX profiler trace written to %s", profile_dir)
 
-        log.info("Table %s processed in %.2f seconds", tb, time.time() - start)
+        total_time = time.time() - start
+        log.info("Table %s processed in %.2f seconds", tb, total_time)
         log.debug("Table %s loading time: %.2f seconds", tb, loading_time)
         log.debug("Table %s write time: %.2f seconds", tb, write_time)
         log.debug("Table %s processing time: %.2f seconds", tb, processing_time)
+        if stats is not None:
+            stats["loading_s"] = stats.get("loading_s", 0.0) + loading_time
+            stats["processing_s"] = stats.get("processing_s", 0.0) + processing_time
+            stats["write_s"] = stats.get("write_s", 0.0) + write_time
+            stats["total_s"] = stats.get("total_s", 0.0) + total_time
+            stats["rows"] = stats.get("rows", 0) + tot_n_rows
         if log.isEnabledFor(logging.DEBUG):
             times = proc_chain.get_timing()
             log.debug("Processor timing info (eager profile mode only): ")

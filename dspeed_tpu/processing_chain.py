@@ -1886,11 +1886,14 @@ class ProcessingChain:
             return inputs, n
         return self._shard_inputs(inputs), n
 
-    def _run_device(self, inputs: dict, n: int, staged=None) -> dict:
-        """Pad to the nominal buffer length, run the jitted program, unpad."""
-        import jax
+    def dispatch(self, inputs: dict, n: int, staged=None):
+        """Start the jitted program; return an opaque in-flight handle.
 
-        t0 = time.time()
+        The device computes asynchronously — :meth:`fetch` blocks on the
+        device->host copy. Splitting the two lets a driver overlap chunk
+        ``i``'s fetch+write with chunk ``i+1``'s compute (the production
+        pipeline in :func:`~dspeed_tpu.build_dsp.build_dsp`).
+        """
         pad_to = self._pad_to(n)
         if staged is None:
             if n < pad_to:
@@ -1901,7 +1904,13 @@ class ProcessingChain:
             inputs = self._shard_inputs(inputs)
         fn, plan, scalars = self._get_packed(inputs)
         packed = fn(inputs)
-        # one device->host transfer per dtype group instead of one per output
+        return (packed, plan, scalars, n, pad_to)
+
+    def fetch(self, pending) -> dict:
+        """Complete a :meth:`dispatch` handle: one device->host transfer per
+        dtype group, unpacked into per-output host arrays (thread-safe —
+        touches no chain state beyond the handle)."""
+        packed, plan, scalars, n, pad_to = pending
         out: dict[str, np.ndarray] = {}
         for dt, grp in plan.items():
             host = np.asarray(packed[dt])
@@ -1912,8 +1921,45 @@ class ProcessingChain:
             out[k] = np.asarray(packed["__scalars__"][k])
         if n < pad_to:
             out = {k: v[:n] if v.ndim else v for k, v in out.items()}
+        return out
+
+    def _run_device(self, inputs: dict, n: int, staged=None) -> dict:
+        """Pad to the nominal buffer length, run the jitted program, unpad."""
+        t0 = time.time()
+        out = self.fetch(self.dispatch(inputs, n, staged=staged))
         self.time_total += time.time() - t0
         return out
+
+    def dispatch_chunk(self, tb_in, staged=None):
+        """Link ``tb_in``'s columns, gather, and dispatch — no output link,
+        no fetch. Returns ``(pending, n)`` (``None, 0`` at end of input).
+        Pair with :meth:`finish_chunk` (safe to call from a writer thread
+        while the main thread dispatches the next chunk)."""
+        if self._buffer_len is None or self._buffer_len < len(tb_in):
+            self._buffer_len = len(tb_in)
+        if staged is not None:
+            dev_inputs, n = staged
+            return self.dispatch(dev_inputs, n, staged=True), n
+        for varname in list(self._input_managers):
+            if varname not in tb_in:
+                raise ProcessingChainError(f"Require column {varname} in tb_in")
+            self.link_input_buffer(varname, tb_in[varname])
+        try:
+            inputs, n = self._gather_inputs(0, self._buffer_len)
+        except EndExecute:
+            return None, 0
+        if n <= 0:
+            return None, 0
+        return self.dispatch(inputs, n), n
+
+    def finish_chunk(self, pending, n: int) -> None:
+        """Fetch a dispatched chunk and write it through the output managers
+        into their currently-linked buffers."""
+        t0 = time.time()
+        results = self.fetch(pending)
+        for man in self._output_managers.values():
+            man.write(results, 0, n)
+        self.time_total += time.time() - t0
 
     def execute_profiled(self, start: int = 0, stop: int = None) -> None:
         """Eager per-step execution with timing (``get_timing`` support)."""
