@@ -466,6 +466,9 @@ class KernelStep(Step):
         self.params = list(params)
         self.kw_params = dict(kw_params)
         self.time_total = 0.0
+        # set by ProcessingChain._thread_nan_masks: env key of a precomputed
+        # per-event bad-row mask handed to badrow-aware kernels
+        self.badrow_key: str | None = None
 
         # normalize the callable into a Kernel with metadata
         if isinstance(func, Kernel):
@@ -510,6 +513,8 @@ class KernelStep(Step):
             kern = Kernel(
                 kern.fn, signature, types or kern.types, name=kern.__name__,
                 nout=kern.nout, static=kern.static, uses_dims=kern.uses_dims,
+                badrow_arg=kern.badrow_arg,
+                mask_preserving=kern.mask_preserving,
             )
         self.kernel = kern
         self.name = str(self)
@@ -795,6 +800,8 @@ class KernelStep(Step):
         kwargs = {k: self._fetch(s, env) for k, s in self.kwarg_specs.items()}
         if self.kernel.uses_dims:
             kwargs["dims"] = self.dims
+        if self.badrow_key is not None:
+            kwargs["badrow"] = env[self.badrow_key]
         if kwargs:
             outs = self.kernel.fn(*args, **kwargs)
             if not isinstance(outs, tuple):
@@ -1107,6 +1114,7 @@ class ProcessingChain:
                 applied += got
         if applied:
             self._prune_dead_steps()
+            applied += self._thread_nan_masks()
             self._invalidate()
             log.debug("fusion pass applied: %s", applied)
         return applied
@@ -1238,22 +1246,7 @@ class ProcessingChain:
         """env key -> number of reading sites (steps + output managers)."""
         counts: dict = {}
         for step in self._steps:
-            keys = set()
-            if isinstance(step, KernelStep):
-                specs = list(step.arg_specs) + list(step.kwarg_specs.values())
-                keys = {s.key for s in specs if s.kind == "env"}
-            elif isinstance(step, ConvertStep):
-                keys = {step.in_key}
-                for off in (step.from_offset, step.to_offset):
-                    if isinstance(off, str):
-                        keys.add(off)
-            elif isinstance(step, AliasStep):
-                keys = {step.src_key}
-            elif isinstance(step, SliceStep):
-                keys = {step.src_key}
-            elif isinstance(step, FuncStep):
-                keys = {k for k in step.in_keys if isinstance(k, str)}
-            for k in keys:
+            for k in self._step_env_reads(step) or ():
                 counts[k] = counts.get(k, 0) + 1
         for man in self._output_managers.values():
             for k in man.out_keys():
@@ -1468,23 +1461,7 @@ class ProcessingChain:
         for man in self._output_managers.values():
             needed.update(man.out_keys())
 
-        def reads(step):
-            if isinstance(step, KernelStep):
-                specs = list(step.arg_specs) + list(step.kwarg_specs.values())
-                return {s.key for s in specs if s.kind == "env"}
-            if isinstance(step, ConvertStep):
-                r = {step.in_key}
-                for off in (step.from_offset, step.to_offset):
-                    if isinstance(off, str):
-                        r.add(off)
-                return r
-            if isinstance(step, AliasStep):
-                return {step.src_key}
-            if isinstance(step, SliceStep):
-                return {step.src_key}
-            if isinstance(step, FuncStep):
-                return {k for k in step.in_keys if isinstance(k, str)}
-            return None  # unknown: treat as reading everything
+        reads = self._step_env_reads  # None = unknown: reads everything
 
         def writes(step):
             if isinstance(step, KernelStep):
@@ -1518,6 +1495,141 @@ class ProcessingChain:
                 continue
             log.debug("pruned dead step %s", step)
         self._steps = list(reversed(keep))
+
+    @staticmethod
+    def _step_env_reads(step):
+        """Env keys a step reads, or None when unknown."""
+        if isinstance(step, KernelStep):
+            specs = list(step.arg_specs) + list(step.kwarg_specs.values())
+            keys = {s.key for s in specs if s.kind == "env"}
+            if step.badrow_key is not None:
+                keys.add(step.badrow_key)
+            return keys
+        if isinstance(step, ConvertStep):
+            keys = {step.in_key}
+            for off in (step.from_offset, step.to_offset):
+                if isinstance(off, str):
+                    keys.add(off)
+            return keys
+        if isinstance(step, (AliasStep, SliceStep)):
+            return {step.src_key}
+        if isinstance(step, FuncStep):
+            return {k for k in step.in_keys if isinstance(k, str)}
+        return None
+
+    def _thread_nan_masks(self) -> list[str]:
+        """Replace downstream whole-array NaN row reductions with one
+        per-event mask read off the fused energy front (VERDICT r2 item 3).
+
+        Every fused-front output is NaN-poisoned exactly on the rows whose
+        raw inputs contain a NaN, so ``isnan(<first emax scalar>)`` *is*
+        the row-bad mask — computed from a per-event scalar instead of six
+        separate ``(B, n)`` HBM reductions. The mask is handed to
+        badrow-aware kernels (``Kernel.badrow_arg``) whose masked input it
+        exactly describes; ``mask_preserving`` kernels flow it onward.
+        Numerics are identical for every row — this removes redundant
+        reductions, it does not change any mask.
+        """
+        steps = self._steps
+        fes_i = next(
+            (
+                i
+                for i, s in enumerate(steps)
+                if self._kname(s) == "fused_energy_front"
+            ),
+            None,
+        )
+        if fes_i is None:
+            return []
+        fes = steps[fes_i]
+        scalar_out = next((sp for sp in fes.out_specs if not sp.shape), None)
+        if scalar_out is None:
+            return []
+        import jax.numpy as jnp
+
+        bad_key = f"__badrow__({scalar_out.key})"
+        steps.insert(
+            fes_i + 1,
+            FuncStep(
+                jnp.isnan, [scalar_out.key], bad_key, f"isnan({scalar_out.key})"
+            ),
+        )
+        masked = {sp.key for sp in fes.out_specs}
+        fes_in = {sp.key for sp in fes.arg_specs if sp.kind == "env"}
+        applied = []
+
+        # a bl_subtract over the same raw inputs carries the same mask
+        # (badrow = isnan-row(waveform) | isnan(baseline)) wherever it sits
+        # in the step list, so its output seeds `masked` either way; if
+        # nothing reads it before the mask exists, additionally move it
+        # after the mask step so it consumes the mask too
+        for j in range(fes_i):
+            s = steps[j]
+            if self._kname(s) != "bl_subtract" or len(s.out_specs) != 1:
+                continue
+            if {sp.key for sp in s.arg_specs if sp.kind == "env"} <= fes_in:
+                out_k = s.out_specs[0].key
+                masked.add(out_k)
+                read_between = any(
+                    out_k in (self._step_env_reads(b) or {out_k})
+                    for b in steps[j + 1 : fes_i + 2]
+                )
+                if not read_between:
+                    bls = steps.pop(j)  # badrow FuncStep now at fes_i
+                    steps.insert(fes_i + 1, bls)
+                    bls.badrow_key = bad_key
+                    applied.append("badrow:bl_subtract")
+                break
+
+        def const_args_nan_free(step) -> bool:
+            for sp in step.arg_specs:
+                if sp.kind != "const" or sp.value is None:
+                    continue
+                v = sp.value
+                if isinstance(v, np.ndarray):
+                    if np.issubdtype(v.dtype, np.floating) and np.isnan(v).any():
+                        return False
+                elif isinstance(v, (float, np.floating)) and np.isnan(v):
+                    return False
+            return True
+
+        start = next(
+            i for i, s in enumerate(steps)
+            if isinstance(s, FuncStep) and s.out_key == bad_key
+        )
+        for s in steps[start + 1 :]:
+            if isinstance(s, AliasStep):
+                if s.src_key in masked:
+                    masked.add(s.dst_key)
+            elif isinstance(s, SliceStep):
+                # poisoned rows are fully NaN, clean rows NaN-free, so any
+                # core-dim slice carries the identical row mask
+                if s.src_key in masked:
+                    masked.add(s.out_key)
+            elif isinstance(s, KernelStep) and s.badrow_key is None:
+                kern = s.kernel
+                ba = getattr(kern, "badrow_arg", None)
+                if ba is None or ba >= len(s.arg_specs):
+                    continue
+                spec = s.arg_specs[ba]
+                if spec.kind != "env" or spec.key not in masked:
+                    continue
+                s.badrow_key = bad_key
+                applied.append(f"badrow:{kern.__name__}")
+                env_keys = {
+                    sp.key
+                    for sp in list(s.arg_specs) + list(s.kwarg_specs.values())
+                    if sp.kind == "env"
+                }
+                if (
+                    kern.mask_preserving
+                    and env_keys <= masked | fes_in
+                    and const_args_nan_free(s)
+                ):
+                    masked.update(sp.key for sp in s.out_specs)
+        if applied:
+            log.debug("nan-mask threading: %s", applied)
+        return applied
 
     def _sample_cfg(self):
         if self._mesh is None or getattr(self, "_sample_axis", None) is None:

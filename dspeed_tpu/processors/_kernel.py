@@ -69,6 +69,8 @@ class Kernel:
         uses_dims: bool = False,
         out_indices: Collection[int] | None = None,
         doc: str | None = None,
+        badrow_arg: int | None = None,
+        mask_preserving: bool = False,
     ) -> None:
         self.fn = fn
         self.signature = signature
@@ -98,6 +100,14 @@ class Kernel:
         self.out_indices = tuple(out_indices)
         self.static = frozenset(static)
         self.uses_dims = uses_dims
+        # NaN-mask threading metadata (ProcessingChain._thread_nan_masks):
+        # `badrow_arg` names the input whose whole-row isnan reduction the
+        # kernel can skip when the engine hands it a precomputed per-event
+        # ``badrow`` mask (fn must accept a ``badrow=None`` keyword);
+        # `mask_preserving` asserts the outputs' NaN rows are exactly the
+        # poisoned input rows (plus NaN-free consts), so the mask flows on.
+        self.badrow_arg = badrow_arg
+        self.mask_preserving = mask_preserving
         self.__doc__ = doc if doc is not None else getattr(fn, "__doc__", None)
 
     def __call__(self, *inputs, dims: dict | None = None):
@@ -131,6 +141,8 @@ def kernel(
     uses_dims: bool = False,
     out_indices: Collection[int] | None = None,
     name: str | None = None,
+    badrow_arg: int | None = None,
+    mask_preserving: bool = False,
 ):
     """Decorator form of :class:`Kernel`."""
 
@@ -144,6 +156,8 @@ def kernel(
             static=static,
             uses_dims=uses_dims,
             out_indices=out_indices,
+            badrow_arg=badrow_arg,
+            mask_preserving=mask_preserving,
         )
 
     return wrap

@@ -245,8 +245,11 @@ def _as_kernel_array(kernel_in):
     return jnp.asarray(kernel_in)
 
 
-@kernel("(n),(m),(),(p)", ["ffbf", "ddbd"], nout=1, static=[2], uses_dims=True)
-def convolve_wf(w_in, kernel_in, mode_in, dims):
+@kernel(
+    "(n),(m),(),(p)", ["ffbf", "ddbd"], nout=1, static=[2], uses_dims=True,
+    badrow_arg=0, mask_preserving=True,
+)
+def convolve_wf(w_in, kernel_in, mode_in, dims, badrow=None):
     """Direct convolution with modes f/v/s (reference ``convolutions.py:24``)."""
     kern = _as_kernel_array(kernel_in)
     if kern.ndim > 1:
@@ -264,12 +267,16 @@ def convolve_wf(w_in, kernel_in, mode_in, dims):
         out = _convolve_mode(w_in, kern, ch, n, m, "convolve_wf").astype(
             w_in.dtype
         )
-    bad = isnan_any(w_in, 1) | _kernel_has_nan(kern)
+    row = isnan_any(w_in, 1) if badrow is None else badrow
+    bad = row | _kernel_has_nan(kern)
     return nanmask(bad, out)
 
 
-@kernel("(n),(m),(),(p)", ["ffbf", "ddbd"], nout=1, static=[2], uses_dims=True)
-def fft_convolve_wf(w_in, kernel_in, mode_in, dims):
+@kernel(
+    "(n),(m),(),(p)", ["ffbf", "ddbd"], nout=1, static=[2], uses_dims=True,
+    badrow_arg=0, mask_preserving=True,
+)
+def fft_convolve_wf(w_in, kernel_in, mode_in, dims, badrow=None):
     """FFT convolution with modes f/v/s (reference ``convolutions.py:81``).
 
     NaN events are zeroed before the FFT and re-poisoned after, matching the
@@ -280,7 +287,7 @@ def fft_convolve_wf(w_in, kernel_in, mode_in, dims):
         raise DSPFatal("fft_convolve_wf expects a shared 1-D kernel")
     n, m = _conv_kernel_checks(w_in, kern, "fft_convolve_wf")
     ch = _mode_char(mode_in, "fft_convolve_wf")
-    bad = isnan_any(w_in, 1)
+    bad = isnan_any(w_in, 1) if badrow is None else badrow
     w = jnp.where(bad[..., None] if hasattr(bad, "ndim") and bad.ndim else bad, 0.0, w_in)
     sp = _sp_route(w, kern, ch, n, m)
     if sp is not None:
@@ -292,8 +299,11 @@ def fft_convolve_wf(w_in, kernel_in, mode_in, dims):
     return nanmask(bad | _kernel_has_nan(kern), out)
 
 
-@kernel("(n),(m),(p)", ["fff", "ddd"], nout=1, uses_dims=True)
-def reflected_convolve_wf(w_in, kernel_in, dims):
+@kernel(
+    "(n),(m),(p)", ["fff", "ddd"], nout=1, uses_dims=True,
+    badrow_arg=0, mask_preserving=True,
+)
+def reflected_convolve_wf(w_in, kernel_in, dims, badrow=None):
     """Reflect-pad then 'same' convolve (reference ``convolutions.py:132``)."""
     kern = _as_kernel_array(kernel_in)
     n, m = _conv_kernel_checks(w_in, kern, "reflected_convolve_wf")
@@ -302,4 +312,4 @@ def reflected_convolve_wf(w_in, kernel_in, dims):
     full = _conv_full_direct(wpad, kern)
     same = _slice_mode(full, n + 2 * ext, m, "s")
     out = same[..., ext:-ext].astype(w_in.dtype)
-    return nanmask(isnan_any(w_in, 1), out)
+    return nanmask(isnan_any(w_in, 1) if badrow is None else badrow, out)

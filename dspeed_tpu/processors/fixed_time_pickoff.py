@@ -15,8 +15,8 @@ __all__ = ["fixed_time_pickoff"]
 _MODES = tuple(ord(c) for c in "infclhs")
 
 
-@kernel("(n),(),()->()", ["ffb->f", "ddb->d"], static=[2])
-def fixed_time_pickoff(w_in, t_in, mode_in):
+@kernel("(n),(),()->()", ["ffb->f", "ddb->d"], static=[2], badrow_arg=0)
+def fixed_time_pickoff(w_in, t_in, mode_in, badrow=None):
     """Pick off the waveform value at (fractional) index ``t_in``.
 
     Interpolation modes (static char, passed as ``ord(c)``): ``i`` integer,
@@ -87,7 +87,8 @@ def fixed_time_pickoff(w_in, t_in, mode_in):
         bad_mode = False
 
     in_range = (t >= 0) & (t <= n - 1)
-    bad = isnan_any(w_in, 1) | jnp.isnan(t) | ~in_range
+    row = isnan_any(w_in, 1) if badrow is None else badrow
+    bad = row | jnp.isnan(t) | ~in_range
     if not isinstance(bad_mode, bool):
         bad = bad | bad_mode
     return nanmask(bad, val.astype(w_in.dtype))

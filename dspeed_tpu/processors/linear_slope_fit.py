@@ -38,8 +38,11 @@ def _sums(w):
     return sum_y, sum_xy
 
 
-@kernel("(n)->(),(),(),()", ["f->ffff", "d->dddd"])
-def linear_slope_fit(w_in):
+@kernel(
+    "(n)->(),(),(),()", ["f->ffff", "d->dddd"],
+    badrow_arg=0, mask_preserving=True,
+)
+def linear_slope_fit(w_in, badrow=None):
     """Mean, sample stdev, regression slope and intercept over the window.
 
     Outputs ``(mean, stdev, slope, intercept)``; reference
@@ -61,7 +64,7 @@ def linear_slope_fit(w_in):
     slope = (n * sum_xy - sum_x * sum_y) / (n * sum_x2 - sum_x * sum_x)
     intercept = (sum_y - sum_x * slope) / n
     dtype = w_in.dtype
-    bad = isnan_any(w_in, 1)
+    bad = isnan_any(w_in, 1) if badrow is None else badrow
     return (
         nanmask(bad, mean.astype(dtype)),
         nanmask(bad, stdev.astype(dtype)),

@@ -10,8 +10,11 @@ from ._kernel import kernel
 __all__ = ["min_max", "min_max_norm"]
 
 
-@kernel("(n)->(),(),(),()", ["f->ffff", "d->dddd"])
-def min_max(w_in):
+@kernel(
+    "(n)->(),(),(),()", ["f->ffff", "d->dddd"],
+    badrow_arg=0, mask_preserving=True,
+)
+def min_max(w_in, badrow=None):
     """First-occurrence argmin/argmax and min/max values
     (reference ``min_max.py:19``). Outputs ``(t_min, t_max, a_min, a_max)``."""
     t_min = jnp.argmin(w_in, axis=-1)
@@ -19,7 +22,7 @@ def min_max(w_in):
     a_min = jnp.min(w_in, axis=-1)
     a_max = jnp.max(w_in, axis=-1)
     dtype = w_in.dtype
-    bad = isnan_any(w_in, 1)
+    bad = isnan_any(w_in, 1) if badrow is None else badrow
     return (
         nanmask(bad, t_min.astype(dtype)),
         nanmask(bad, t_max.astype(dtype)),

@@ -76,8 +76,8 @@ def _crossing_masks(w_in, a):
     return fwd, bwd
 
 
-@kernel("(n),(),(),()->()", ["ffff->f", "dddd->d"])
-def time_point_thresh(w_in, a_threshold, t_start, walk_forward):
+@kernel("(n),(),(),()->()", ["ffff->f", "dddd->d"], badrow_arg=0)
+def time_point_thresh(w_in, a_threshold, t_start, walk_forward, badrow=None):
     """Index just before the threshold crossing, walking fwd/back from
     ``t_start`` (reference ``time_point_thresh.py:20``)."""
     n = w_in.shape[-1]
@@ -107,7 +107,7 @@ def time_point_thresh(w_in, a_threshold, t_start, walk_forward):
     in_range = (ti >= 0) & (ti < n)
     integral = jnp.trunc(t) == t
     bad = (
-        isnan_any(w_in, 1)
+        (isnan_any(w_in, 1) if badrow is None else badrow)
         | jnp.isnan(a)
         | isnan_any(t)
         | ~in_range

@@ -58,7 +58,7 @@ def chained_time_point_thresh(factors, walk_forward, start_from) -> Kernel:
         if s >= k:
             raise DSPFatal("start_from must reference an earlier time point")
 
-    def fn(w_in, a_base, t_start):
+    def fn(w_in, a_base, t_start, badrow=None):
         n = w_in.shape[-1]
         base = jnp.asarray(a_base, w_in.dtype)
         t = jnp.asarray(t_start)
@@ -69,7 +69,8 @@ def chained_time_point_thresh(factors, walk_forward, start_from) -> Kernel:
             base = jnp.broadcast_to(base, w_in.shape[:-1])
         in_range = (ti0 >= 0) & (ti0 < n)
         integral = jnp.trunc(t) == t
-        root_bad = isnan_any(w_in, 1) | isnan_any(t) | ~in_range | ~integral
+        row = isnan_any(w_in, 1) if badrow is None else badrow
+        root_bad = row | isnan_any(t) | ~in_range | ~integral
 
         results, bads = [], []
         for k in range(m):
@@ -94,4 +95,6 @@ def chained_time_point_thresh(factors, walk_forward, start_from) -> Kernel:
 
     sig = "(n),(),()->" + ",".join(["()"] * m)
     types = ["f" * 3 + "->" + "f" * m, "d" * 3 + "->" + "d" * m]
-    return Kernel(fn, sig, types, name="chained_time_point_thresh")
+    return Kernel(
+        fn, sig, types, name="chained_time_point_thresh", badrow_arg=0
+    )

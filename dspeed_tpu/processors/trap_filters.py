@@ -51,19 +51,23 @@ def _trap_sum(w_in, rise: int, flat: int, fall: int) -> jnp.ndarray:
     return d1 - d2
 
 
-@kernel("(n),(),()->(n)", ["fii->f", "dii->d"])
-def trap_filter(w_in, rise, flat):
+@kernel(
+    "(n),(),()->(n)", ["fii->f", "dii->d"], badrow_arg=0, mask_preserving=True
+)
+def trap_filter(w_in, rise, flat, badrow=None):
     """Symmetric trapezoidal filter (reference ``trap_filters.py:20``)."""
     n = w_in.shape[-1]
     p = _check("trap_filter", n, rise=rise, flat=flat)
     if 2 * p["rise"] + p["flat"] > n:
         raise DSPFatal("The trapezoid width is wider than the waveform")
     out = _trap_sum(w_in, p["rise"], p["flat"], p["rise"]).astype(w_in.dtype)
-    return nanmask(isnan_any(w_in, 1), out)
+    return nanmask(isnan_any(w_in, 1) if badrow is None else badrow, out)
 
 
-@kernel("(n),(),()->(n)", ["fii->f", "dii->d"])
-def trap_norm(w_in, rise, flat):
+@kernel(
+    "(n),(),()->(n)", ["fii->f", "dii->d"], badrow_arg=0, mask_preserving=True
+)
+def trap_norm(w_in, rise, flat, badrow=None):
     """Symmetric trapezoid normalized by ``rise`` (reference ``trap_filters.py:87``)."""
     n = w_in.shape[-1]
     p = _check("trap_norm", n, rise=rise, flat=flat)
@@ -71,11 +75,14 @@ def trap_norm(w_in, rise, flat):
         raise DSPFatal("The trapezoid width is wider than the waveform")
     acc = _trap_sum(w_in, p["rise"], p["flat"], p["rise"])
     out = (acc / acc.dtype.type(p["rise"])).astype(w_in.dtype)
-    return nanmask(isnan_any(w_in, 1), out)
+    return nanmask(isnan_any(w_in, 1) if badrow is None else badrow, out)
 
 
-@kernel("(n),(),(),()->(n)", ["fiii->f", "diii->d"])
-def asym_trap_filter(w_in, rise, flat, fall):
+@kernel(
+    "(n),(),(),()->(n)", ["fiii->f", "diii->d"], badrow_arg=0,
+    mask_preserving=True,
+)
+def asym_trap_filter(w_in, rise, flat, fall, badrow=None):
     """Asymmetric trapezoid normalized per section (reference ``trap_filters.py:160``).
 
     ``out[i] = avg(rise window ending at i) - avg(fall window ending at
@@ -92,7 +99,9 @@ def asym_trap_filter(w_in, rise, flat, fall):
     )
     acc_dtype = d1.dtype
     out = d1 / acc_dtype.type(p["rise"]) - d2 / acc_dtype.type(p["fall"])
-    return nanmask(isnan_any(w_in, 1), out.astype(w_in.dtype))
+    return nanmask(
+        isnan_any(w_in, 1) if badrow is None else badrow, out.astype(w_in.dtype)
+    )
 
 
 @kernel("(n),(),(),()->()", ["fiif->f", "diid->d"])

@@ -39,8 +39,8 @@ def _window_rows(w, beg, n, m):
     return cur[..., :m]
 
 
-@kernel("(n),(),(m)", ["fff", "ddd"], nout=1, uses_dims=True)
-def windower(w_in, t0_in, dims):
+@kernel("(n),(),(m)", ["fff", "ddd"], nout=1, uses_dims=True, badrow_arg=0)
+def windower(w_in, t0_in, dims, badrow=None):
     """Window of length ``m`` starting at ``t0_in``; out-of-range samples NaN.
 
     The output length comes from the declared output variable shape
@@ -63,4 +63,7 @@ def windower(w_in, t0_in, dims):
     else:
         out = jnp.take_along_axis(w_in, jnp.clip(idx, 0, n - 1), axis=-1)
     out = jnp.where(valid, out, jnp.nan).astype(w_in.dtype)
-    return nanmask(isnan_any(w_in, 1) | isnan_any(t0), out)
+    # not mask_preserving: the edge NaN padding above puts NaNs in rows the
+    # input mask calls clean
+    row = isnan_any(w_in, 1) if badrow is None else badrow
+    return nanmask(row | isnan_any(t0), out)

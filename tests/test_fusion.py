@@ -221,3 +221,60 @@ def test_fusion_prunes_dead_multiplies():
         if "multiply" in str(s) and "trapTmax" in str(s)
     ]
     assert mults == [], [str(s) for s in mults]
+
+
+def test_nan_mask_threading_bit_identical_with_poisoned_rows():
+    """The badrow threading pass (VERDICT r2 item 3) replaces downstream
+    whole-array isnan reductions with the fused front's per-event mask; the
+    NaN pattern of every output must survive full-row NaN, partial-row NaN
+    and NaN-baseline events unchanged vs the unfused chain."""
+    from test_build_dsp import make_hpge_waveforms
+
+    from dspeed_tpu import lh5
+    from dspeed_tpu.processing_chain import build_processing_chain
+
+    config = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "configs", "hpge-energy-timing.yaml",
+    )
+    db = {"pz": {"tau": 27460.5}}
+    wf, amp, t0, bl = make_hpge_waveforms(n=12)
+    wf = wf.copy()
+    bl = bl.astype("float32").copy()
+    wf[3, :] = np.nan      # fully poisoned event
+    wf[5, 100] = np.nan    # single bad sample still poisons the event
+    bl[7] = np.nan         # bad baseline poisons via the scalar input
+
+    outs = {}
+    for fuse in (True, False):
+        tb = lh5.Table(
+            {
+                "waveform": lh5.WaveformTable(
+                    values=wf, t0=0.0, t0_units="ns", dt=16.0, dt_units="ns"
+                ),
+                "baseline": lh5.Array(bl),
+            }
+        )
+        prev = os.environ.get("DSPEED_TPU_FUSE")
+        os.environ["DSPEED_TPU_FUSE"] = "1" if fuse else "0"
+        try:
+            chain, _, _ = build_processing_chain(config, tb, db_dict=db)
+        finally:
+            if prev is None:
+                os.environ.pop("DSPEED_TPU_FUSE", None)
+            else:
+                os.environ["DSPEED_TPU_FUSE"] = prev
+        if fuse:
+            assert any(
+                getattr(s, "badrow_key", None) for s in chain._steps
+            ), "threading pass did not run"
+        inputs, _ = chain._gather_inputs(0, chain._buffer_len)
+        out = jax.jit(chain._build_fn())(inputs)
+        outs[fuse] = {k.split("#")[0]: np.asarray(v) for k, v in out.items()}
+
+    _assert_bit_identical(outs[True], outs[False])
+    # the poisoned events must actually be NaN in scalar outputs
+    te = outs[True]["trapEmax"]
+    assert np.isnan(te[[3, 5, 7]]).all()
+    clean = np.delete(np.arange(12), [3, 5, 7])
+    assert np.isfinite(te[clean]).all()
