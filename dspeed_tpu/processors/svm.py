@@ -29,14 +29,18 @@ def svm_predict(svm_file: str) -> Kernel:
         raise DSPFatal(f"{svm_file!r} does not contain an object with .predict")
 
     def host_predict(x):
-        flat = np.asarray(x).reshape(-1, x.shape[-1])
+        flat = np.asarray(x, dtype="float64").reshape(-1, x.shape[-1])
         return (
-            np.asarray(svm.predict(flat), dtype="float64")
+            np.asarray(svm.predict(flat))
             .reshape(x.shape[:-1])
+            .astype(jax.dtypes.canonicalize_dtype(np.float64))
         )
 
     def fn(w_in):
-        out_shape = jax.ShapeDtypeStruct(w_in.shape[:-1], jnp.float64)
+        # f64 when x64 is on (CPU parity), f32 otherwise (the host model
+        # still predicts in f64; only the device-side result is demoted)
+        out_dt = jax.dtypes.canonicalize_dtype(jnp.float64)
+        out_shape = jax.ShapeDtypeStruct(w_in.shape[:-1], out_dt)
         out = jax.pure_callback(
             host_predict, out_shape, jnp.nan_to_num(w_in),
             vmap_method="sequential",

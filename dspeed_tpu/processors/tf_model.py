@@ -32,11 +32,15 @@ def tf_model(model_file: str) -> Kernel:
 
     def host_infer(x):
         flat = np.asarray(x).reshape(-1, x.shape[-1])
-        pred = np.asarray(model.predict(flat, verbose=0), dtype="float64")
+        pred = np.asarray(model.predict(flat, verbose=0)).astype(
+            jax.dtypes.canonicalize_dtype(np.float64)
+        )
         return pred.reshape(*x.shape[:-1], out_dim)
 
     def fn(w_in):
-        out_shape = jax.ShapeDtypeStruct(w_in.shape[:-1] + (out_dim,), jnp.float64)
+        # f64 when x64 is on (CPU parity), f32 otherwise
+        out_dt = jax.dtypes.canonicalize_dtype(jnp.float64)
+        out_shape = jax.ShapeDtypeStruct(w_in.shape[:-1] + (out_dim,), out_dt)
         return jax.pure_callback(
             host_infer, out_shape, w_in, vmap_method="sequential"
         )

@@ -5,8 +5,14 @@ numba stub in ``stubs.py``) as oracles against dspeed_tpu's batched JAX
 kernels — the cross-implementation harness the reference itself uses as
 ``compare_numba_vs_python`` (``/root/reference/tests/conftest.py:62-180``).
 
-They assert f64-level tolerances and are skipped in TPU-numerics mode
-(``DSPEED_TEST_X64=0``); the integration suites cover that mode.
+Under x64 (default) they assert f64-level tolerances (rtol 1e-9, exact ints).
+In TPU-numerics mode (``DSPEED_TEST_X64=0``: f32 + blocked accumulation) the
+same tests run with the kernel inputs cast to float32 against the unchanged
+float64 reference oracle, at the reference's published f32 discipline
+(rtol 1e-6, ``/root/reference/tests/processors/test_pole_zero.py:40-48``)
+with explicit per-kernel overrides (``f32_rtol``/``f32_atol``) where the f32
+condition number genuinely exceeds it, and a documented ``f32_int_slack``
+for index outputs whose f32 rounding can shift a near-tie by a sample.
 """
 
 from __future__ import annotations
@@ -18,16 +24,32 @@ import pytest
 
 import jax
 
-from .stubs import call_ref, load_ref_processors, ref_kernel
+from .stubs import REF_ROOT, call_ref, load_ref_processors, ref_kernel
 
-if os.environ.get("DSPEED_TEST_X64", "1") in ("0", "false"):
+if not os.path.isdir(REF_ROOT):
+    # CI checkouts don't carry the reference tree; every test here executes
+    # reference kernel bodies, so skip the whole directory cleanly
     collect_ignore_glob = ["test_*"]
-    pytestmark = pytest.mark.skip("reference parity requires x64 numerics")
+    pytestmark = pytest.mark.skip("reference tree not available")
+
+# TPU-numerics mode: f32 inputs + blocked accumulation vs the f64 oracle
+TPU_MODE = os.environ.get("DSPEED_TEST_X64", "1") in ("0", "false")
 
 
 @pytest.fixture(scope="session")
 def refp():
     return load_ref_processors()
+
+
+def _to_f32(x):
+    """Demote float64 arrays/scalars to float32 for the TPU-mode kernel side
+    (static Python floats stay: they are trace-time config constants)."""
+    a = np.asarray(x)
+    if isinstance(x, np.ndarray) and a.dtype == np.float64:
+        return a.astype(np.float32)
+    if a.dtype == np.complex128 and isinstance(x, np.ndarray):
+        return a.astype(np.complex64)
+    return x
 
 
 def assert_ref_parity(
@@ -41,12 +63,26 @@ def assert_ref_parity(
     my_inputs=None,
     ref_inputs=None,
     ref_fn=None,
+    f32_rtol=1e-6,
+    f32_atol=1e-5,
+    f32_rel_floor=1e-6,
+    f32_int_slack=0,
     **ref_kwargs,
 ):
     """Run reference kernel and dspeed_tpu kernel on the same inputs, compare.
 
     ``my_inputs``/``ref_inputs`` override the shared input list when the two
     sides take arguments in different forms (e.g. char codes vs strings).
+
+    In TPU-numerics mode the kernel side runs on float32 inputs (blocked
+    accumulation active) against the same float64 oracle; float outputs
+    compare at ``f32_rtol`` relative plus an absolute floor of
+    ``max(f32_atol, f32_rel_floor * max|expected|)`` per output — the
+    correct model for differencing/spectral kernels whose rounding scales
+    with an *internal* magnitude (cumsums, spectrum norm) rather than the
+    output value. Integer outputs may differ by up to ``f32_int_slack``
+    (index outputs only — a near-tie an f32 kernel legitimately rounds
+    across).
     """
     from dspeed_tpu import processors as dp
 
@@ -61,6 +97,10 @@ def assert_ref_parity(
 
     k = my_kernel if my_kernel is not None else getattr(dp, name)
     mi = my_inputs if my_inputs is not None else inputs
+    if TPU_MODE:
+        mi = [_to_f32(x) for x in mi]
+        rtol = max(rtol, f32_rtol)
+        atol = max(atol, f32_atol)
     if getattr(k, "uses_dims", False):
         got = k(*mi, dims=dims)
     else:
@@ -73,13 +113,24 @@ def assert_ref_parity(
         assert g.shape == e.shape, f"{name} out[{i}]: shape {g.shape} != {e.shape}"
         if e.dtype.kind in "fc":
             cmp_dt = np.complex128 if e.dtype.kind == "c" else np.float64
+            atol_i = atol
+            if TPU_MODE:
+                fin = np.abs(e[np.isfinite(e)])
+                if fin.size:
+                    atol_i = max(atol, f32_rel_floor * float(fin.max()))
             np.testing.assert_allclose(
                 g.astype(cmp_dt),
                 e.astype(cmp_dt),
                 rtol=rtol,
-                atol=atol,
+                atol=atol_i,
                 equal_nan=True,
                 err_msg=f"{name} out[{i}]",
+            )
+        elif TPU_MODE and f32_int_slack:
+            d = np.abs(g.astype(np.int64) - e.astype(np.int64))
+            assert d.max() <= f32_int_slack, (
+                f"{name} out[{i}]: int outputs differ by {d.max()} "
+                f"(> slack {f32_int_slack})"
             )
         else:
             np.testing.assert_array_equal(g, e, err_msg=f"{name} out[{i}]")
@@ -88,7 +139,7 @@ def assert_ref_parity(
 
 @pytest.fixture
 def ref_parity():
-    assert jax.config.jax_enable_x64, "parity tests require x64"
+    assert TPU_MODE or jax.config.jax_enable_x64, "x64 off outside TPU mode"
     return assert_ref_parity
 
 

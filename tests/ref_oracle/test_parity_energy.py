@@ -66,13 +66,26 @@ class TestPoleZero:
         parity("pole_zero", wf_batch, tau)
 
     def test_double_pole_zero(self, wf_batch):
-        parity("double_pole_zero", wf_batch, 80.0, 20.0, 0.7, rtol=1e-8)
+        # f32: two-pole recursion over 256 samples accumulates ~3e-5 relative
+        parity(
+            "double_pole_zero", wf_batch, 80.0, 20.0, 0.7, rtol=1e-8,
+            f32_rtol=1e-4,
+        )
 
     def test_rc_cr2(self, wf_batch):
-        # Triple pole at exp(-1/tau): cond ~ (1-a)^-3 amplifies the rounding
-        # difference between the sequential recursion and the companion scan;
-        # the reference's own oracle bar is np.allclose vs closed form (1e-5).
-        parity("rc_cr2", wf_batch, 30.0, rtol=1e-6, atol=1e-9)
+        # Triple pole at exp(-1/tau): cond ~ (1-a)^-3; the one-pole cascade
+        # tracks the sequential f64 recursion to ~2e-6 of the peak in f32
+        # (the order-3 companion scan was ~1000x worse — see rc_cr2.py).
+        parity(
+            "rc_cr2", wf_batch, 30.0, rtol=1e-6, atol=1e-9, f32_rel_floor=1e-5,
+        )
+
+    def test_rc_cr2_per_event(self, wf_batch, rng):
+        # traced-tau path: scalar affine scan instead of the blocked matmul
+        tau = rng.uniform(20, 50, size=wf_batch.shape[0])
+        parity(
+            "rc_cr2", wf_batch, tau, rtol=1e-6, atol=1e-9, f32_rel_floor=1e-4,
+        )
 
 
 class TestTrapFilters:
@@ -86,7 +99,8 @@ class TestTrapFilters:
         parity("asym_trap_filter", wf_batch, 12, 6, 24)
 
     def test_trap_pickoff(self, wf_batch):
-        parity("trap_pickoff", wf_batch, 10, 4, 120.0)
+        # f32: cumsum-difference trapezoid rounds ~1e-5 relative at pickoff
+        parity("trap_pickoff", wf_batch, 10, 4, 120.0, f32_rtol=5e-5)
 
     def test_trap_edge_widths(self, rng):
         w = rng.normal(0, 1, (3, 64))
@@ -104,10 +118,12 @@ class TestMovingWindows:
     @pytest.mark.parametrize("mw_type", [0, 1, 2])
     @pytest.mark.parametrize("num_mw", [2, 3])
     def test_moving_window_multi(self, wf_batch, num_mw, mw_type):
-        # prefix-sum vs running-sum rounding: abs diffs ~1e-12 on f64
+        # prefix-sum vs running-sum rounding: abs diffs ~1e-12 on f64;
+        # in f32 the rounding scales with the running-sum magnitude, not
+        # the output (rel_floor anchors the bound to max|expected|)
         parity(
             "moving_window_multi", wf_batch, 12.0, float(num_mw), mw_type,
-            atol=1e-9,
+            atol=1e-9, f32_rel_floor=1e-5,
         )
 
     def test_avg_current(self, wf_batch):

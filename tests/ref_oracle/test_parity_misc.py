@@ -184,9 +184,12 @@ class TestPoly:
         n = wf_batch.shape[-1]
         refp = ref_module("poly_fit").poly_fit(n, deg)
         mine = _dp("poly_fit")(n, deg)
+        # f32: the normal-equations solve for deg 3 over 256 samples is
+        # mildly ill-conditioned (~1e-5 relative coefficient error)
         parity(
             "poly_fit", wf_batch, ref_fn=refp, my_kernel=mine,
             dims={"m": deg + 1}, out_args=1, rtol=1e-7, atol=1e-9,
+            f32_rtol=1e-4, f32_rel_floor=1e-5,
         )
 
     def test_poly_diff(self, wf_batch):

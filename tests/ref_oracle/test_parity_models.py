@@ -26,8 +26,9 @@ class TestDesignedFilters:
     def test_iir_butter_lowpass(self, wf_batch):
         ref = ref_module("iir_filter").iir_filter(0.2, 4)
         mine = _dp("iir_filter")(0.2, 4)
+        # f32: order-4 feedback recursion rounds ~1e-5 relative over 256 samples
         parity("iir_filter", wf_batch, ref_fn=ref, my_kernel=mine,
-               rtol=1e-8, atol=1e-8)
+               rtol=1e-8, atol=1e-8, f32_rtol=1e-4, f32_rel_floor=1e-5)
 
     def test_iir_cheby1_highpass(self, wf_batch):
         ref = ref_module("iir_filter").iir_filter(
@@ -35,15 +36,18 @@ class TestDesignedFilters:
         )
         mine = _dp("iir_filter")(0.1, 3, rp=1.0, ftype="cheby1",
                                  btype="highpass")
+        # f32: highpass output is small vs the recursion state magnitude,
+        # so the bound must anchor to max|expected| (rel_floor), not rtol
         parity("iir_filter", wf_batch, ref_fn=ref, my_kernel=mine,
-               rtol=1e-8, atol=1e-8)
+               rtol=1e-8, atol=1e-8, f32_rel_floor=1e-5)
 
     def test_iir_bandpass(self, wf_batch):
         ref = ref_module("iir_filter").iir_filter([0.1, 0.4], 2,
                                                   btype="bandpass")
         mine = _dp("iir_filter")([0.1, 0.4], 2, btype="bandpass")
+        # f32: order-4 (2x biquad) recursion, ~4e-5 relative
         parity("iir_filter", wf_batch, ref_fn=ref, my_kernel=mine,
-               rtol=1e-8, atol=1e-8)
+               rtol=1e-8, atol=1e-8, f32_rtol=2e-4, f32_rel_floor=1e-5)
 
     def test_notch_filter(self, wf_batch):
         ref = ref_module("iir_filter").notch_filter(0.3, 0.02)

@@ -112,23 +112,33 @@ class TestExpFamily:
         tau = np.array([0.0, 1.0, 80.0, 3000.0])
         parity("rc_exp", tau, ref_fn=ref_module("pole_zero").rc_exp)
 
+    # f32 note for the exp/oscillator family: these accumulate a growing
+    # convolution sum over 256 samples, so the rounding scales with the
+    # *largest partial sum*, not the output — rel_floor anchors the bound.
     def test_convolve_exp(self, wf_batch):
-        parity("convolve_exp", wf_batch, 40.0, rtol=1e-8, atol=1e-9)
+        parity(
+            "convolve_exp", wf_batch, 40.0, rtol=1e-8, atol=1e-9,
+            f32_rel_floor=1e-5,
+        )
 
     def test_convolve_exp_per_event(self, wf_batch, rng):
         tau = rng.uniform(20, 120, size=wf_batch.shape[0])
-        parity("convolve_exp", wf_batch, tau, rtol=1e-8, atol=1e-9)
+        parity(
+            "convolve_exp", wf_batch, tau, rtol=1e-8, atol=1e-9,
+            f32_rel_floor=1e-5,
+        )
 
     def test_convolve_damped_oscillator(self, wf_batch):
+        # oscillating kernel: partial sums cancel, worst of the family
         parity(
             "convolve_damped_oscillator", wf_batch, 60.0, 0.1, 0.4,
-            rtol=1e-8, atol=1e-9,
+            rtol=1e-8, atol=1e-9, f32_rel_floor=2e-4,
         )
 
     def test_inject_damped_oscillation(self, wf_batch):
         parity(
             "inject_damped_oscillation", wf_batch, 60.0, 0.1, 0.4, 0.05,
-            rtol=1e-8, atol=1e-9,
+            rtol=1e-8, atol=1e-9, f32_rel_floor=2e-4,
         )
 
 
@@ -182,7 +192,9 @@ class TestDWT:
     @pytest.mark.parametrize("level", [1, 2, 3])
     def test_dwt(self, wf_batch, wave, coeff, level):
         n = wf_batch.shape[-1]
+        # f32: per-level filter-bank rounding ~1e-5 relative to the band peak
         parity(
             "discrete_wavelet_transform", wf_batch, level, ord(wave),
             ord(coeff), dims={"m": n >> level}, out_args=1,
+            f32_rtol=5e-5, f32_rel_floor=1e-5,
         )
