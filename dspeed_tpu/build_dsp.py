@@ -86,8 +86,11 @@ def host_partition(
 
 # process-wide compiled-chain cache: repeated build_dsp calls with the same
 # (config, db, input schema) reuse the traced+compiled chain instead of
-# paying multi-second retrace per file (DSPEED_TPU_CHAIN_CACHE=0 disables)
+# paying multi-second retrace per file (DSPEED_TPU_CHAIN_CACHE=0 disables).
+# LRU-bounded: long-lived sessions sweeping many configs/schemas must not
+# accumulate every compiled chain forever
 _CHAIN_CACHE: dict = {}
+_CHAIN_CACHE_MAX = int(os.getenv("DSPEED_TPU_CHAIN_CACHE_MAX", "16"))
 
 
 def _schema_fingerprint(tb) -> tuple:
@@ -407,6 +410,8 @@ def build_dsp(
         cached = _CHAIN_CACHE.get(cache_key) if cache_key is not None else None
         if cached is not None:
             proc_chain, field_mask, tb_out = cached
+            # move-to-end: insertion order doubles as LRU recency
+            _CHAIN_CACHE[cache_key] = _CHAIN_CACHE.pop(cache_key)
             log.debug("reusing compiled chain for table %s", tb)
         else:
             proc_chain, field_mask, tb_out = build_processing_chain(
@@ -418,6 +423,8 @@ def build_dsp(
             )
             if cache_key is not None:
                 _CHAIN_CACHE[cache_key] = (proc_chain, field_mask, tb_out)
+                while len(_CHAIN_CACHE) > _CHAIN_CACHE_MAX:
+                    _CHAIN_CACHE.pop(next(iter(_CHAIN_CACHE)))
         if isinstance(lh5_it, LH5Iterator):
             lh5_it.reset_field_mask(field_mask)
 

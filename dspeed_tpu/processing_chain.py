@@ -1070,9 +1070,9 @@ class ProcessingChain:
     def optimize_fusions(self) -> list[str]:
         """Substitute TPU fused kernels for their canonical step patterns.
 
-        Two patterns (VERDICT r1 items 3-4), matched on the *built* step
-        list so any config spelling that produces them fuses — including the
-        reference's unmodified icpc JSON:
+        Patterns are matched on the *built* step list so any config spelling
+        that produces them fuses — including the reference's unmodified icpc
+        JSON:
 
         - energy front: ``pole_zero(bl_subtract(w, b), tau)`` ->
           ``trap_norm`` -> ``amax`` becomes one
@@ -1083,6 +1083,12 @@ class ProcessingChain:
           a waveform and a scaled threshold base become one
           :func:`~dspeed_tpu.processors.chained_time_point_thresh` kernel
           (bit-identical links, one fused search program).
+        - current front: ``upsampler -> moving_window_multi -> min_max``
+          becomes one :func:`~dspeed_tpu.processors.fused_current_front`
+          VMEM pass.
+        - conv bank: parallel constant-kernel convolutions of one array
+          (the CUSP + ZAC pair) share a single banded-matmul window read
+          (:func:`~dspeed_tpu.processors.fused_conv_bank`).
 
         Returns the list of substitutions applied (for logging/tests).
         """
@@ -1094,6 +1100,7 @@ class ProcessingChain:
             self._fuse_energy_front,
             self._fuse_tp_cascade,
             self._fuse_current_front,
+            self._fuse_conv_bank,
         ):
             for _ in range(len(self._steps)):
                 try:
@@ -1331,6 +1338,67 @@ class ProcessingChain:
                         del steps[idx]
                     steps.insert(i, fused)
                     return ["fused_current_front"]
+        return []
+
+    def _fuse_conv_bank(self) -> list[str]:
+        """Parallel constant-kernel convolutions of one array (same kernel
+        length, same mode window) become one
+        :func:`~dspeed_tpu.processors.fused_conv_bank` step: the band
+        matrices concatenate along the output columns so the input window —
+        the dominant HBM read for long-tap short-output filters like the
+        CUSP + ZAC energy pair — is fetched once for the whole bank."""
+        from .processors import fused_conv_bank
+        from .processors.convolutions import _MATMUL_MAC_LIMIT, _mode_window
+
+        steps = self._steps
+        # duplicate SliceSteps of the same source produce distinct env keys
+        # for identical arrays; canonicalize conv inputs through them
+        slice_src = {
+            s.out_key: (s.src_key, str(s.sl))
+            for s in steps
+            if isinstance(s, SliceStep)
+        }
+        groups: dict = {}
+        for i, st in enumerate(steps):
+            if self._kname(st) not in ("convolve_wf", "fft_convolve_wf"):
+                continue
+            if len(st.arg_specs) != 3 or len(st.out_specs) != 1:
+                continue
+            k_spec = st.arg_specs[1]
+            if (
+                k_spec.kind != "const"
+                or not isinstance(k_spec.value, np.ndarray)
+                or k_spec.value.ndim != 1
+            ):
+                continue
+            in_key = self._env_key(st.arg_specs[0])
+            mode = self._const_scalar(st.arg_specs[2])
+            if in_key is None or mode is None:
+                continue
+            d = st.dims
+            if d["p"] * d["m"] > _MATMUL_MAC_LIMIT:
+                continue  # the router would pick the FFT path anyway
+            src = slice_src.get(in_key, (in_key, None))
+            key = (src, chr(int(mode)), d["n"], d["m"], d["p"])
+            groups.setdefault(key, []).append((i, st))
+        for (src, ch, n, m, p), recs in groups.items():
+            if len(recs) < 2:
+                continue
+            lo, _ = _mode_window(ch, n, m)
+            kern = fused_conv_bank(
+                [st.arg_specs[1].value for _, st in recs], lo, p
+            )
+            i0, st0 = recs[0]
+            fused = KernelStep(
+                self,
+                kern,
+                [st0.params[0]] + [st.out_specs[0].var for _, st in recs],
+                {},
+            )
+            for idx, _ in sorted(recs[1:], reverse=True):
+                del steps[idx]
+            steps[i0] = fused
+            return [f"fused_conv_bank[{len(recs)}]"]
         return []
 
     def _threshold_of(self, a_key):

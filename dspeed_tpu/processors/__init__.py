@@ -68,6 +68,7 @@ _modules = {
     "fused_energy_filter": "fused",
     "fused_energy_front": "fused",
     "fused_current_front": "fused",
+    "fused_conv_bank": "fused",
     "chained_time_point_thresh": "tp_chain",
     "trap_filter": "trap_filters",
     "trap_norm": "trap_filters",

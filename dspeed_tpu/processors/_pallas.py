@@ -24,7 +24,9 @@ import os
 import jax
 import jax.numpy as jnp
 
-__all__ = ["pallas_available", "fused_energy", "fused_current"]
+__all__ = [
+    "pallas_available", "fused_energy", "fused_current", "banded_conv_multi",
+]
 
 _SMOKE_OK: bool | None = None
 
@@ -64,6 +66,14 @@ def pallas_available() -> bool:
                 cp, n_curr=40, ratio=16, half=8, n_up=600, L=48, num=3,
                 mtype=0,
             )
+            jax.block_until_ready(outs)
+            import numpy as np
+
+            wc = jnp.ones((_BC_TILE_B, 256), jnp.float32)
+            outs = banded_conv_multi(
+                wc, [np.ones(33, np.float64)], lo=16, p=256
+            )
+            assert outs is not None
             jax.block_until_ready(outs)
             _SMOKE_OK = True
         except Exception:
@@ -661,6 +671,141 @@ def _fused_current_poly_call(
         out_specs=tuple(row_spec(1) for _ in range(4)),
         interpret=interpret,
     )(c, *consts)
+
+
+# ---------------------------------------------------------------------------
+# banded convolution: mode-sliced constant-kernel conv as in-VMEM matmuls
+# ---------------------------------------------------------------------------
+#
+# The XLA banded matmul (convolutions._conv_banded_matmul) must materialize
+# the stacked overlapping windows in HBM, which caps its useful block width
+# (measured on v5e: the t0-filter 'same' conv is window-traffic-bound at
+# every block size, 3.2 ms/16384 events at the 512 optimum). Here the row
+# stays resident in VMEM, so the per-output-block window slices are free and
+# the block width drops to 128 — ~2.5x fewer matmul FLOPs
+# (p*(blk+m-1) total MACs) with zero window re-materialization. NaN rows
+# poison in-kernel (the XLA-side nanmask would re-read and re-write the
+# full (B, p) output from HBM).
+
+_BC_TILE_B = int(os.getenv("DSPEED_TPU_BCONV_TILE_B", "128"))
+_BC_BLK = 128
+_BC_VMEM_BYTES = int(os.getenv("DSPEED_TPU_BCONV_VMEM", str(10 * 2**20)))
+
+
+def _banded_conv_kernel(w_ref, A_ref, o_ref, *, tb, span, blk, nblk, base,
+                        pad_l, pad_r):
+    w = w_ref[:]
+    bad = jnp.max((w != w).astype(jnp.int32), axis=1, keepdims=True) > 0
+    parts = []
+    if pad_l:
+        parts.append(jnp.zeros((tb, pad_l), jnp.float32))
+    parts.append(w)
+    if pad_r:
+        parts.append(jnp.zeros((tb, pad_r), jnp.float32))
+    wp = jnp.concatenate(parts, axis=1) if len(parts) > 1 else w
+    A = A_ref[:]
+    hp = jax.lax.Precision.HIGHEST  # bf16 default rounds the long-tap sums
+    cols = [
+        jnp.dot(
+            jax.lax.slice_in_dim(wp, base + k * blk, base + k * blk + span,
+                                 axis=1),
+            A, preferred_element_type=jnp.float32, precision=hp,
+        )
+        for k in range(nblk)
+    ]
+    out = jnp.concatenate(cols, axis=1) if nblk > 1 else cols[0]
+    o_ref[:] = jnp.where(bad, jnp.float32(jnp.nan), out)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tb", "span", "blk", "nblk", "base", "pad_l", "pad_r",
+                     "interpret"),
+)
+def _banded_conv_call(w2, A, tb, span, blk, nblk, base, pad_l, pad_r,
+                      interpret=False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, n = w2.shape
+    W = A.shape[1]
+    kern = functools.partial(
+        _banded_conv_kernel, tb=tb, span=span, blk=blk, nblk=nblk, base=base,
+        pad_l=pad_l, pad_r=pad_r,
+    )
+
+    def row_spec(width):
+        return pl.BlockSpec(
+            (tb, width), lambda i: (i, 0), memory_space=pltpu.VMEM
+        )
+
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((b, nblk * W), jnp.float32),
+        grid=(b // tb,),
+        in_specs=[
+            row_spec(n),
+            pl.BlockSpec((span, W), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=row_spec(nblk * W),
+        interpret=interpret,
+    )(w2, A)
+
+
+def banded_conv_multi(w, kerns, lo, p, interpret: bool = False):
+    """``full_conv(w, k_j)[..., lo:lo+p]`` per kernel, as one VMEM-resident
+    banded-matmul pass; NaN rows are poisoned in-kernel.
+
+    ``kerns`` are same-length 1-D NaN-free numpy arrays (the band matrices
+    concatenate along the output columns, so a bank shares the one window
+    read). Returns a list of ``(..., p)`` float32 arrays, or ``None`` when
+    the geometry does not fit the kernel (caller falls back to XLA).
+    """
+    import numpy as np
+
+    from .convolutions import _band_matrix
+
+    nk = len(kerns)
+    m = int(kerns[0].shape[-1])
+    *lead, n = w.shape
+    # single block when the bank's total width stays MXU-friendly; else
+    # 128-wide blocks (minimum window redundancy at full lane utilization)
+    blk = p if nk * p <= 640 else _BC_BLK
+    nblk = -(-p // blk)
+    p_pad = nblk * blk
+    span = blk + m - 1
+    pad_l = max(0, m - 1 - lo)
+    pad_r = max(0, lo + p_pad - n)
+    base = lo - (m - 1) + pad_l
+    tb = _BC_TILE_B
+    W = nk * blk
+
+    def vmem_bytes(tb):
+        # input block + padded copy + band matrix + out block + col concat
+        return 4 * (
+            2 * tb * (n + pad_l + pad_r) + span * W + 2 * tb * nblk * W
+        )
+
+    while tb > 8 and vmem_bytes(tb) > _BC_VMEM_BYTES:
+        tb //= 2
+    if vmem_bytes(tb) > _BC_VMEM_BYTES:
+        return None
+
+    w2 = jnp.asarray(w, jnp.float32).reshape(-1, n)
+    b = w2.shape[0]
+    pad_b = (-b) % tb
+    if pad_b:
+        w2 = jnp.pad(w2, ((0, pad_b), (0, 0)))
+    A = jnp.asarray(_band_matrix(kerns, blk).astype(np.float32))
+    out = _banded_conv_call(
+        w2, A, tb=tb, span=span, blk=blk, nblk=nblk, base=base,
+        pad_l=pad_l, pad_r=pad_r, interpret=interpret,
+    )
+    # columns are laid out (block k, kernel j, in-block i)
+    out = out.reshape(-1, nblk, nk, blk)
+    out = jnp.moveaxis(out, -2, -3).reshape(-1, nk, p_pad)
+    return [out[:b, j, :p].reshape(*lead, p) for j in range(nk)]
 
 
 def fused_current(

@@ -121,6 +121,26 @@ def _mode_window(ch, n, m):
     return (min(n, m) - 1) // 2, max(n, m)
 
 
+def _band_matrix(kerns, blk):
+    """The shared per-block band matrix ``A[s, j*blk+i] = k_j[i + m-1 - s]``
+    for same-length kernels ``k_j``: ``(span, nk*blk)`` float64, where
+    ``span = blk + m - 1`` is the input span of one output block."""
+    m = int(kerns[0].shape[-1])
+    span = blk + m - 1
+    s_idx = np.arange(span)[:, None]
+    i_idx = np.arange(blk)[None, :]
+    j = i_idx + (m - 1) - s_idx
+    valid = (j >= 0) & (j < m)
+    jc = np.clip(j, 0, m - 1)
+    return np.concatenate(
+        [
+            np.where(valid, np.asarray(k, dtype=np.float64)[jc], 0.0)
+            for k in kerns
+        ],
+        axis=1,
+    )
+
+
 def _conv_banded_matmul(w, kern, lo, p, blk=512):
     """``full_conv(w, kern)[..., lo:lo+p]`` as banded matrix products.
 
@@ -135,17 +155,12 @@ def _conv_banded_matmul(w, kern, lo, p, blk=512):
     """
     m = int(kern.shape[-1])
     n = w.shape[-1]
-    kern = np.asarray(kern, dtype=np.float64)
     blk = min(blk, p)
     nblk = -(-p // blk)
     p_pad = nblk * blk
     # input span for output block starting at t0: u in [t0-(m-1), t0+blk)
     span = blk + m - 1
-    # A[s, i] = k[i + m-1 - s] (shared by every block)
-    s_idx = np.arange(span)[:, None]
-    i_idx = np.arange(blk)[None, :]
-    j = i_idx + (m - 1) - s_idx
-    A = np.where((j >= 0) & (j < m), kern[np.clip(j, 0, m - 1)], 0.0)
+    A = _band_matrix([kern], blk)
     A = jnp.asarray(A.astype(np.result_type(w.dtype, np.float32)))
 
     # pad w so every block's input span is in range: global u in
@@ -175,25 +190,90 @@ def _conv_banded_matmul(w, kern, lo, p, blk=512):
     return out[..., :p].astype(w.dtype)
 
 
+def _conv_banded_matmul_bank(w, kerns, lo, p, blk=512):
+    """``full_conv(w, k_j)[..., lo:lo+p]`` for several same-length kernels
+    as ONE banded matmul.
+
+    Same-mode convolutions of one input share the input window exactly, so
+    the per-kernel band matrices of :func:`_conv_banded_matmul` concatenate
+    along the output-column axis and the window (the dominant HBM read for
+    long-tap short-output filters like the CUSP + ZAC energy pair) is
+    fetched once for the whole bank. Returns a list of ``(..., p)`` arrays,
+    one per kernel, each column computed by the same contraction as the
+    single-kernel matmul.
+    """
+    m = int(kerns[0].shape[-1])
+    n = w.shape[-1]
+    nk = len(kerns)
+    blk = min(blk, p)
+    nblk = -(-p // blk)
+    p_pad = nblk * blk
+    span = blk + m - 1
+    A = _band_matrix(kerns, blk)
+    A = jnp.asarray(A.astype(np.result_type(w.dtype, np.float32)))
+
+    pad_l = max(0, m - 1 - lo)
+    pad_r = max(0, lo + p_pad - n)
+    wp = jnp.pad(w, [(0, 0)] * (w.ndim - 1) + [(pad_l, pad_r)])
+    base = lo - (m - 1) + pad_l
+    hp = jax.lax.Precision.HIGHEST
+    if nblk == 1:
+        win = jax.lax.slice_in_dim(wp, base, base + span, axis=-1)
+        out = jnp.einsum("...s,si->...i", win.astype(A.dtype), A, precision=hp)
+        # blk == p when nblk == 1: kernel j owns columns [j*p, (j+1)*p)
+        outs = [out[..., k * blk : k * blk + p] for k in range(nk)]
+    else:
+        wins = jnp.stack(
+            [
+                jax.lax.slice_in_dim(
+                    wp, base + k * blk, base + k * blk + span, axis=-1
+                )
+                for k in range(nblk)
+            ],
+            axis=-2,
+        )
+        out = jnp.einsum(
+            "...ks,si->...ki", wins.astype(A.dtype), A, precision=hp
+        )
+        # (..., nblk, nk*blk) -> (..., nk, p_pad)
+        out = out.reshape(*out.shape[:-2], nblk, nk, blk)
+        out = jnp.moveaxis(out, -2, -3).reshape(*out.shape[:-3], nk, p_pad)
+        outs = [out[..., k, :p] for k in range(nk)]
+    return [o.astype(w.dtype) for o in outs]
+
+
 # largest p*m (outputs x taps, per event) routed to the banded matmul; above
 # this the FFT path has fewer FLOPs even counting its elementwise passes
 _MATMUL_MAC_LIMIT = int(os.getenv("DSPEED_TPU_CONV_MATMUL_MACS", 16_000_000))
 
 
 def _convolve_mode(w, kern, ch, n, m, name):
-    """Route a mode-sliced convolution: direct (short taps), banded matmul
-    (constant kernel, bounded band work), else FFT."""
+    """Route a mode-sliced convolution: Pallas banded matmul (TPU, constant
+    kernel — the window never re-materializes in HBM and NaN rows poison
+    in-VMEM), XLA banded matmul, direct (short taps), else FFT.
+
+    Returns ``(out, poisoned)`` — ``poisoned`` is True when the kernel
+    already NaN-poisoned bad rows in VMEM, so the caller must skip its own
+    row mask (an extra full-array HBM pass)."""
     lo, p = _mode_window(ch, n, m)
     route = os.getenv("DSPEED_TPU_CONV", "auto")
     concrete = not isinstance(kern, jax.core.Tracer) and kern.ndim == 1
     if route == "direct" or (route == "auto" and m <= 32 and kern.ndim == 1):
-        return _slice_mode(_conv_full_direct_only(w, kern), n, m, ch)
+        return _slice_mode(_conv_full_direct_only(w, kern), n, m, ch), False
     if route == "matmul" or (
         route == "auto" and concrete and p * m <= _MATMUL_MAC_LIMIT
     ):
         if concrete:
-            return _conv_banded_matmul(w, np.asarray(kern), lo, p)
-    return _slice_mode(_conv_full_fft(w, kern), n, m, ch)
+            kn = np.asarray(kern)
+            if not np.isnan(kn).any():
+                from ._pallas import banded_conv_multi, pallas_available
+
+                if pallas_available():
+                    out = banded_conv_multi(w, [kn], lo, p)
+                    if out is not None:
+                        return out[0], True
+            return _conv_banded_matmul(w, kn, lo, p), False
+    return _slice_mode(_conv_full_fft(w, kern), n, m, ch), False
 
 
 def _sp_route(w, kern, ch, n, m):
@@ -262,11 +342,12 @@ def convolve_wf(w_in, kernel_in, mode_in, dims, badrow=None):
         raise DSPFatal(f"Output waveform has length {p}; expect {expect}")
     sp = _sp_route(w_in, kern, ch, n, m)
     if sp is not None:
-        out = sp.astype(w_in.dtype)
+        out, poisoned = sp.astype(w_in.dtype), False
     else:
-        out = _convolve_mode(w_in, kern, ch, n, m, "convolve_wf").astype(
-            w_in.dtype
-        )
+        out, poisoned = _convolve_mode(w_in, kern, ch, n, m, "convolve_wf")
+        out = out.astype(w_in.dtype)
+    if poisoned:  # rows already NaN-poisoned in VMEM (NaN-free kernel)
+        return out
     row = isnan_any(w_in, 1) if badrow is None else badrow
     bad = row | _kernel_has_nan(kern)
     return nanmask(bad, out)
@@ -279,23 +360,23 @@ def convolve_wf(w_in, kernel_in, mode_in, dims, badrow=None):
 def fft_convolve_wf(w_in, kernel_in, mode_in, dims, badrow=None):
     """FFT convolution with modes f/v/s (reference ``convolutions.py:81``).
 
-    NaN events are zeroed before the FFT and re-poisoned after, matching the
-    reference's NaN-row masking.
+    NaN events poison their output rows (NaN propagates through every
+    route per-row; the mask makes the rows canonical all-NaN).
     """
     kern = _as_kernel_array(kernel_in)
     if kern.ndim > 1:
         raise DSPFatal("fft_convolve_wf expects a shared 1-D kernel")
     n, m = _conv_kernel_checks(w_in, kern, "fft_convolve_wf")
     ch = _mode_char(mode_in, "fft_convolve_wf")
-    bad = isnan_any(w_in, 1) if badrow is None else badrow
-    w = jnp.where(bad[..., None] if hasattr(bad, "ndim") and bad.ndim else bad, 0.0, w_in)
-    sp = _sp_route(w, kern, ch, n, m)
+    sp = _sp_route(w_in, kern, ch, n, m)
     if sp is not None:
-        out = sp.astype(w_in.dtype)
+        out, poisoned = sp.astype(w_in.dtype), False
     else:
-        out = _convolve_mode(w, kern, ch, n, m, "fft_convolve_wf").astype(
-            w_in.dtype
-        )
+        out, poisoned = _convolve_mode(w_in, kern, ch, n, m, "fft_convolve_wf")
+        out = out.astype(w_in.dtype)
+    if poisoned:  # rows already NaN-poisoned in VMEM (NaN-free kernel)
+        return out
+    bad = isnan_any(w_in, 1) if badrow is None else badrow
     return nanmask(bad | _kernel_has_nan(kern), out)
 
 

@@ -22,7 +22,77 @@ __all__ = [
     "fused_energy_filter",
     "fused_energy_front",
     "fused_current_front",
+    "fused_conv_bank",
 ]
+
+
+def fused_conv_bank(kernels, lo: int, p: int) -> Kernel:
+    """Factory: several constant-kernel convolutions of ONE input sharing a
+    single banded-matmul window read.
+
+    Auto-substituted by the fusion pass for parallel ``fft_convolve_wf`` /
+    ``convolve_wf`` steps that read the same array with same-length kernels
+    and the same mode window — the CUSP + ZAC energy pair in the flagship
+    chain (reference ``convolutions.py:81``; each unfused step re-reads the
+    full waveform from HBM for its own matmul). ``lo``/``p`` are the mode
+    window into the full convolution. Returns a kernel
+    ``(w,) -> (out_1, ..., out_k)`` whose every column is computed by the
+    same contraction as the single-kernel banded matmul.
+    """
+    import os
+
+    import jax
+
+    from .convolutions import _conv_banded_matmul, _conv_banded_matmul_bank
+
+    kerns = [np.asarray(k) for k in kernels]
+    if len(kerns) < 2:
+        raise DSPFatal("fused_conv_bank needs at least two kernels")
+    m = kerns[0].shape[-1]
+    if any(k.ndim != 1 or k.shape[-1] != m for k in kerns):
+        raise DSPFatal("fused_conv_bank kernels must be 1-D and same-length")
+    kern_nan = [bool(np.isnan(k).any()) for k in kerns]
+    lo = int(lo)
+    p = int(p)
+    nk = len(kerns)
+
+    def fn(w_in, badrow=None):
+        route = os.getenv("DSPEED_TPU_CONV_BANK", "auto")
+        if route == "auto" and not any(kern_nan):
+            from ._pallas import banded_conv_multi, pallas_available
+
+            if pallas_available():
+                outs = banded_conv_multi(w_in, kerns, lo, p)
+                if outs is not None:
+                    # rows already NaN-poisoned in VMEM; kernels NaN-free
+                    return tuple(o.astype(w_in.dtype) for o in outs)
+        # NaN rows poison every output column through the matmul itself;
+        # nanmask below makes the rows canonical (all-NaN), matching the
+        # unfused kernels' poisoning
+        bad = isnan_any(w_in, 1) if badrow is None else badrow
+        # the merged matmul's columns round ~2e-7 differently from the
+        # single-kernel matmuls (the backend retiles the contraction for the
+        # wider N); keep the CPU path bit-identical to the unfused steps by
+        # running per-kernel there — the shared-window read only pays on TPU
+        if route == "split" or (
+            route == "auto" and jax.default_backend() == "cpu"
+        ):
+            outs = [_conv_banded_matmul(w_in, k, lo, p) for k in kerns]
+        else:
+            outs = _conv_banded_matmul_bank(w_in, kerns, lo, p)
+        return tuple(
+            nanmask(bad | knan, o) for o, knan in zip(outs, kern_nan)
+        )
+
+    sig = "(n)->" + ",".join(["(p)"] * nk)
+    return Kernel(
+        fn,
+        sig,
+        ["f->" + "f" * nk, "d->" + "d" * nk],
+        name="fused_conv_bank",
+        badrow_arg=0,
+        mask_preserving=True,
+    )
 
 
 def fused_current_front(

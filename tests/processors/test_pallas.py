@@ -288,3 +288,90 @@ def test_poly_plan_rejects_bad_geometries():
     assert P._poly_plan(30, 16, 8, 600, 48, 3, 0) is None
     # L too large relative to the edge window
     assert P._poly_plan(301, 16, 8, 4788, 128, 3, 0) is None
+
+
+class TestBandedConv:
+    """Interpret-mode tests for the in-VMEM banded convolution
+    (``_pallas.banded_conv_multi``): single-kernel 'same' windows (the
+    t0-filter geometry), multi-block tiling, the CUSP/ZAC-style valid-mode
+    bank, and in-kernel NaN poisoning — all vs ``numpy.convolve`` in f64."""
+
+    @staticmethod
+    def _ref(w, kerns, lo, p):
+        return [
+            np.stack(
+                [np.convolve(row.astype("f8"), k)[lo : lo + p] for row in w]
+            )
+            for k in kerns
+        ]
+
+    def test_same_mode_single_block(self, rng):
+        from dspeed_tpu.processors._pallas import banded_conv_multi
+
+        w = rng.normal(0, 1, (12, 512)).astype("float32")
+        k = rng.normal(0, 1, 133)
+        lo, p = (133 - 1) // 2, 512
+        got = banded_conv_multi(w, [k], lo, p, interpret=True)
+        (ref,) = self._ref(w, [k], lo, p)
+        scale = np.abs(ref).max()
+        np.testing.assert_allclose(
+            np.asarray(got[0]), ref, rtol=5e-5, atol=1e-5 * scale
+        )
+
+    def test_same_mode_multiblock(self, rng):
+        from dspeed_tpu.processors._pallas import banded_conv_multi
+
+        # p > 640 forces 128-wide blocks (the production t0-filter shape)
+        w = rng.normal(0, 1, (8, 1024)).astype("float32")
+        k = rng.normal(0, 1, 133)
+        lo, p = (133 - 1) // 2, 1024
+        got = banded_conv_multi(w, [k], lo, p, interpret=True)
+        (ref,) = self._ref(w, [k], lo, p)
+        scale = np.abs(ref).max()
+        np.testing.assert_allclose(
+            np.asarray(got[0]), ref, rtol=5e-5, atol=1e-5 * scale
+        )
+
+    def test_valid_mode_bank(self, rng):
+        from dspeed_tpu.processors._pallas import banded_conv_multi
+
+        # CUSP/ZAC-style: two long kernels, short valid window, one matmul
+        w = rng.normal(0, 1, (16, 499)).astype("float32")
+        kerns = [rng.normal(0, 1, 400), rng.normal(0, 1, 400)]
+        lo, p = 399, 100
+        got = banded_conv_multi(w, kerns, lo, p, interpret=True)
+        refs = self._ref(w, kerns, lo, p)
+        for g, ref in zip(got, refs):
+            scale = np.abs(ref).max()
+            np.testing.assert_allclose(
+                np.asarray(g), ref, rtol=5e-5, atol=1e-5 * scale
+            )
+
+    def test_nan_rows_poison_in_kernel(self, rng):
+        from dspeed_tpu.processors._pallas import banded_conv_multi
+
+        w = rng.normal(0, 1, (6, 256)).astype("float32")
+        w[2, 17] = np.nan
+        w[4, :] = np.nan
+        k = rng.normal(0, 1, 65)
+        got = banded_conv_multi(w, [k], 32, 256, interpret=True)
+        out = np.asarray(got[0])
+        assert np.isnan(out[2]).all() and np.isnan(out[4]).all()
+        ok_rows = [0, 1, 3, 5]
+        assert np.isfinite(out[ok_rows]).all()
+
+    def test_stacked_leading_dims_and_ragged_batch(self, rng):
+        from dspeed_tpu.processors._pallas import banded_conv_multi
+
+        # (chan, B, n) stacked layout with a batch that needs row padding
+        w = rng.normal(0, 1, (3, 5, 256)).astype("float32")
+        k = rng.normal(0, 1, 65)
+        got = banded_conv_multi(w, [k], 64, 192, interpret=True)
+        assert got[0].shape == (3, 5, 192)
+        flat = self._ref(w.reshape(-1, 256), [k], 64, 192)[0].reshape(
+            3, 5, 192
+        )
+        scale = np.abs(flat).max()
+        np.testing.assert_allclose(
+            np.asarray(got[0]), flat, rtol=5e-5, atol=1e-5 * scale
+        )

@@ -71,6 +71,7 @@ def test_flagship_chain_fuses_bit_identically():
     names = [str(s) for s in chain_f._steps]
     assert any("fused_energy_front" in s for s in names), names
     assert any("chained_time_point_thresh" in s for s in names), names
+    assert any("fused_conv_bank" in s for s in names), names
     assert len(chain_f._steps) < len(chain_u._steps)
     _assert_bit_identical(out_f, out_u)
 
@@ -91,6 +92,80 @@ def test_reference_icpc_config_fuses_bit_identically():
     assert any("chained_time_point_thresh" in s for s in names), names
     assert any("fused_current_front" in s for s in names), names
     _assert_bit_identical(out_f, out_u)
+
+
+def test_conv_bank_merged_path_matches_unfused():
+    """The CUSP + ZAC convolutions fuse into one fused_conv_bank step; the
+    TPU merged-matmul route (forced via DSPEED_TPU_CONV_BANK=merged) must
+    stay within f32 rounding of the unfused chain (the CPU-default split
+    route is bit-identical — covered by the flagship test above)."""
+    config = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "configs", "hpge-energy-timing.yaml",
+    )
+    db = {"pz": {"tau": 27460.5}}
+    chain_u, out_u = _outputs(config, db, fuse=False)
+    os.environ["DSPEED_TPU_CONV_BANK"] = "merged"
+    try:
+        chain_m, out_m = _outputs(config, db, fuse=True)
+    finally:
+        del os.environ["DSPEED_TPU_CONV_BANK"]
+    names = [str(s) for s in chain_m._steps]
+    assert sum("fused_conv_bank" in s for s in names) == 1, names
+    # wf_cusp/wf_zac and both slice steps must be gone from the step list
+    assert not any("fft_convolve_wf" in s for s in names), names
+    assert set(out_m) == set(out_u)
+    for k in out_m:
+        a, b = out_m[k], out_u[k]
+        if a.dtype.kind in "fc":
+            np.testing.assert_allclose(
+                np.nan_to_num(a, nan=-12345.0),
+                np.nan_to_num(b, nan=-12345.0),
+                rtol=1e-5, atol=1e-6, err_msg=k,
+            )
+        else:
+            np.testing.assert_array_equal(a, b, err_msg=k)
+
+
+def test_conv_banded_matmul_bank_multiblock_matches_single():
+    """_conv_banded_matmul_bank's multi-block reshape (p > blk) must place
+    every kernel's columns exactly where the single-kernel matmul does, for
+    both 'same' and 'valid' windows."""
+    import jax
+
+    from dspeed_tpu.processors.convolutions import (
+        _conv_banded_matmul,
+        _conv_banded_matmul_bank,
+        _mode_window,
+    )
+
+    rng = np.random.default_rng(7)
+    w = rng.normal(0, 1, (5, 300)).astype("float64")
+    kerns = [
+        rng.normal(0, 1, 41).astype("float64"),
+        rng.normal(0, 1, 41).astype("float64"),
+        rng.normal(0, 1, 41).astype("float64"),
+    ]
+    x64 = jax.config.jax_enable_x64  # arrays demote to f32 in TPU mode
+    tol_pair = dict(rtol=1e-12, atol=1e-12) if x64 else dict(rtol=2e-5, atol=2e-5)
+    tol_ref = dict(rtol=1e-9, atol=1e-9) if x64 else dict(rtol=5e-5, atol=5e-5)
+    for mode in ("s", "v", "f"):
+        lo, p = _mode_window(mode, 300, 41)
+        # blk=64 forces nblk > 1 for every mode here
+        got = _conv_banded_matmul_bank(jax.numpy.asarray(w), kerns, lo, p, blk=64)
+        for g, k in zip(got, kerns):
+            want = _conv_banded_matmul(jax.numpy.asarray(w), k, lo, p, blk=64)
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(want), err_msg=f"mode {mode}",
+                **tol_pair,
+            )
+            # and against numpy.convolve ground truth
+            ref = np.stack(
+                [np.convolve(row, k)[lo : lo + p] for row in w]
+            )
+            np.testing.assert_allclose(
+                np.asarray(g), ref, err_msg=f"mode {mode} vs numpy", **tol_ref,
+            )
 
 
 def test_current_front_not_fused_when_intermediate_is_output():
