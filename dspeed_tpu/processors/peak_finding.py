@@ -40,57 +40,82 @@ def _cdim(x):
 
 
 def _peakdet_scan(w, delta_max, delta_min, abs_max, abs_min, m_max, m_min):
-    """One-direction Billauer sweep over a single waveform ``w`` (1-D).
+    """One-direction Billauer sweep over batched waveforms ``w`` (B, n).
 
-    Returns (vt_max (m_max,), vt_min (m_min,), n_max, n_min) with NaN-padded
-    slot arrays holding *sample indices* in declaration order.
+    Returns (vt_max (B, m_max), vt_min (B, m_min), n_max (B,), n_min (B,))
+    with NaN-padded slot arrays holding *sample indices* in declaration
+    order. ``delta``/``abs`` bounds are scalars or (B,).
+
+    TPU formulation: the carry holds the running extremum VALUES (``vx`` /
+    ``vn``) alongside their indices, so no scan step ever gathers ``w[imax]``
+    (a per-event dynamic gather per step — the single slowest primitive on
+    TPU); slot writes are one-hot masked updates of the (B, m) arrays
+    instead of scatters; the sweep runs batched over the whole event block
+    (the old per-event form vmapped these gathers). Algebraically identical
+    to the index-carrying recursion: ``vx == w[imax]`` by induction.
     """
-    n = w.shape[-1]
+    B, n = w.shape
 
-    def step(carry, i):
-        imax, imin, find_max, nmx, nmn, vmax, vmin = carry
-        wi = w[i]
-        imax = jnp.where(wi > w[imax], i, imax)
-        imin = jnp.where(wi < w[imin], i, imin)
+    def bcast(x):
+        v = jnp.asarray(x, w.dtype)
+        return jnp.broadcast_to(v, (B,))
 
-        decl_max = (
-            find_max
-            & (wi < w[imax] - delta_max)
-            & (nmx < m_max)
-            & (w[imax] > abs_max)
-        )
+    dmax, dmin = bcast(delta_max), bcast(delta_min)
+    amax_, amin_ = bcast(abs_max), bcast(abs_min)
+    slot_mx = jnp.arange(m_max)[None, :]
+    slot_mn = jnp.arange(m_min)[None, :]
+
+    def step(carry, xs):
+        vx, ix, vn, im, find_max, nmx, nmn, smax, smin = carry
+        wi, i = xs
+        newmax = wi > vx
+        vx = jnp.where(newmax, wi, vx)
+        ix = jnp.where(newmax, i, ix)
+        newmin = wi < vn
+        vn = jnp.where(newmin, wi, vn)
+        im = jnp.where(newmin, i, im)
+
+        decl_max = find_max & (wi < vx - dmax) & (nmx < m_max) & (vx > amax_)
         decl_min = (
-            (~find_max)
-            & (wi > w[imin] + delta_min)
-            & (nmn < m_min)
-            & (w[imin] < abs_min)
+            (~find_max) & (wi > vn + dmin) & (nmn < m_min) & (vn < amin_)
         )
-        vmax = vmax.at[jnp.where(decl_max, nmx, m_max)].set(
-            imax.astype(w.dtype), mode="drop"
+        smax = jnp.where(
+            decl_max[:, None] & (slot_mx == nmx[:, None]),
+            ix[:, None].astype(w.dtype),
+            smax,
         )
-        vmin = vmin.at[jnp.where(decl_min, nmn, m_min)].set(
-            imin.astype(w.dtype), mode="drop"
+        smin = jnp.where(
+            decl_min[:, None] & (slot_mn == nmn[:, None]),
+            im[:, None].astype(w.dtype),
+            smin,
         )
         nmx = nmx + decl_max
         nmn = nmn + decl_min
-        imin = jnp.where(decl_max, i, imin)
-        imax = jnp.where(decl_min, i, imax)
-        find_max = jnp.where(decl_max, False, jnp.where(decl_min, True, find_max))
-        return (imax, imin, find_max, nmx, nmn, vmax, vmin), None
+        # a declaration restarts the opposite tracker at the current sample
+        vn = jnp.where(decl_max, wi, vn)
+        im = jnp.where(decl_max, i, im)
+        vx = jnp.where(decl_min, wi, vx)
+        ix = jnp.where(decl_min, i, ix)
+        find_max = jnp.where(
+            decl_max, False, jnp.where(decl_min, True, find_max)
+        )
+        return (vx, ix, vn, im, find_max, nmx, nmn, smax, smin), None
 
     init = (
-        jnp.int32(0),
-        jnp.int32(0),
-        jnp.bool_(True),
-        jnp.int32(0),
-        jnp.int32(0),
-        jnp.full(m_max, jnp.nan, w.dtype),
-        jnp.full(m_min, jnp.nan, w.dtype),
+        jnp.full((B,), -jnp.inf, w.dtype),
+        jnp.zeros((B,), jnp.int32),
+        jnp.full((B,), jnp.inf, w.dtype),
+        jnp.zeros((B,), jnp.int32),
+        jnp.ones((B,), bool),
+        jnp.zeros((B,), jnp.int32),
+        jnp.zeros((B,), jnp.int32),
+        jnp.full((B, m_max), jnp.nan, w.dtype),
+        jnp.full((B, m_min), jnp.nan, w.dtype),
     )
-    (imax, imin, fm, nmx, nmn, vmax, vmin), _ = jax.lax.scan(
-        step, init, jnp.arange(n, dtype=jnp.int32)
-    )
-    return vmax, vmin, nmx, nmn
+    xs = (w.T, jnp.arange(n, dtype=jnp.int32))
+    carry, _ = jax.lax.scan(step, init, xs, unroll=8)
+    (vx, ix, vn, im, fm, nmx, nmn, smax, smin) = carry
+    return smax, smin, nmx, nmn
 
 
 def _compact_sorted_unique(vals, m):
@@ -154,47 +179,41 @@ def get_multi_local_extrema(
 
     lead = w_in.shape[:-1]
     wf = w_in.reshape(-1, n)
-    args = [x.reshape(-1) for x in (dmax, dmin, amax_, amin_)]
+    dm, dn, am, an = (x.reshape(-1) for x in (dmax, dmin, amax_, amin_))
 
-    def one(w, dm, dn, am, an):
-        vl_max = vl_min = vr_max = vr_min = None
-        if direction in (0, 2, 3):
-            vl_max, vl_min, nl_max, nl_min = _peakdet_scan(
-                w, dm, dn, am, an, m_max, m_min
-            )
-        if direction in (1, 2, 3):
-            vr_max_r, vr_min_r, nr_max, nr_min = _peakdet_scan(
-                w[::-1], dm, dn, am, an, m_max, m_min
-            )
-            # map reversed positions back to forward indices
-            vr_max = jnp.where(
-                jnp.isnan(vr_max_r), jnp.nan, (n - 1) - vr_max_r
-            )
-            vr_min = jnp.where(
-                jnp.isnan(vr_min_r), jnp.nan, (n - 1) - vr_min_r
-            )
-        if direction == 0:
-            return vl_max, vl_min, nl_max, nl_min
-        if direction == 1:
-            return vr_max, vr_min, nr_max, nr_min
-        if direction == 2:
-            out_max = _coincidence(vl_max, jnp.sort(vr_max), m_max)
-            out_min = _coincidence(vl_min, jnp.sort(vr_min), m_min)
-        else:
-            out_max = _compact_sorted_unique(
-                jnp.concatenate([vl_max, vr_max]), m_max
-            )
-            out_min = _compact_sorted_unique(
-                jnp.concatenate([vl_min, vr_min]), m_min
-            )
-        return (
-            out_max,
-            out_min,
-            jnp.sum(~jnp.isnan(out_max)).astype(jnp.int32),
-            jnp.sum(~jnp.isnan(out_min)).astype(jnp.int32),
+    vl_max = vl_min = vr_max = vr_min = None
+    if direction in (0, 2, 3):
+        vl_max, vl_min, nl_max, nl_min = _peakdet_scan(
+            wf, dm, dn, am, an, m_max, m_min
         )
-
-    vmax, vmin, nmx, nmn = jax.vmap(one)(wf, *args)
+    if direction in (1, 2, 3):
+        vr_max_r, vr_min_r, nr_max, nr_min = _peakdet_scan(
+            wf[:, ::-1], dm, dn, am, an, m_max, m_min
+        )
+        # map reversed positions back to forward indices
+        vr_max = jnp.where(jnp.isnan(vr_max_r), jnp.nan, (n - 1) - vr_max_r)
+        vr_min = jnp.where(jnp.isnan(vr_min_r), jnp.nan, (n - 1) - vr_min_r)
+    if direction == 0:
+        vmax, vmin, nmx, nmn = vl_max, vl_min, nl_max, nl_min
+    elif direction == 1:
+        vmax, vmin, nmx, nmn = vr_max, vr_min, nr_max, nr_min
+    else:
+        if direction == 2:
+            vmax = jax.vmap(lambda a, b: _coincidence(a, b, m_max))(
+                vl_max, jnp.sort(vr_max, axis=-1)
+            )
+            vmin = jax.vmap(lambda a, b: _coincidence(a, b, m_min))(
+                vl_min, jnp.sort(vr_min, axis=-1)
+            )
+        else:
+            vmax = jax.vmap(lambda a: _compact_sorted_unique(a, m_max))(
+                jnp.concatenate([vl_max, vr_max], axis=-1)
+            )
+            vmin = jax.vmap(lambda a: _compact_sorted_unique(a, m_min))(
+                jnp.concatenate([vl_min, vr_min], axis=-1)
+            )
+        nmx = jnp.sum(~jnp.isnan(vmax), axis=-1).astype(jnp.int32)
+        nmn = jnp.sum(~jnp.isnan(vmin), axis=-1).astype(jnp.int32)
     vmax = vmax.reshape(*lead, m_max)
     vmin = vmin.reshape(*lead, m_min)
     nmx = nmx.reshape(lead)
