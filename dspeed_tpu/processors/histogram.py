@@ -6,6 +6,7 @@ TPU-native replacement for the reference's sequential binning loop.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..errors import DSPFatal
@@ -20,10 +21,20 @@ def _scatter_hist(w, k, m, valid):
     lead = w.shape[:-1]
     kf = k.reshape(-1, k.shape[-1])
     vf = valid.reshape(-1, valid.shape[-1])
-    out = jnp.zeros((kf.shape[0], m), w.dtype)
-    rows = jnp.arange(kf.shape[0])[:, None]
-    kc = jnp.where(vf, kf, m)  # out-of-range dropped
-    out = out.at[rows, kc].add(1.0, mode="drop")
+    if jax.default_backend() != "cpu":
+        # scatter-add lowers to a sort/serialize loop on TPU; a broadcast
+        # compare fused into the sample reduction never materializes the
+        # (B, m, n) tensor and is exact-integer-identical
+        bins = jnp.arange(m, dtype=kf.dtype)[None, :, None]
+        out = jnp.sum(
+            ((kf[:, None, :] == bins) & vf[:, None, :]).astype(w.dtype),
+            axis=-1,
+        )
+    else:
+        out = jnp.zeros((kf.shape[0], m), w.dtype)
+        rows = jnp.arange(kf.shape[0])[:, None]
+        kc = jnp.where(vf, kf, m)  # out-of-range dropped
+        out = out.at[rows, kc].add(1.0, mode="drop")
     return out.reshape(*lead, m)
 
 

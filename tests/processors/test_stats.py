@@ -93,6 +93,19 @@ class TestHistogram:
             vals, counts = np.unique(w[b], return_counts=True)
             assert center == vals[np.argmax(counts)]
 
+    def test_accel_compare_reduce_matches_scatter(self, rng, monkeypatch):
+        """The TPU branch of _scatter_hist (broadcast-compare fused into the
+        sample reduction — scatter-add lowers to a sort loop on TPU) must be
+        exact-integer-identical to the CPU scatter branch."""
+        import jax
+
+        w = rng.normal(0, 5, (7, 300))
+        wt0, bo0 = dp.histogram(w, dims={"m": 100, "p": 101})
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        wt1, bo1 = dp.histogram(w, dims={"m": 100, "p": 101})
+        np.testing.assert_array_equal(np.asarray(wt0), np.asarray(wt1))
+        np.testing.assert_array_equal(np.asarray(bo0), np.asarray(bo1))
+
     def test_given_center(self, rng):
         w = rng.normal(50, 3, (1, 400)).astype("float64")
         weights, borders = dp.histogram_around_mode(
