@@ -369,7 +369,10 @@ def bi_level_zero_crossing_time_points(
 
     TPU-native form: the five-flag state machine becomes a ``lax.scan`` whose
     carry holds {above/below activation indices, zero-crossed flag,
-    candidates, count, slot arrays}.
+    candidates, count, slot arrays}. The sweep runs batched over the whole
+    event block with consecutive sample pairs as scan xs (no per-step
+    dynamic slices) and one-hot masked slot writes (no scatters) — the same
+    gather-free formulation as the Billauer scan in ``peak_finding``.
     """
     import jax
 
@@ -382,78 +385,79 @@ def bi_level_zero_crossing_time_points(
 
     lead = w_in.shape[:-1]
     wf = w_in.reshape(-1, n)
+    B = wf.shape[0]
 
     def bshape(x):
         x = jnp.broadcast_to(x, lead) if getattr(x, "ndim", 0) == 0 else x
         return x.reshape(-1)
 
-    gate_b, tstart_b = bshape(gate), bshape(tstart)
-    pos_b, neg_b = bshape(pos_th), bshape(neg_th)
+    gt = jnp.trunc(bshape(gate)).astype(jnp.int32)
+    tsi = jnp.trunc(bshape(tstart)).astype(jnp.int32)
+    pos = bshape(pos_th)
+    neg = bshape(neg_th)
+    slots = jnp.arange(m)[None, :]
 
-    def one(w, pos, neg, gt, ts):
-        gt = jnp.trunc(gt).astype(jnp.int32)
-        tsi = jnp.trunc(ts).astype(jnp.int32)
-
-        def step(c, i):
-            above, below, crossed, pos_cand, neg_cand, nc, pol, trig = c
-            act = i >= tsi
-            w0, w1 = w[i], w[i + 1]
-            below_on = below >= 0
-            zneg = below_on & (w0 <= 0) & (0 < w1)
-            crossed = crossed | (act & zneg)
-            neg_cand = jnp.where(act & zneg, i, neg_cand)
-
-            # positive-threshold crossing
-            pcross = act & (w0 <= pos) & (pos < w1)
-            emit_neg = pcross & crossed & below_on & ((i - below) < gt)
-            retrig_a = pcross & crossed & below_on & ~((i - below) < gt)
-            plain_a = pcross & ~(crossed & below_on)
-            pol = pol.at[jnp.where(emit_neg & (nc < m), nc, m)].set(0, mode="drop")
-            trig = trig.at[jnp.where(emit_neg & (nc < m), nc, m)].set(
-                neg_cand.astype(w.dtype), mode="drop"
-            )
-            nc = nc + emit_neg
-            above = jnp.where(retrig_a | plain_a, i, above)
-            below = jnp.where(pcross & crossed & below_on, -1, below)
-            crossed = jnp.where(pcross & below_on, False, crossed)
-
-            above_on = above >= 0
-            zpos = act & above_on & (w0 >= 0) & (0 > w1)
-            crossed = crossed | zpos
-            pos_cand = jnp.where(zpos, i, pos_cand)
-
-            # negative-threshold crossing
-            ncross = act & (w0 >= neg) & (neg > w1)
-            emit_pos = ncross & crossed & above_on & ((i - above) < gt)
-            retrig_b = ncross & crossed & above_on & ~((i - above) < gt)
-            plain_b = ncross & ~(crossed & above_on)
-            pol = pol.at[jnp.where(emit_pos & (nc < m), nc, m)].set(1, mode="drop")
-            trig = trig.at[jnp.where(emit_pos & (nc < m), nc, m)].set(
-                pos_cand.astype(w.dtype), mode="drop"
-            )
-            nc = nc + emit_pos
-            below = jnp.where(retrig_b | plain_b, i, below)
-            above = jnp.where(ncross & crossed & above_on, -1, above)
-            crossed = jnp.where(ncross & above_on, False, crossed)
-
-            return (above, below, crossed, pos_cand, neg_cand, nc, pol, trig), None
-
-        init = (
-            jnp.int32(-1),
-            jnp.int32(-1),
-            jnp.bool_(False),
-            jnp.int32(0),
-            jnp.int32(0),
-            jnp.int32(0),
-            jnp.full(m, jnp.nan, w.dtype),
-            jnp.full(m, jnp.nan, w.dtype),
+    def slot_set(arr, emit, nc, val):
+        return jnp.where(
+            emit[:, None] & (slots == nc[:, None]), val[:, None], arr
         )
-        (_, _, _, _, _, nc, pol, trig), _ = jax.lax.scan(
-            step, init, jnp.arange(n - 1, dtype=jnp.int32)
-        )
-        return nc, pol, trig
 
-    nc, pol, trig = jax.vmap(one)(wf, pos_b, neg_b, gate_b, tstart_b)
+    def step(c, xs):
+        above, below, crossed, pos_cand, neg_cand, nc, pol, trig = c
+        w0, w1, i = xs
+        act = i >= tsi
+        below_on = below >= 0
+        zneg = below_on & (w0 <= 0) & (0 < w1)
+        crossed = crossed | (act & zneg)
+        neg_cand = jnp.where(act & zneg, i, neg_cand)
+
+        # positive-threshold crossing
+        pcross = act & (w0 <= pos) & (pos < w1)
+        emit_neg = pcross & crossed & below_on & ((i - below) < gt)
+        retrig_a = pcross & crossed & below_on & ~((i - below) < gt)
+        plain_a = pcross & ~(crossed & below_on)
+        fit = emit_neg & (nc < m)
+        pol = slot_set(pol, fit, nc, jnp.zeros_like(pol[:, 0]))
+        trig = slot_set(trig, fit, nc, neg_cand.astype(wf.dtype))
+        nc = nc + emit_neg
+        above = jnp.where(retrig_a | plain_a, i, above)
+        below = jnp.where(pcross & crossed & below_on, -1, below)
+        crossed = jnp.where(pcross & below_on, False, crossed)
+
+        above_on = above >= 0
+        zpos = act & above_on & (w0 >= 0) & (0 > w1)
+        crossed = crossed | zpos
+        pos_cand = jnp.where(zpos, i, pos_cand)
+
+        # negative-threshold crossing
+        ncross = act & (w0 >= neg) & (neg > w1)
+        emit_pos = ncross & crossed & above_on & ((i - above) < gt)
+        retrig_b = ncross & crossed & above_on & ~((i - above) < gt)
+        plain_b = ncross & ~(crossed & above_on)
+        fit = emit_pos & (nc < m)
+        pol = slot_set(pol, fit, nc, jnp.ones_like(pol[:, 0]))
+        trig = slot_set(trig, fit, nc, pos_cand.astype(wf.dtype))
+        nc = nc + emit_pos
+        below = jnp.where(retrig_b | plain_b, i, below)
+        above = jnp.where(ncross & crossed & above_on, -1, above)
+        crossed = jnp.where(ncross & above_on, False, crossed)
+
+        return (above, below, crossed, pos_cand, neg_cand, nc, pol, trig), None
+
+    init = (
+        jnp.full((B,), -1, jnp.int32),
+        jnp.full((B,), -1, jnp.int32),
+        jnp.zeros((B,), bool),
+        jnp.zeros((B,), jnp.int32),
+        jnp.zeros((B,), jnp.int32),
+        jnp.zeros((B,), jnp.int32),
+        jnp.full((B, m), jnp.nan, wf.dtype),
+        jnp.full((B, m), jnp.nan, wf.dtype),
+    )
+    xs = (wf.T[:-1], wf.T[1:], jnp.arange(n - 1, dtype=jnp.int32))
+    (_, _, _, _, _, nc, pol, trig), _ = jax.lax.scan(
+        step, init, xs, unroll=8
+    )
     nc = nc.reshape(lead)
     pol = pol.reshape(*lead, m)
     trig = trig.reshape(*lead, m)
