@@ -89,26 +89,12 @@ def build_dsp_stacked(
 
     tb_outs = [copy.deepcopy(tb_out) for _ in range(n_chan)]
 
-    fn = None
-    i = 0
-    while i < n_rows:
-        n = min(buffer_len, n_rows - i)
-        # gather each channel's chunk through the chain's input managers
-        stacked: dict[str, np.ndarray] = {}
-        for ci, it in enumerate(iterators):
-            tb_in = it.read(i, n)
-            for varname in list(chain._input_managers):
-                chain.link_input_buffer(varname, tb_in[varname])
-            inputs, n_av = chain._gather_inputs(0, n)
-            for k, v in inputs.items():
-                stacked.setdefault(k, []).append(v)
-        stacked = {k: np.stack(v) for k, v in stacked.items()}
-
-        if fn is None:
-            fn = jax.jit(chain._build_fn())
-        out = fn(chain._shard_inputs(stacked))
-        out = jax.tree_util.tree_map(np.asarray, out)
-
+    def _write_chunk(out_dev, i, n):
+        """Fetch chunk ``(i, n)`` from the device and write every channel —
+        runs on the single writer thread so the (blocking) D2H transfer and
+        the LH5 writes overlap the next chunk's read + dispatch. Only this
+        thread touches the output managers / tb_outs / store."""
+        out = jax.tree_util.tree_map(np.asarray, out_dev)
         for ci, tb in enumerate(lh5_tables):
             res_ci = {k: v[ci] for k, v in out.items()}
             for varname, man in chain._output_managers.items():
@@ -138,7 +124,40 @@ def build_dsp_stacked(
                 node[groups[-1]].append(
                     tb_outs[ci][0:n] if n != len(tb_outs[ci]) else tb_outs[ci]
                 )
-        i += n
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    fn = None
+    i = 0
+    writer = ThreadPoolExecutor(1)
+    prev_job = None
+    try:
+        while i < n_rows:
+            n = min(buffer_len, n_rows - i)
+            # gather each channel's chunk through the chain's input managers
+            stacked: dict[str, np.ndarray] = {}
+            for ci, it in enumerate(iterators):
+                tb_in = it.read(i, n)
+                for varname in list(chain._input_managers):
+                    chain.link_input_buffer(varname, tb_in[varname])
+                inputs, n_av = chain._gather_inputs(0, n)
+                for k, v in inputs.items():
+                    stacked.setdefault(k, []).append(v)
+            stacked = {k: np.stack(v) for k, v in stacked.items()}
+
+            if fn is None:
+                fn = jax.jit(chain._build_fn())
+            # async dispatch: the device computes chunk i while the writer
+            # thread is still fetching/writing chunk i-1
+            out_dev = fn(chain._shard_inputs(stacked))
+            if prev_job is not None:
+                prev_job.result()  # bound in-flight chunks to two
+            prev_job = writer.submit(_write_chunk, out_dev, i, n)
+            i += n
+        if prev_job is not None:
+            prev_job.result()
+    finally:
+        writer.shutdown(wait=True)
 
     for it in iterators:
         it.close()
