@@ -72,23 +72,69 @@ def chained_time_point_thresh(factors, walk_forward, start_from) -> Kernel:
         row = isnan_any(w_in, 1) if badrow is None else badrow
         root_bad = row | isnan_any(t) | ~in_range | ~integral
 
+        # python-float scales match the engine's weak-typed `0.99*trapTmax`
+        # expression arithmetic bit-for-bit
+        a_list = [
+            factors[k] * base if factors[k] != 1.0 else base for k in range(m)
+        ]
+
+        if m <= 127:
+            # Rank-plane formulation: every link's crossing predicate is a
+            # comparison of the waveform against its own threshold, so ONE
+            # fused pass computes R1[i] = #{a_j < w[i]} / R2[i] = #{a_j <=
+            # w[i]} (int8), and each link tests its threshold's per-event
+            # rank against the planes instead of re-reading the float
+            # waveform — the links' HBM traffic halves and the per-link
+            # float compares disappear. Exactly equivalent (incl. ties):
+            #   w0 <= a_k       <=>  R1[i]  <= srank_k   (srank = #{a_j < a_k})
+            #   a_k <  w1       <=>  srank_k < R1[i+1]
+            #   a_k <= w0       <=>  crank_k <= R2[i]    (crank = #{a_j <= a_k})
+            #   a_k >  w1       <=>  R2[i+1] < crank_k
+            # NaN thresholds/waveforms give different raw predicates than
+            # float compares, but every such row/link is NaN-masked below,
+            # so outputs stay bit-identical to the float cascade.
+            A = jnp.stack(a_list, axis=-1)  # (..., m)
+            wexp = w_in[..., None, :]
+            R = jnp.sum((A[..., :, None] < wexp), axis=-2, dtype=jnp.int8)
+            R2 = jnp.sum((A[..., :, None] <= wexp), axis=-2, dtype=jnp.int8)
+            srank = jnp.sum(
+                A[..., :, None] > A[..., None, :], axis=-1, dtype=jnp.int8
+            )  # srank[..., k] = #{a_j < a_k}
+            crank = jnp.sum(
+                A[..., :, None] >= A[..., None, :], axis=-1, dtype=jnp.int8
+            )  # crank[..., k] = #{a_j <= a_k}
+            R1a, R1b = R[..., :-1], R[..., 1:]
+            R2a, R2b = R2[..., :-1], R2[..., 1:]
+            pad_r = [(0, 0)] * (w_in.ndim - 1) + [(0, 1)]
+            pad_l = [(0, 0)] * (w_in.ndim - 1) + [(1, 0)]
+
+            def masks(k):
+                sk = srank[..., k : k + 1]
+                ck = crank[..., k : k + 1]
+                if dirs[k] == 1:
+                    up = (R1a <= sk) & (sk < R1b)
+                    dn = (ck <= R2a) & (R2b < ck)
+                    return jnp.pad(up | dn, pad_r, constant_values=False), +1
+                upb = (ck > R2a) & (ck <= R2b)
+                dnb = (sk < R1a) & (sk >= R1b)
+                return jnp.pad(upb | dnb, pad_l, constant_values=False), -1
+        else:
+
+            def masks(k):
+                fwd, bwd = _crossing_masks(w_in, a_list[k])
+                return (fwd, +1) if dirs[k] == 1 else (bwd, -1)
+
         results, bads = [], []
         for k in range(m):
-            # python-float scale matches the engine's weak-typed
-            # `0.99*trapTmax` expression arithmetic bit-for-bit
-            a = factors[k] * base if factors[k] != 1.0 else base
             if starts[k] < 0:
                 s, sbad = ti0, root_bad
             else:
                 prev = results[starts[k]]
                 s = jnp.trunc(prev).astype(jnp.int32)
                 sbad = bads[starts[k]]
-            fwd, bwd = _crossing_masks(w_in, a)
-            if dirs[k] == 1:
-                idx, found = _first_true_from(fwd, s, +1)
-            else:
-                idx, found = _first_true_from(bwd, s, -1)
-            bad = sbad | jnp.isnan(a) | ~found
+            mask, sgn = masks(k)
+            idx, found = _first_true_from(mask, s, sgn)
+            bad = sbad | jnp.isnan(a_list[k]) | ~found
             results.append(nanmask(bad, idx.astype(w_in.dtype)))
             bads.append(bad)
         return tuple(results)
