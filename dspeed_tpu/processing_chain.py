@@ -1100,6 +1100,7 @@ class ProcessingChain:
             self._fuse_energy_front,
             self._fuse_tp_cascade,
             self._fuse_current_front,
+            self._fuse_t0_front,
             self._fuse_conv_bank,
         ):
             for _ in range(len(self._steps)):
@@ -1338,6 +1339,110 @@ class ProcessingChain:
                         del steps[idx]
                     steps.insert(i, fused)
                     return ["fused_current_front"]
+        return []
+
+    def _producer_index(self, key):
+        """Index of the step writing ``key`` (None for chain inputs)."""
+        for i, st in enumerate(self._steps):
+            for spec in getattr(st, "out_specs", ()):
+                if spec.key == key:
+                    return i
+            if getattr(st, "out_key", None) == key:
+                return i
+            if getattr(st, "dst_key", None) == key:
+                return i
+        return None
+
+    def _fuse_t0_front(self) -> list[str]:
+        """``convolve_wf(w, const_kern, 's')`` -> ``min_max`` ->
+        ``time_point_thresh(conv, thr, tp_start, 0)`` with the filtered
+        waveform unread elsewhere becomes one
+        :func:`~dspeed_tpu.processors.fused_t0_front` step (Pallas VMEM
+        pass on TPU): three full-array HBM passes producing five scalars
+        collapse into one read of ``w``."""
+        from .processors import fused_t0_front
+
+        steps = self._steps
+        reads = None
+        for i, cv in enumerate(steps):
+            if self._kname(cv) not in ("convolve_wf", "fft_convolve_wf"):
+                continue
+            if len(cv.arg_specs) != 3 or len(cv.out_specs) != 1:
+                continue
+            k_spec = cv.arg_specs[1]
+            if (
+                k_spec.kind != "const"
+                or not isinstance(k_spec.value, np.ndarray)
+                or k_spec.value.ndim != 1
+                or np.isnan(k_spec.value).any()
+            ):
+                continue
+            mode = self._const_scalar(cv.arg_specs[2])
+            if mode is None or chr(int(mode)) != "s":
+                continue
+            d = cv.dims
+            if d["p"] != d["n"] or d["m"] > d["n"]:
+                continue
+            c_key = cv.out_specs[0].key
+            for j in range(i + 1, len(steps)):
+                mm = steps[j]
+                if (
+                    self._kname(mm) != "min_max"
+                    or self._env_key(mm.arg_specs[0]) != c_key
+                    or len(mm.out_specs) != 4
+                ):
+                    continue
+                tpstart_key = mm.out_specs[1].key
+                for k in range(j + 1, len(steps)):
+                    tp = steps[k]
+                    if (
+                        self._kname(tp) != "time_point_thresh"
+                        or len(tp.arg_specs) != 4
+                        or len(tp.out_specs) != 1
+                        or self._env_key(tp.arg_specs[0]) != c_key
+                        or self._env_key(tp.arg_specs[2]) != tpstart_key
+                    ):
+                        continue
+                    walk = self._const_scalar(tp.arg_specs[3])
+                    if walk is None or int(walk) != 0:
+                        continue
+                    thr_key = self._env_key(tp.arg_specs[1])
+                    if thr_key is None:
+                        continue
+                    # the threshold must already be computed when the fused
+                    # step takes the conv's slot
+                    thr_pos = self._producer_index(thr_key)
+                    if thr_pos is not None and thr_pos >= i:
+                        continue
+                    if reads is None:
+                        reads = self._env_read_counts()
+                    # the filtered waveform must feed only this pipeline
+                    if reads.get(c_key, 0) != 2:
+                        continue
+                    thr_var = next(
+                        (
+                            p
+                            for p in tp.params
+                            if isinstance(p, ProcChainVar)
+                            and p.key == thr_key
+                        ),
+                        None,
+                    )
+                    if thr_var is None:
+                        continue
+                    kern = fused_t0_front(k_spec.value)
+                    fused = KernelStep(
+                        self,
+                        kern,
+                        [cv.params[0], thr_var]
+                        + [s.var for s in mm.out_specs]
+                        + [tp.out_specs[0].var],
+                        {},
+                    )
+                    for idx in sorted((i, j, k), reverse=True):
+                        del steps[idx]
+                    steps.insert(i, fused)
+                    return ["fused_t0_front"]
         return []
 
     def _fuse_conv_bank(self) -> list[str]:

@@ -69,6 +69,7 @@ _modules = {
     "fused_energy_front": "fused",
     "fused_current_front": "fused",
     "fused_conv_bank": "fused",
+    "fused_t0_front": "fused",
     "chained_time_point_thresh": "tp_chain",
     "trap_filter": "trap_filters",
     "trap_norm": "trap_filters",

@@ -75,6 +75,9 @@ def pallas_available() -> bool:
             )
             assert outs is not None
             jax.block_until_ready(outs)
+            wt = jnp.ones((_T0_TILE_B, 256), jnp.float32)
+            outs = fused_t0(wt, np.ones(33, np.float64), jnp.ones(_T0_TILE_B))
+            jax.block_until_ready(outs)
             _SMOKE_OK = True
         except Exception:
             _SMOKE_OK = False
@@ -692,10 +695,10 @@ _BC_BLK = 128
 _BC_VMEM_BYTES = int(os.getenv("DSPEED_TPU_BCONV_VMEM", str(10 * 2**20)))
 
 
-def _banded_conv_kernel(w_ref, A_ref, o_ref, *, tb, span, blk, nblk, base,
-                        pad_l, pad_r):
-    w = w_ref[:]
-    bad = jnp.max((w != w).astype(jnp.int32), axis=1, keepdims=True) > 0
+def _banded_conv_body(w, A, *, tb, span, blk, nblk, base, pad_l, pad_r):
+    """In-VMEM banded conv on loaded values: zero-pad the rows, one matmul
+    per output block against the shared band matrix ``A``. Shared by the
+    standalone banded-conv kernel and the fused t0 front."""
     parts = []
     if pad_l:
         parts.append(jnp.zeros((tb, pad_l), jnp.float32))
@@ -703,7 +706,6 @@ def _banded_conv_kernel(w_ref, A_ref, o_ref, *, tb, span, blk, nblk, base,
     if pad_r:
         parts.append(jnp.zeros((tb, pad_r), jnp.float32))
     wp = jnp.concatenate(parts, axis=1) if len(parts) > 1 else w
-    A = A_ref[:]
     hp = jax.lax.Precision.HIGHEST  # bf16 default rounds the long-tap sums
     cols = [
         jnp.dot(
@@ -713,7 +715,17 @@ def _banded_conv_kernel(w_ref, A_ref, o_ref, *, tb, span, blk, nblk, base,
         )
         for k in range(nblk)
     ]
-    out = jnp.concatenate(cols, axis=1) if nblk > 1 else cols[0]
+    return jnp.concatenate(cols, axis=1) if nblk > 1 else cols[0]
+
+
+def _banded_conv_kernel(w_ref, A_ref, o_ref, *, tb, span, blk, nblk, base,
+                        pad_l, pad_r):
+    w = w_ref[:]
+    bad = jnp.max((w != w).astype(jnp.int32), axis=1, keepdims=True) > 0
+    out = _banded_conv_body(
+        w, A_ref[:], tb=tb, span=span, blk=blk, nblk=nblk, base=base,
+        pad_l=pad_l, pad_r=pad_r,
+    )
     o_ref[:] = jnp.where(bad, jnp.float32(jnp.nan), out)
 
 
@@ -806,6 +818,136 @@ def banded_conv_multi(w, kerns, lo, p, interpret: bool = False):
     out = out.reshape(-1, nblk, nk, blk)
     out = jnp.moveaxis(out, -2, -3).reshape(-1, nk, p_pad)
     return [out[:b, j, :p].reshape(*lead, p) for j in range(nk)]
+
+
+# ---------------------------------------------------------------------------
+# fused t0 front: t0-filter conv -> min_max -> backward time_point_thresh
+# ---------------------------------------------------------------------------
+#
+# The pileup/t0 branch of the HPGe chain reads the pole-zero waveform three
+# times from HBM (conv writes wf_t0_filter, min_max re-reads it, the
+# threshold search re-reads it again) to produce FIVE scalars. Here the
+# branch is one VMEM pass per row tile: banded conv, extrema with
+# first-occurrence indices, and the backward crossing search all on the
+# resident rows — wf_t0_filter never exists in HBM.
+
+_T0_TILE_B = int(os.getenv("DSPEED_TPU_T0_TILE_B", "64"))
+
+
+def _fused_t0_kernel(w_ref, A_ref, std_ref, tmin_ref, tmax_ref, amin_ref,
+                     amax_ref, tp0_ref, *, tb, n, span, blk, nblk, base,
+                     pad_l, pad_r):
+    w = w_ref[:]
+    bad = jnp.max((w != w).astype(jnp.int32), axis=1, keepdims=True) > 0
+    nanv = jnp.float32(jnp.nan)
+
+    def poison(x):
+        return jnp.where(bad, nanv, x)
+
+    c = _banded_conv_body(
+        w, A_ref[:], tb=tb, span=span, blk=blk, nblk=nblk, base=base,
+        pad_l=pad_l, pad_r=pad_r,
+    )[:, :n]
+
+    iota = jax.lax.broadcasted_iota(jnp.int32, (tb, n), 1)
+    a_min = jnp.min(c, axis=1, keepdims=True)
+    a_max = jnp.max(c, axis=1, keepdims=True)
+    # first occurrence, like argmin/argmax
+    t_min = jnp.min(jnp.where(c == a_min, iota, n), axis=1, keepdims=True)
+    t_max = jnp.min(jnp.where(c == a_max, iota, n), axis=1, keepdims=True)
+
+    # time_point_thresh(c, std, t_max, walk=0): backward crossing search —
+    # mask index i means a crossing between samples i-1 and i, last true
+    # with i <= t_start wins (reference time_point_thresh.py:85-92)
+    a = std_ref[:]  # (tb, 1)
+    c0 = c[:, :-1]
+    c1 = c[:, 1:]
+    cross = ((c0 < a) & (a <= c1)) | ((c0 > a) & (a >= c1))
+    valid = cross & (iota[:, 1:] <= t_max)
+    idx = jnp.max(jnp.where(valid, iota[:, 1:], -1), axis=1, keepdims=True)
+    found = idx >= 0
+    tp0 = jnp.where(found & ~jnp.isnan(a), idx.astype(jnp.float32), nanv)
+
+    tmin_ref[:] = poison(t_min.astype(jnp.float32))
+    tmax_ref[:] = poison(t_max.astype(jnp.float32))
+    amin_ref[:] = poison(a_min)
+    amax_ref[:] = poison(a_max)
+    tp0_ref[:] = poison(tp0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n", "span", "blk", "nblk", "base", "pad_l", "pad_r",
+                     "interpret"),
+)
+def _fused_t0_call(w2, A, std, n, span, blk, nblk, base, pad_l, pad_r,
+                   interpret=False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b = w2.shape[0]
+    tb = _T0_TILE_B
+    kern = functools.partial(
+        _fused_t0_kernel, tb=tb, n=n, span=span, blk=blk, nblk=nblk,
+        base=base, pad_l=pad_l, pad_r=pad_r,
+    )
+
+    def row_spec(width):
+        return pl.BlockSpec(
+            (tb, width), lambda i: (i, 0), memory_space=pltpu.VMEM
+        )
+
+    return pl.pallas_call(
+        kern,
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((b, 1), jnp.float32) for _ in range(5)
+        ),
+        grid=(b // tb,),
+        in_specs=[
+            row_spec(w2.shape[1]),
+            pl.BlockSpec((span, blk), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            row_spec(1),
+        ],
+        out_specs=tuple(row_spec(1) for _ in range(5)),
+        interpret=interpret,
+    )(w2, A, std)
+
+
+def fused_t0(w, kern_arr, a_std, interpret: bool = False):
+    """Fused ``convolve_wf(w, kern, 's') -> min_max -> time_point_thresh(
+    ..., a_std, tp_start, 0)``: returns ``(t_min, t_max, a_min, a_max,
+    tp_0)`` per row, with ``wf_t0_filter`` never leaving VMEM."""
+    import numpy as np
+
+    from .convolutions import _band_matrix
+
+    *lead, n = w.shape
+    m = int(kern_arr.shape[-1])
+    lo = (m - 1) // 2  # numpy 'same' window
+    blk = _BC_BLK
+    nblk = -(-n // blk)
+    p_pad = nblk * blk
+    span = blk + m - 1
+    pad_l = max(0, m - 1 - lo)
+    pad_r = max(0, lo + p_pad - n)
+    base = lo - (m - 1) + pad_l
+
+    w2 = jnp.asarray(w, jnp.float32).reshape(-1, n)
+    b = w2.shape[0]
+    std = jnp.broadcast_to(
+        jnp.asarray(a_std, jnp.float32).reshape(-1)[:, None], (b, 1)
+    )
+    pad_b = (-b) % _T0_TILE_B
+    if pad_b:
+        w2 = jnp.pad(w2, ((0, pad_b), (0, 0)))
+        std = jnp.pad(std, ((0, pad_b), (0, 0)))
+    A = jnp.asarray(_band_matrix([kern_arr], blk).astype(np.float32))
+    outs = _fused_t0_call(
+        w2, A, std, n=n, span=span, blk=blk, nblk=nblk, base=base,
+        pad_l=pad_l, pad_r=pad_r, interpret=interpret,
+    )
+    return tuple(o[:b, 0].reshape(lead) for o in outs)
 
 
 def fused_current(

@@ -23,6 +23,7 @@ __all__ = [
     "fused_energy_front",
     "fused_current_front",
     "fused_conv_bank",
+    "fused_t0_front",
 ]
 
 
@@ -157,6 +158,47 @@ def fused_current_front(
         "(n)->(),(),(),()",
         ["f->ffff", "d->dddd"],
         name="fused_current_front",
+    )
+
+
+def fused_t0_front(kernel_arr) -> Kernel:
+    """Factory: the t0/pileup branch — ``convolve_wf(w, kern, 's')`` ->
+    ``min_max`` -> ``time_point_thresh(conv, a_std, tp_start, 0)`` — as one
+    VMEM pass (:func:`._pallas.fused_t0`). Returns a kernel
+    ``(w, a_std) -> (t_min, t_max, a_min, a_max, tp_0)``; the filtered
+    waveform never reaches HBM (three full-array passes become one). The
+    XLA fallback composes the original kernel bodies (bit-identical to the
+    unfused steps, which the fusion pass relies on)."""
+    kern_arr = np.asarray(kernel_arr)
+    if kern_arr.ndim != 1 or np.isnan(kern_arr).any():
+        raise DSPFatal("fused_t0_front needs a 1-D NaN-free kernel")
+
+    def fn(w_in, a_std, badrow=None):
+        from ._pallas import fused_t0
+
+        n = w_in.shape[-1]
+        if kern_arr.shape[-1] > n:
+            raise DSPFatal("The filter is longer than the input waveform")
+        if pallas_available():
+            return tuple(
+                o.astype(w_in.dtype)
+                for o in fused_t0(w_in, kern_arr, a_std)
+            )
+        from .convolutions import convolve_wf
+        from .min_max import min_max
+        from .time_point_thresh import time_point_thresh
+
+        (c,) = convolve_wf(w_in, kern_arr, np.int8(ord("s")), dims={"p": n})
+        t_min, t_max, a_min, a_max = min_max(c)
+        (tp0,) = time_point_thresh(c, a_std, t_max, 0)
+        return t_min, t_max, a_min, a_max, tp0
+
+    return Kernel(
+        fn,
+        "(n),()->(),(),(),(),()",
+        ["ff->fffff", "dd->ddddd"],
+        name="fused_t0_front",
+        badrow_arg=0,
     )
 
 

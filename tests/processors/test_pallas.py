@@ -375,3 +375,98 @@ class TestBandedConv:
         np.testing.assert_allclose(
             np.asarray(got[0]), flat, rtol=5e-5, atol=1e-5 * scale
         )
+
+
+class TestFusedT0:
+    """Interpret-mode tests for the fused t0 front (conv 'same' ->
+    min_max -> backward time_point_thresh in one VMEM pass)."""
+
+    @staticmethod
+    def _unfused(w, kern, std):
+        from dspeed_tpu.processors.convolutions import convolve_wf
+        from dspeed_tpu.processors.min_max import min_max
+        from dspeed_tpu.processors.time_point_thresh import time_point_thresh
+
+        (c,) = convolve_wf(w, kern, np.int8(ord("s")), dims={"p": w.shape[-1]})
+        t_min, t_max, a_min, a_max = min_max(np.asarray(c))
+        (tp0,) = time_point_thresh(np.asarray(c), std, np.asarray(t_max), 0)
+        return [np.asarray(x) for x in (t_min, t_max, a_min, a_max, tp0)]
+
+    def test_matches_unfused_composition(self, rng):
+        from dspeed_tpu.processors._pallas import fused_t0
+
+        n = 512
+        w = np.cumsum(rng.normal(0.2, 1.0, (12, n)), axis=1).astype("float32")
+        kern = rng.normal(0, 1, 33)
+        kern /= np.abs(kern).sum()
+        std = rng.uniform(0.5, 2.0, 12).astype("float32")
+        got = [np.asarray(o) for o in fused_t0(w, kern, std, interpret=True)]
+        want = self._unfused(w, kern, std)
+        for g, e, name in zip(got, want, "t_min t_max a_min a_max tp0".split()):
+            if name.startswith("t"):
+                # indices: exact match except float-rounding near-ties
+                neq = (np.nan_to_num(g, nan=-1) != np.nan_to_num(e, nan=-1))
+                assert neq.sum() <= 1, (name, g, e)
+            else:
+                scale = max(1.0, np.abs(e).max())
+                np.testing.assert_allclose(
+                    g, e, rtol=1e-5, atol=1e-5 * scale, err_msg=name
+                )
+
+    def test_nan_rows_poison(self, rng):
+        from dspeed_tpu.processors._pallas import fused_t0
+
+        w = np.cumsum(rng.normal(0.2, 1.0, (6, 256)), axis=1).astype("float32")
+        w[1, 100] = np.nan
+        w[4, :] = np.nan
+        kern = rng.normal(0, 1, 17)
+        std = np.full(6, 1.0, "float32")
+        got = [np.asarray(o) for o in fused_t0(w, kern, std, interpret=True)]
+        for g in got:
+            assert np.isnan(g[[1, 4]]).all()
+        # NaN threshold poisons only tp0
+        std2 = std.copy()
+        std2[2] = np.nan
+        got2 = [np.asarray(o) for o in fused_t0(w, kern, std2, interpret=True)]
+        assert np.isnan(got2[4][2])
+        assert np.isfinite(got2[0][2]) and np.isfinite(got2[3][2])
+
+    def test_not_fused_when_filtered_wf_is_output(self):
+        """wf_t0_filter requested as a chain output is read by an output
+        manager, so the branch must NOT collapse (the fused kernel only
+        emits the scalars)."""
+        import os as _os
+        import sys as _sys
+
+        import yaml
+
+        _sys.path.insert(
+            0, _os.path.join(_os.path.dirname(__file__), "..")
+        )
+        from test_build_dsp import CONFIG, DB_FLAT, make_hpge_waveforms
+
+        from dspeed_tpu import lh5
+        from dspeed_tpu.processing_chain import build_processing_chain
+
+        cfg = yaml.safe_load(open(CONFIG))
+        cfg["outputs"] = ["tp_0_est", "wf_t0_filter"]
+        wf, amp, t0, bl = make_hpge_waveforms(n=8)
+        tb = lh5.Table(
+            {
+                "waveform": lh5.WaveformTable(
+                    values=wf, t0=0.0, t0_units="ns", dt=16.0, dt_units="ns"
+                ),
+                "baseline": lh5.Array(bl.astype("float32")),
+            }
+        )
+        prev = _os.environ.get("DSPEED_TPU_FUSE")
+        _os.environ["DSPEED_TPU_FUSE"] = "1"
+        try:
+            chain, _, _ = build_processing_chain(cfg, tb, db_dict=DB_FLAT)
+        finally:
+            if prev is None:
+                _os.environ.pop("DSPEED_TPU_FUSE", None)
+            else:
+                _os.environ["DSPEED_TPU_FUSE"] = prev
+        names = [str(s) for s in chain._steps]
+        assert not any("fused_t0_front" in s for s in names), names
