@@ -91,6 +91,8 @@ def test_reference_icpc_config_fuses_bit_identically():
     assert any("fused_energy_front" in s for s in names), names
     assert any("chained_time_point_thresh" in s for s in names), names
     assert any("fused_current_front" in s for s in names), names
+    assert any("fused_t0_front" in s for s in names), names
+    assert any("fused_conv_bank" in s for s in names), names
     _assert_bit_identical(out_f, out_u)
 
 
