@@ -1164,10 +1164,21 @@ class ProcessingChain:
         from .processors import fused_energy_front
 
         steps = self._steps
+        # blsub sources: a bl_subtract step, or a previously fused energy
+        # front that emits wf_blsub (its bl_subtract is already consumed) —
+        # a second pole-zero branch chains off either
         for i, bls in enumerate(steps):
-            if self._kname(bls) != "bl_subtract" or len(bls.out_specs) != 1:
+            name = self._kname(bls)
+            if name == "bl_subtract" and len(bls.out_specs) == 1:
+                x_key = bls.out_specs[0].key
+                is_bls = True
+            elif name == "fused_energy_front" and getattr(
+                bls.kernel, "emits_blsub", False
+            ):
+                x_key = bls.out_specs[-1].key
+                is_bls = False
+            else:
                 continue
-            x_key = bls.out_specs[0].key
             for j in range(i + 1, len(steps)):
                 pz = steps[j]
                 if (
@@ -1221,15 +1232,25 @@ class ProcessingChain:
                     continue
                 specs = [t[2] for t in uniq]
                 emax_for = [rec[2] for rec in am_steps]
-                kern = fused_energy_front(float(tau), specs, emax_for)
-                fused = KernelStep(
-                    self,
-                    kern,
+                # wf_blsub read by anything besides this pole_zero (slope
+                # fits, CUSP/ZAC slices, output managers): emit it from the
+                # fused kernel — it is already resident in VMEM — and delete
+                # the separate bl_subtract step's full waveform re-read.
+                # (Chaining off an earlier front: blsub is already emitted
+                # there, so this front recomputes it in VMEM, emitting
+                # nothing.)
+                emit = is_bls and self._env_read_counts().get(x_key, 0) > 1
+                kern = fused_energy_front(
+                    float(tau), specs, emax_for, emit_blsub=emit
+                )
+                params = (
                     [bls.params[0], bls.params[1], pz.out_specs[0].var]
                     + [t[1].out_specs[0].var for t in uniq]
-                    + [rec[1].out_specs[0].var for rec in am_steps],
-                    {},
+                    + [rec[1].out_specs[0].var for rec in am_steps]
                 )
+                if emit:
+                    params.append(bls.out_specs[0].var)
+                fused = KernelStep(self, kern, params, {})
                 dead = sorted(
                     {
                         *(rec[0] for rec in am_steps),
@@ -1239,10 +1260,18 @@ class ProcessingChain:
                 )
                 for idx in dead:
                     del steps[idx]
-                steps[j] = fused
+                if emit:
+                    # the fused step takes bl_subtract's slot so readers of
+                    # wf_blsub between it and the pole_zero stay downstream
+                    del steps[j]
+                    steps[i] = fused
+                    at = i
+                else:
+                    steps[j] = fused
+                    at = j
                 for dup, kept in aliases:
                     steps.insert(
-                        j + 1,
+                        at + 1,
                         AliasStep(
                             kept.out_specs[0].key, dup.out_specs[0].key
                         ),

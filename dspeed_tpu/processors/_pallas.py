@@ -104,11 +104,11 @@ _EN_BLK = 128  # tuned on v5e: 128-wide HIGHEST tri matmuls beat 512 by ~20%
 
 def _fused_energy_kernel(w_ref, bl_ref, tri_ref, tri8_ref, omc_ref,
                          *refs, trap_specs: tuple, n: int,
-                         emax_for: tuple = (0,)):
+                         emax_for: tuple = (0,), emit_blsub: bool = False):
     pz_ref = refs[0]
     k = len(trap_specs)
     trap_refs = refs[1 : 1 + k]
-    emax_refs = refs[1 + k :]
+    emax_refs = refs[1 + k : 1 + k + len(emax_for)]
     nb = n // _EN_BLK
     w = w_ref[:] - bl_ref[:]  # (TB, n) baseline-subtracted
     omc = omc_ref[0, 0]
@@ -200,12 +200,19 @@ def _fused_energy_kernel(w_ref, bl_ref, tri_ref, tri8_ref, omc_ref,
         if ti not in emax_done:
             emax_done[ti] = jnp.max(traps[ti], axis=1, keepdims=True)
         e_ref[:] = poison(emax_done[ti])
+    if emit_blsub:
+        # the baseline-subtracted rows are already resident: emitting them
+        # here deletes the separate bl_subtract step's full re-read of the
+        # waveform when other processors (slope fit, CUSP/ZAC slices) read it
+        refs[-1][:] = poison(w)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("trap_specs", "emax_for", "interpret")
+    jax.jit,
+    static_argnames=("trap_specs", "emax_for", "emit_blsub", "interpret"),
 )
-def _fused_energy_call(w, bl, omc, trap_specs, emax_for=(0,), interpret=False):
+def _fused_energy_call(w, bl, omc, trap_specs, emax_for=(0,),
+                       emit_blsub=False, interpret=False):
     import numpy as np
 
     from jax.experimental import pallas as pl
@@ -218,7 +225,8 @@ def _fused_energy_call(w, bl, omc, trap_specs, emax_for=(0,), interpret=False):
     tri8 = jnp.asarray(np.triu(np.ones((nb, nb), np.float32), 1))
 
     kern = functools.partial(
-        _fused_energy_kernel, trap_specs=trap_specs, n=n, emax_for=emax_for
+        _fused_energy_kernel, trap_specs=trap_specs, n=n, emax_for=emax_for,
+        emit_blsub=emit_blsub,
     )
     grid = (b // _EN_TILE_B,)
     k = len(trap_specs)
@@ -234,6 +242,7 @@ def _fused_energy_call(w, bl, omc, trap_specs, emax_for=(0,), interpret=False):
         out_shape=tuple(
             [jax.ShapeDtypeStruct((b, n), jnp.float32)] * (1 + k)
             + [jax.ShapeDtypeStruct((b, 1), jnp.float32)] * ke
+            + [jax.ShapeDtypeStruct((b, n), jnp.float32)] * emit_blsub
         ),
         grid=grid,
         in_specs=[
@@ -243,7 +252,10 @@ def _fused_energy_call(w, bl, omc, trap_specs, emax_for=(0,), interpret=False):
             pl.BlockSpec((nb, nb), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
-        out_specs=tuple([row_spec(n)] * (1 + k) + [row_spec(1)] * ke),
+        out_specs=tuple(
+            [row_spec(n)] * (1 + k) + [row_spec(1)] * ke
+            + [row_spec(n)] * emit_blsub
+        ),
         interpret=interpret,
     )(w, bl, tri, tri8, omc)
 
@@ -1005,7 +1017,8 @@ def fused_current(
 
 def fused_energy(
     w, baseline, tau, rise: int | None = None, flat: int | None = None,
-    trap_specs=None, emax_for=(0,), interpret: bool = False,
+    trap_specs=None, emax_for=(0,), emit_blsub: bool = False,
+    interpret: bool = False,
 ):
     """Fused bl_subtract -> pole_zero(tau) -> trapezoids -> amaxes.
 
@@ -1039,12 +1052,16 @@ def fused_energy(
         bl = jnp.pad(bl, ((0, pad_b), (0, 0)))
     omc = jnp.full((1, 1), -np.expm1(-1.0 / float(tau)), jnp.float32)
     outs = _fused_energy_call(
-        w2, bl, omc, trap_specs, emax_for=emax_for, interpret=interpret
+        w2, bl, omc, trap_specs, emax_for=emax_for, emit_blsub=emit_blsub,
+        interpret=interpret,
     )
     k = len(trap_specs)
+    ke = len(emax_for)
     pz = outs[0][:b].reshape(*lead, n)
     traps = [t[:b].reshape(*lead, n) for t in outs[1 : 1 + k]]
-    emaxes = [e[:b, 0].reshape(lead) for e in outs[1 + k :]]
+    emaxes = [e[:b, 0].reshape(lead) for e in outs[1 + k : 1 + k + ke]]
     if legacy:
         return pz, traps[0], emaxes[0]
+    if emit_blsub:
+        return pz, traps, emaxes, outs[-1][:b].reshape(*lead, n)
     return pz, traps, emaxes

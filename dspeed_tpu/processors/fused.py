@@ -202,15 +202,19 @@ def fused_t0_front(kernel_arr) -> Kernel:
     )
 
 
-def fused_energy_front(tau, trap_specs, emax_for=(0,)) -> Kernel:
+def fused_energy_front(tau, trap_specs, emax_for=(0,), emit_blsub=False) -> Kernel:
     """Factory: one VMEM pass producing the pole-zero waveform, every
     trapezoid read off it, and the requested trapezoid maxima.
 
     ``trap_specs`` is a list of ``("norm", rise, flat)`` /
     ``("asym", rise, flat, fall)`` tuples; ``emax_for`` indexes the traps
     whose maxima are emitted (in-VMEM reductions — each one replaces a
-    full-array HBM re-read by an unfused amax step). Returns a kernel
-    ``(w_in, a_baseline) -> (pz, trap_0, ..., trap_{k-1}, emax...)``.
+    full-array HBM re-read by an unfused amax step). With ``emit_blsub``
+    the baseline-subtracted waveform is appended as a final output — the
+    fusion pass sets it when other processors read ``wf_blsub``, deleting
+    the separate ``bl_subtract`` step's full re-read of the waveform.
+    Returns a kernel ``(w_in, a_baseline) -> (pz, trap_0, ...,
+    trap_{k-1}, emax..., [blsub])``.
     The XLA fallback composes the original kernel bodies (bit-identical to
     the unfused steps); on TPU the Pallas kernel computes every trap from
     one in-VMEM prefix-sum pair (:mod:`._pallas`).
@@ -241,14 +245,20 @@ def fused_energy_front(tau, trap_specs, emax_for=(0,)) -> Kernel:
                 raise DSPFatal("The trapezoid width is wider than the waveform")
         from . import _pallas
 
+        blsub = None
         if pallas_available() and n % _pallas._EN_BLK == 0:
             # the kernel NaN-poisons in VMEM (row scan + selects are free
             # there; an XLA-side nanmask re-reads and re-writes every (B, n)
             # output from HBM) — static False short-circuits nanmask below
             bad = False
-            pz, traps, emaxes = fused_energy(
-                w_in, a_baseline, tau, trap_specs=specs, emax_for=emax_for
+            outs = fused_energy(
+                w_in, a_baseline, tau, trap_specs=specs, emax_for=emax_for,
+                emit_blsub=emit_blsub,
             )
+            if emit_blsub:
+                pz, traps, emaxes, blsub = outs
+            else:
+                pz, traps, emaxes = outs
         else:
             bad = isnan_any(w_in, 1) | isnan_any(jnp.asarray(a_baseline))
             from .bl_subtract import bl_subtract
@@ -257,6 +267,8 @@ def fused_energy_front(tau, trap_specs, emax_for=(0,)) -> Kernel:
 
             (wsub,) = bl_subtract(w_in, a_baseline)
             (pz,) = pole_zero(wsub, tau)
+            if emit_blsub:
+                blsub = wsub
             traps = []
             done = {}
             for s in specs:
@@ -273,16 +285,23 @@ def fused_energy_front(tau, trap_specs, emax_for=(0,)) -> Kernel:
         outs = [nanmask(bad, pz.astype(w_in.dtype))]
         outs += [nanmask(bad, t.astype(w_in.dtype)) for t in traps]
         outs += [nanmask(bad, e.astype(w_in.dtype)) for e in emaxes]
+        if emit_blsub:
+            outs.append(nanmask(bad, blsub.astype(w_in.dtype)))
         return tuple(outs)
 
     sig = (
         "(n),()->(n),"
         + ",".join(["(n)"] * k)
         + "," + ",".join(["()"] * len(emax_for))
+        + (",(n)" if emit_blsub else "")
     )
-    nouts = k + 1 + len(emax_for)
+    nouts = k + 1 + len(emax_for) + bool(emit_blsub)
     types = ["ff->" + "f" * nouts, "dd->" + "d" * nouts]
-    return Kernel(fn, sig, types, name="fused_energy_front")
+    kern = Kernel(fn, sig, types, name="fused_energy_front")
+    # the fusion matcher chains a second energy front off this one's
+    # emitted wf_blsub (the bl_subtract step it replaced is gone)
+    kern.emits_blsub = bool(emit_blsub)
+    return kern
 
 
 @kernel(
