@@ -1086,6 +1086,10 @@ class ProcessingChain:
         - current front: ``upsampler -> moving_window_multi -> min_max``
           becomes one :func:`~dspeed_tpu.processors.fused_current_front`
           VMEM pass.
+        - t0 front: ``convolve_wf('same') -> min_max ->
+          time_point_thresh(..., 0)`` becomes one
+          :func:`~dspeed_tpu.processors.fused_t0_front` VMEM pass (the
+          filtered waveform never reaches HBM).
         - conv bank: parallel constant-kernel convolutions of one array
           (the CUSP + ZAC pair) share a single banded-matmul window read
           (:func:`~dspeed_tpu.processors.fused_conv_bank`).
