@@ -1244,14 +1244,42 @@ class ProcessingChain:
                 # there, so this front recomputes it in VMEM, emitting
                 # nothing.)
                 emit = is_bls and self._env_read_counts().get(x_key, 0) > 1
+                fused_pos = i if emit else j
+                # a min_max of the RAW waveform (the same array this front
+                # reads) is four more in-VMEM reductions: absorb it when
+                # every reader of its outputs sits after the fused slot
+                mm_step = None
+                w_par = bls.params[0]
+                if isinstance(w_par, ProcChainVar):
+                    for a2, st2 in enumerate(steps):
+                        if (
+                            self._kname(st2) == "min_max"
+                            and len(st2.out_specs) == 4
+                            and len(st2.arg_specs) == 1
+                            and self._env_key(st2.arg_specs[0]) == w_par.key
+                        ):
+                            mm_keys = {s.key for s in st2.out_specs}
+                            early = any(
+                                p2 != a2
+                                and p2 < fused_pos
+                                and mm_keys
+                                & set(self._step_env_reads(s2) or ())
+                                for p2, s2 in enumerate(steps)
+                            )
+                            if not early:
+                                mm_step = st2
+                            break
                 kern = fused_energy_front(
-                    float(tau), specs, emax_for, emit_blsub=emit
+                    float(tau), specs, emax_for, emit_blsub=emit,
+                    emit_minmax=mm_step is not None,
                 )
                 params = (
                     [bls.params[0], bls.params[1], pz.out_specs[0].var]
                     + [t[1].out_specs[0].var for t in uniq]
                     + [rec[1].out_specs[0].var for rec in am_steps]
                 )
+                if mm_step is not None:
+                    params += [s.var for s in mm_step.out_specs]
                 if emit:
                     params.append(bls.out_specs[0].var)
                 fused = KernelStep(self, kern, params, {})
@@ -1280,6 +1308,8 @@ class ProcessingChain:
                             kept.out_specs[0].key, dup.out_specs[0].key
                         ),
                     )
+                if mm_step is not None:
+                    steps.remove(mm_step)
                 return [f"fused_energy_front[{len(specs)}]"]
         return []
 

@@ -104,13 +104,34 @@ _EN_BLK = 128  # tuned on v5e: 128-wide HIGHEST tri matmuls beat 512 by ~20%
 
 def _fused_energy_kernel(w_ref, bl_ref, tri_ref, tri8_ref, omc_ref,
                          *refs, trap_specs: tuple, n: int,
-                         emax_for: tuple = (0,), emit_blsub: bool = False):
+                         emax_for: tuple = (0,), emit_blsub: bool = False,
+                         emit_minmax: bool = False):
     pz_ref = refs[0]
     k = len(trap_specs)
     trap_refs = refs[1 : 1 + k]
     emax_refs = refs[1 + k : 1 + k + len(emax_for)]
     nb = n // _EN_BLK
-    w = w_ref[:] - bl_ref[:]  # (TB, n) baseline-subtracted
+    raw = w_ref[:]
+    w = raw - bl_ref[:]  # (TB, n) baseline-subtracted
+    if emit_minmax:
+        # min_max of the RAW waveform (absorbed step): masked by waveform
+        # NaN only — a NaN baseline must NOT poison these four outputs
+        # (matches the standalone min_max's isnan_any(w_in))
+        tmin_ref, tmax_ref, amin_ref, amax_ref = refs[
+            1 + k + len(emax_for) : 5 + k + len(emax_for)
+        ]
+        bad_w = jnp.max((raw != raw).astype(jnp.int32), axis=1,
+                        keepdims=True) > 0
+        nanw = jnp.float32(jnp.nan)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (raw.shape[0], n), 1)
+        rmin = jnp.min(raw, axis=1, keepdims=True)
+        rmax = jnp.max(raw, axis=1, keepdims=True)
+        tmin = jnp.min(jnp.where(raw == rmin, iota, n), axis=1, keepdims=True)
+        tmax = jnp.min(jnp.where(raw == rmax, iota, n), axis=1, keepdims=True)
+        tmin_ref[:] = jnp.where(bad_w, nanw, tmin.astype(jnp.float32))
+        tmax_ref[:] = jnp.where(bad_w, nanw, tmax.astype(jnp.float32))
+        amin_ref[:] = jnp.where(bad_w, nanw, rmin)
+        amax_ref[:] = jnp.where(bad_w, nanw, rmax)
     omc = omc_ref[0, 0]
     # NaN poisoning in-kernel: the row is already resident in VMEM, so the
     # scan + the per-output selects are VPU-only — the XLA-side nanmask
@@ -209,10 +230,12 @@ def _fused_energy_kernel(w_ref, bl_ref, tri_ref, tri8_ref, omc_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("trap_specs", "emax_for", "emit_blsub", "interpret"),
+    static_argnames=(
+        "trap_specs", "emax_for", "emit_blsub", "emit_minmax", "interpret"
+    ),
 )
 def _fused_energy_call(w, bl, omc, trap_specs, emax_for=(0,),
-                       emit_blsub=False, interpret=False):
+                       emit_blsub=False, emit_minmax=False, interpret=False):
     import numpy as np
 
     from jax.experimental import pallas as pl
@@ -226,7 +249,7 @@ def _fused_energy_call(w, bl, omc, trap_specs, emax_for=(0,),
 
     kern = functools.partial(
         _fused_energy_kernel, trap_specs=trap_specs, n=n, emax_for=emax_for,
-        emit_blsub=emit_blsub,
+        emit_blsub=emit_blsub, emit_minmax=emit_minmax,
     )
     grid = (b // _EN_TILE_B,)
     k = len(trap_specs)
@@ -242,6 +265,7 @@ def _fused_energy_call(w, bl, omc, trap_specs, emax_for=(0,),
         out_shape=tuple(
             [jax.ShapeDtypeStruct((b, n), jnp.float32)] * (1 + k)
             + [jax.ShapeDtypeStruct((b, 1), jnp.float32)] * ke
+            + [jax.ShapeDtypeStruct((b, 1), jnp.float32)] * (4 * emit_minmax)
             + [jax.ShapeDtypeStruct((b, n), jnp.float32)] * emit_blsub
         ),
         grid=grid,
@@ -254,6 +278,7 @@ def _fused_energy_call(w, bl, omc, trap_specs, emax_for=(0,),
         ],
         out_specs=tuple(
             [row_spec(n)] * (1 + k) + [row_spec(1)] * ke
+            + [row_spec(1)] * (4 * emit_minmax)
             + [row_spec(n)] * emit_blsub
         ),
         interpret=interpret,
@@ -1018,7 +1043,7 @@ def fused_current(
 def fused_energy(
     w, baseline, tau, rise: int | None = None, flat: int | None = None,
     trap_specs=None, emax_for=(0,), emit_blsub: bool = False,
-    interpret: bool = False,
+    emit_minmax: bool = False, interpret: bool = False,
 ):
     """Fused bl_subtract -> pole_zero(tau) -> trapezoids -> amaxes.
 
@@ -1053,7 +1078,7 @@ def fused_energy(
     omc = jnp.full((1, 1), -np.expm1(-1.0 / float(tau)), jnp.float32)
     outs = _fused_energy_call(
         w2, bl, omc, trap_specs, emax_for=emax_for, emit_blsub=emit_blsub,
-        interpret=interpret,
+        emit_minmax=emit_minmax, interpret=interpret,
     )
     k = len(trap_specs)
     ke = len(emax_for)
@@ -1062,6 +1087,13 @@ def fused_energy(
     emaxes = [e[:b, 0].reshape(lead) for e in outs[1 + k : 1 + k + ke]]
     if legacy:
         return pz, traps[0], emaxes[0]
+    extras = []
+    if emit_minmax:
+        extras += [
+            o[:b, 0].reshape(lead) for o in outs[1 + k + ke : 5 + k + ke]
+        ]
     if emit_blsub:
-        return pz, traps, emaxes, outs[-1][:b].reshape(*lead, n)
+        extras.append(outs[-1][:b].reshape(*lead, n))
+    if extras:
+        return (pz, traps, emaxes, *extras)
     return pz, traps, emaxes

@@ -202,7 +202,9 @@ def fused_t0_front(kernel_arr) -> Kernel:
     )
 
 
-def fused_energy_front(tau, trap_specs, emax_for=(0,), emit_blsub=False) -> Kernel:
+def fused_energy_front(
+    tau, trap_specs, emax_for=(0,), emit_blsub=False, emit_minmax=False
+) -> Kernel:
     """Factory: one VMEM pass producing the pole-zero waveform, every
     trapezoid read off it, and the requested trapezoid maxima.
 
@@ -212,9 +214,11 @@ def fused_energy_front(tau, trap_specs, emax_for=(0,), emit_blsub=False) -> Kern
     full-array HBM re-read by an unfused amax step). With ``emit_blsub``
     the baseline-subtracted waveform is appended as a final output — the
     fusion pass sets it when other processors read ``wf_blsub``, deleting
-    the separate ``bl_subtract`` step's full re-read of the waveform.
+    the separate ``bl_subtract`` step's full re-read of the waveform. With
+    ``emit_minmax`` the RAW waveform's ``min_max`` quadruple is absorbed
+    too (masked by waveform NaN only, like the standalone kernel).
     Returns a kernel ``(w_in, a_baseline) -> (pz, trap_0, ...,
-    trap_{k-1}, emax..., [blsub])``.
+    trap_{k-1}, emax..., [t_min, t_max, a_min, a_max], [blsub])``.
     The XLA fallback composes the original kernel bodies (bit-identical to
     the unfused steps); on TPU the Pallas kernel computes every trap from
     one in-VMEM prefix-sum pair (:mod:`._pallas`).
@@ -246,6 +250,7 @@ def fused_energy_front(tau, trap_specs, emax_for=(0,), emit_blsub=False) -> Kern
         from . import _pallas
 
         blsub = None
+        mm = ()
         if pallas_available() and n % _pallas._EN_BLK == 0:
             # the kernel NaN-poisons in VMEM (row scan + selects are free
             # there; an XLA-side nanmask re-reads and re-writes every (B, n)
@@ -253,12 +258,14 @@ def fused_energy_front(tau, trap_specs, emax_for=(0,), emit_blsub=False) -> Kern
             bad = False
             outs = fused_energy(
                 w_in, a_baseline, tau, trap_specs=specs, emax_for=emax_for,
-                emit_blsub=emit_blsub,
+                emit_blsub=emit_blsub, emit_minmax=emit_minmax,
             )
+            pz, traps, emaxes = outs[:3]
+            rest = list(outs[3:])
+            if emit_minmax:
+                mm, rest = tuple(rest[:4]), rest[4:]
             if emit_blsub:
-                pz, traps, emaxes, blsub = outs
-            else:
-                pz, traps, emaxes = outs
+                blsub = rest[0]
         else:
             bad = isnan_any(w_in, 1) | isnan_any(jnp.asarray(a_baseline))
             from .bl_subtract import bl_subtract
@@ -269,6 +276,10 @@ def fused_energy_front(tau, trap_specs, emax_for=(0,), emit_blsub=False) -> Kern
             (pz,) = pole_zero(wsub, tau)
             if emit_blsub:
                 blsub = wsub
+            if emit_minmax:
+                from .min_max import min_max
+
+                mm = min_max(w_in)
             traps = []
             done = {}
             for s in specs:
@@ -285,6 +296,8 @@ def fused_energy_front(tau, trap_specs, emax_for=(0,), emit_blsub=False) -> Kern
         outs = [nanmask(bad, pz.astype(w_in.dtype))]
         outs += [nanmask(bad, t.astype(w_in.dtype)) for t in traps]
         outs += [nanmask(bad, e.astype(w_in.dtype)) for e in emaxes]
+        # min_max outputs carry their own (waveform-only) NaN mask
+        outs += [m.astype(w_in.dtype) for m in mm]
         if emit_blsub:
             outs.append(nanmask(bad, blsub.astype(w_in.dtype)))
         return tuple(outs)
@@ -293,9 +306,10 @@ def fused_energy_front(tau, trap_specs, emax_for=(0,), emit_blsub=False) -> Kern
         "(n),()->(n),"
         + ",".join(["(n)"] * k)
         + "," + ",".join(["()"] * len(emax_for))
+        + (",(),(),(),()" if emit_minmax else "")
         + (",(n)" if emit_blsub else "")
     )
-    nouts = k + 1 + len(emax_for) + bool(emit_blsub)
+    nouts = k + 1 + len(emax_for) + 4 * bool(emit_minmax) + bool(emit_blsub)
     types = ["ff->" + "f" * nouts, "dd->" + "d" * nouts]
     kern = Kernel(fn, sig, types, name="fused_energy_front")
     # the fusion matcher chains a second energy front off this one's

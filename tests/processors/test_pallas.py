@@ -470,3 +470,37 @@ class TestFusedT0:
                 _os.environ["DSPEED_TPU_FUSE"] = prev
         names = [str(s) for s in chain._steps]
         assert not any("fused_t0_front" in s for s in names), names
+
+
+def test_fused_energy_emit_minmax_blsub_interpret(rng):
+    """emit_minmax / emit_blsub extras: the raw-waveform min_max quadruple
+    must match the standalone kernel (incl. its waveform-only NaN mask —
+    a NaN baseline must not poison it) and blsub must equal w - baseline."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from test_build_dsp import make_hpge_waveforms
+
+    from dspeed_tpu.processors._pallas import fused_energy
+    from dspeed_tpu.processors.min_max import min_max
+
+    wf, amp, t0, bl = make_hpge_waveforms(n=16, nsamp=1024)
+    wf = wf.copy()
+    bl = bl.astype("float32").copy()
+    wf[3, :] = np.nan
+    bl[5] = np.nan  # poisons pz/traps/blsub but NOT the raw min_max
+    pz, traps, emaxes, tmin, tmax, amin, amax, blsub = fused_energy(
+        wf, bl, 27460.5, trap_specs=(("norm", 64, 16),), emax_for=(0,),
+        emit_blsub=True, emit_minmax=True, interpret=True,
+    )
+    rt_min, rt_max, ra_min, ra_max = (
+        np.asarray(x) for x in min_max(wf)
+    )
+    np.testing.assert_array_equal(np.asarray(tmin), rt_min)
+    np.testing.assert_array_equal(np.asarray(tmax), rt_max)
+    np.testing.assert_array_equal(np.asarray(amin), ra_min)
+    np.testing.assert_array_equal(np.asarray(amax), ra_max)
+    assert np.isfinite(np.asarray(amax)[5])  # NaN baseline: minmax intact
+    bsub = np.asarray(blsub)
+    exp = wf - bl[:, None]
+    np.testing.assert_allclose(bsub[[0, 1, 2]], exp[[0, 1, 2]], rtol=1e-6)
+    assert np.isnan(bsub[3]).all() and np.isnan(bsub[5]).all()
