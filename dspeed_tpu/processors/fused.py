@@ -163,7 +163,9 @@ def fused_current_front(
 
 def fused_t0_front(kernel_arr) -> Kernel:
     """Factory: the t0/pileup branch — ``convolve_wf(w, kern, 's')`` ->
-    ``min_max`` -> ``time_point_thresh(conv, a_std, tp_start, 0)`` — as one
+    ``min_max`` -> ``time_point_thresh(conv, a_std, tp_start, 0)``
+    (reference ``convolutions.py:24``, ``min_max.py:19``,
+    ``time_point_thresh.py:20`` chained by the icpc config) — as one
     VMEM pass (:func:`._pallas.fused_t0`). Returns a kernel
     ``(w, a_std) -> (t_min, t_max, a_min, a_max, tp_0)``; the filtered
     waveform never reaches HBM (three full-array passes become one). The
