@@ -96,6 +96,27 @@ def test_reference_icpc_config_fuses_bit_identically():
     _assert_bit_identical(out_f, out_u)
 
 
+def test_blsub_as_chain_output_fuses_and_matches():
+    """wf_blsub requested as a chain output: the energy front must emit it
+    (the bl_subtract step is deleted; the output manager reads the fused
+    kernel's last output) and stay bit-identical to the unfused chain."""
+    import yaml
+
+    config = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "configs", "hpge-energy-timing.yaml",
+    )
+    cfg = yaml.safe_load(open(config))
+    cfg["outputs"] = ["trapEmax", "wf_blsub", "tp_0_est"]
+    db = {"pz": {"tau": 27460.5}}
+    chain_f, out_f = _outputs(cfg, db, fuse=True)
+    chain_u, out_u = _outputs(cfg, db, fuse=False)
+    names = [str(s) for s in chain_f._steps]
+    assert not any(s.startswith("bl_subtract") for s in names), names
+    assert any("wf_blsub" in s and "fused_energy_front" in s for s in names)
+    _assert_bit_identical(out_f, out_u)
+
+
 def test_conv_bank_merged_path_matches_unfused():
     """The CUSP + ZAC convolutions fuse into one fused_conv_bank step; the
     TPU merged-matmul route (forced via DSPEED_TPU_CONV_BANK=merged) must
