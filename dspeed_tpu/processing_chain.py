@@ -1518,6 +1518,12 @@ class ProcessingChain:
         from .processors import fused_conv_bank
         from .processors.convolutions import _MATMUL_MAC_LIMIT, _mode_window
 
+        # the bank is only bit-identical to the banded-matmul route: leave
+        # convs the router would run direct (short taps) or via FFT unfused
+        conv_route = os.getenv("DSPEED_TPU_CONV", "auto")
+        if conv_route in ("direct", "fft"):
+            return []
+
         steps = self._steps
         # duplicate SliceSteps of the same source produce distinct env keys
         # for identical arrays; canonicalize conv inputs through them
@@ -1546,6 +1552,8 @@ class ProcessingChain:
             d = st.dims
             if d["p"] * d["m"] > _MATMUL_MAC_LIMIT:
                 continue  # the router would pick the FFT path anyway
+            if conv_route == "auto" and d["m"] <= 32:
+                continue  # the router would run these direct
             src = slice_src.get(in_key, (in_key, None))
             key = (src, chr(int(mode)), d["n"], d["m"], d["p"])
             groups.setdefault(key, []).append((i, st))
@@ -1791,6 +1799,13 @@ class ProcessingChain:
             ),
         )
         masked = {sp.key for sp in fes.out_specs}
+        if getattr(fes.kernel, "emits_minmax", False):
+            # the absorbed raw-waveform min_max quadruple carries a
+            # waveform-only NaN mask (a NaN baseline does not poison it),
+            # so it must not assert the full bad-row invariant
+            nmm = 5 if getattr(fes.kernel, "emits_blsub", False) else 4
+            lo_mm = len(fes.out_specs) - nmm
+            masked -= {sp.key for sp in fes.out_specs[lo_mm : lo_mm + 4]}
         fes_in = {sp.key for sp in fes.arg_specs if sp.kind == "env"}
         applied = []
 

@@ -223,8 +223,13 @@ def iir_first_order(x, p: float, y_init=0.0, block: int = 128):
     xb = x.reshape(*lead, nb, block)
 
     # T[i, j] = p^(i-j) for i >= j else 0, computed in f64 host-side
+    # (p == 0: the masked upper triangle raises 0^negative -> inf before
+    # `where` discards it; the kept entries are exact)
     i = np.arange(block)
-    T = np.where(i[:, None] >= i[None, :], p ** (i[:, None] - i[None, :]), 0.0)
+    with np.errstate(divide="ignore"):
+        T = np.where(
+            i[:, None] >= i[None, :], p ** (i[:, None] - i[None, :]), 0.0
+        )
     T = jnp.asarray(T, dtype=dtype)
 
     y_in = jnp.einsum(

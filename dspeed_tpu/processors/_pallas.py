@@ -914,16 +914,15 @@ def _fused_t0_kernel(w_ref, A_ref, std_ref, tmin_ref, tmax_ref, amin_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n", "span", "blk", "nblk", "base", "pad_l", "pad_r",
-                     "interpret"),
+    static_argnames=("tb", "n", "span", "blk", "nblk", "base", "pad_l",
+                     "pad_r", "interpret"),
 )
-def _fused_t0_call(w2, A, std, n, span, blk, nblk, base, pad_l, pad_r,
+def _fused_t0_call(w2, A, std, tb, n, span, blk, nblk, base, pad_l, pad_r,
                    interpret=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     b = w2.shape[0]
-    tb = _T0_TILE_B
     kern = functools.partial(
         _fused_t0_kernel, tb=tb, n=n, span=span, blk=blk, nblk=nblk,
         base=base, pad_l=pad_l, pad_r=pad_r,
@@ -954,7 +953,8 @@ def _fused_t0_call(w2, A, std, n, span, blk, nblk, base, pad_l, pad_r,
 def fused_t0(w, kern_arr, a_std, interpret: bool = False):
     """Fused ``convolve_wf(w, kern, 's') -> min_max -> time_point_thresh(
     ..., a_std, tp_start, 0)``: returns ``(t_min, t_max, a_min, a_max,
-    tp_0)`` per row, with ``wf_t0_filter`` never leaving VMEM."""
+    tp_0)`` per row, with ``wf_t0_filter`` never leaving VMEM — or ``None``
+    when the geometry does not fit VMEM (caller composes the XLA kernels)."""
     import numpy as np
 
     from .convolutions import _band_matrix
@@ -970,18 +970,34 @@ def fused_t0(w, kern_arr, a_std, interpret: bool = False):
     pad_r = max(0, lo + p_pad - n)
     base = lo - (m - 1) + pad_l
 
+    def vmem_bytes(tb):
+        # input block + padded copy + band matrix + conv cols/result +
+        # crossing masks/iota intermediates (~2 more row-width planes)
+        return 4 * (
+            2 * tb * (n + pad_l + pad_r)
+            + span * blk
+            + tb * (nblk * blk + n)
+            + 2 * tb * n
+        )
+
+    tb = _T0_TILE_B
+    while tb > 8 and vmem_bytes(tb) > _BC_VMEM_BYTES:
+        tb //= 2
+    if vmem_bytes(tb) > _BC_VMEM_BYTES:
+        return None
+
     w2 = jnp.asarray(w, jnp.float32).reshape(-1, n)
     b = w2.shape[0]
     std = jnp.broadcast_to(
         jnp.asarray(a_std, jnp.float32).reshape(-1)[:, None], (b, 1)
     )
-    pad_b = (-b) % _T0_TILE_B
+    pad_b = (-b) % tb
     if pad_b:
         w2 = jnp.pad(w2, ((0, pad_b), (0, 0)))
         std = jnp.pad(std, ((0, pad_b), (0, 0)))
     A = jnp.asarray(_band_matrix([kern_arr], blk).astype(np.float32))
     outs = _fused_t0_call(
-        w2, A, std, n=n, span=span, blk=blk, nblk=nblk, base=base,
+        w2, A, std, tb=tb, n=n, span=span, blk=blk, nblk=nblk, base=base,
         pad_l=pad_l, pad_r=pad_r, interpret=interpret,
     )
     return tuple(o[:b, 0].reshape(lead) for o in outs)

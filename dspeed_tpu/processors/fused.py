@@ -182,10 +182,9 @@ def fused_t0_front(kernel_arr) -> Kernel:
         if kern_arr.shape[-1] > n:
             raise DSPFatal("The filter is longer than the input waveform")
         if pallas_available():
-            return tuple(
-                o.astype(w_in.dtype)
-                for o in fused_t0(w_in, kern_arr, a_std)
-            )
+            outs = fused_t0(w_in, kern_arr, a_std)
+            if outs is not None:  # None: geometry too big for VMEM
+                return tuple(o.astype(w_in.dtype) for o in outs)
         from .convolutions import convolve_wf
         from .min_max import min_max
         from .time_point_thresh import time_point_thresh
@@ -315,8 +314,11 @@ def fused_energy_front(
     types = ["ff->" + "f" * nouts, "dd->" + "d" * nouts]
     kern = Kernel(fn, sig, types, name="fused_energy_front")
     # the fusion matcher chains a second energy front off this one's
-    # emitted wf_blsub (the bl_subtract step it replaced is gone)
+    # emitted wf_blsub (the bl_subtract step it replaced is gone); the NaN
+    # threading pass must NOT treat the absorbed min_max outputs as
+    # poisoned-on-bad-rows (they carry a waveform-only mask)
     kern.emits_blsub = bool(emit_blsub)
+    kern.emits_minmax = bool(emit_minmax)
     return kern
 
 

@@ -70,7 +70,10 @@ def rc_cr2(w_in, t_tau):
         isinstance(t_tau, np.ndarray) and t_tau.ndim == 0
     )
     if static_tau:
-        a = float(np.exp(-1.0 / float(t_tau)))
+        # IEEE semantics for tau == 0 (-1/0 -> -inf -> a = 0), matching the
+        # traced path and the reference's numpy arithmetic
+        with np.errstate(divide="ignore"):
+            a = float(np.exp(np.divide(-1.0, float(t_tau))))
         bad_tau = bool(np.isnan(a))
 
         def one_pole(u, y0):

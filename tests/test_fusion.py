@@ -376,3 +376,39 @@ def test_nan_mask_threading_bit_identical_with_poisoned_rows():
     assert np.isnan(te[[3, 5, 7]]).all()
     clean = np.delete(np.arange(12), [3, 5, 7])
     assert np.isfinite(te[clean]).all()
+
+
+def test_conv_bank_skips_direct_regime_kernels():
+    """Two parallel 16-tap convolutions: the router runs these DIRECT, so
+    the bank (whose bit-identical CPU path is the banded matmul) must NOT
+    fuse them — fused-vs-unfused would differ at f64 rounding (review r3)."""
+    config = {
+        "outputs": ["c1", "c2"],
+        "processors": {
+            "k1": {
+                "function": "t0_filter",
+                "module": "dspeed_tpu.processors",
+                "args": ["8", "8", "k1(16, 'f')"],
+            },
+            "k2": {
+                "function": "t0_filter",
+                "module": "dspeed_tpu.processors",
+                "args": ["12", "4", "k2(16, 'f')"],
+            },
+            "c1": {
+                "function": "convolve_wf",
+                "module": "dspeed_tpu.processors",
+                "args": ["waveform", "k1", "'v'", "c1(len(waveform)-15, 'f')"],
+            },
+            "c2": {
+                "function": "convolve_wf",
+                "module": "dspeed_tpu.processors",
+                "args": ["waveform", "k2", "'v'", "c2(len(waveform)-15, 'f')"],
+            },
+        },
+    }
+    chain_f, out_f = _outputs(config, {}, fuse=True)
+    chain_u, out_u = _outputs(config, {}, fuse=False)
+    names = [str(s) for s in chain_f._steps]
+    assert not any("fused_conv_bank" in s for s in names), names
+    _assert_bit_identical(out_f, out_u)
