@@ -1493,18 +1493,61 @@ class ProcessingChain:
                     )
                     if thr_var is None:
                         continue
-                    kern = fused_t0_front(k_spec.value)
+                    # optional A/E current absorption: windower(w, tp_0) ->
+                    # avg_current, with the window unread elsewhere — the
+                    # fused kernel already holds w and tp_0
+                    curr_spec = w_step = a_step = None
+                    tp_key = tp.out_specs[0].key
+                    in_key = self._env_key(cv.arg_specs[0])
+                    for ws in steps:
+                        if (
+                            self._kname(ws) != "windower"
+                            or len(ws.arg_specs) != 2
+                            or len(ws.out_specs) != 1
+                            or self._env_key(ws.arg_specs[0]) != in_key
+                            or self._env_key(ws.arg_specs[1]) != tp_key
+                        ):
+                            continue
+                        wle_key = ws.out_specs[0].key
+                        for asx in steps:
+                            if (
+                                self._kname(asx) != "avg_current"
+                                or len(asx.out_specs) != 1
+                                or self._env_key(asx.arg_specs[0]) != wle_key
+                            ):
+                                continue
+                            ln = self._const_scalar(asx.arg_specs[1])
+                            if (
+                                ln is None
+                                or float(ln) != int(ln)
+                                or int(ln) <= 0
+                                or reads.get(wle_key, 0) != 1
+                            ):
+                                continue
+                            curr_spec = (
+                                int(ws.out_specs[0].shape[-1]),
+                                int(ln),
+                                int(asx.out_specs[0].shape[-1]),
+                            )
+                            w_step, a_step = ws, asx
+                            break
+                        break
+                    kern = fused_t0_front(k_spec.value, curr_spec=curr_spec)
                     fused = KernelStep(
                         self,
                         kern,
                         [cv.params[0], thr_var]
                         + [s.var for s in mm.out_specs]
-                        + [tp.out_specs[0].var],
+                        + [tp.out_specs[0].var]
+                        + ([a_step.out_specs[0].var] if curr_spec else []),
                         {},
                     )
                     for idx in sorted((i, j, k), reverse=True):
                         del steps[idx]
                     steps.insert(i, fused)
+                    if curr_spec is not None:
+                        steps.remove(w_step)
+                        steps.remove(a_step)
                     return ["fused_t0_front"]
         return []
 

@@ -872,8 +872,8 @@ _T0_TILE_B = int(os.getenv("DSPEED_TPU_T0_TILE_B", "64"))
 
 
 def _fused_t0_kernel(w_ref, A_ref, std_ref, tmin_ref, tmax_ref, amin_ref,
-                     amax_ref, tp0_ref, *, tb, n, span, blk, nblk, base,
-                     pad_l, pad_r):
+                     amax_ref, tp0_ref, *refs, tb, n, span, blk, nblk, base,
+                     pad_l, pad_r, curr_spec=None):
     w = w_ref[:]
     bad = jnp.max((w != w).astype(jnp.int32), axis=1, keepdims=True) > 0
     nanv = jnp.float32(jnp.nan)
@@ -911,21 +911,53 @@ def _fused_t0_kernel(w_ref, A_ref, std_ref, tmin_ref, tmax_ref, amin_ref,
     amax_ref[:] = poison(a_max)
     tp0_ref[:] = poison(tp0)
 
+    if curr_spec is not None:
+        # absorbed windower(w, tp0, win_m) -> avg_current(., avg_len): the
+        # rows are resident and tp0 is in-register, so the A/E current
+        # never re-reads wf_pz from HBM. Same semantics as the standalone
+        # kernels: out-of-range window slots are NaN, and any NaN in the
+        # window poisons the whole current row (chain-wide convention).
+        from .windower import _window_rows
+
+        win_m, avg_len, n_curr = curr_spec
+        curr_ref = refs[0]
+        tp0_bad = jnp.isnan(tp0)
+        beg = jnp.minimum(
+            jnp.where(tp0_bad, 0.0, tp0).astype(jnp.int32), n
+        )  # (tb, 1)
+        wrow = _window_rows(w, beg[:, 0], n, win_m)
+        pos = beg + jax.lax.broadcasted_iota(jnp.int32, (tb, win_m), 1)
+        ok = (pos >= 0) & (pos < n)
+        wle = jnp.where(ok & ~tp0_bad & ~bad, wrow, nanv)
+        curr = (wle[:, avg_len:] - wle[:, : win_m - avg_len]) / jnp.float32(
+            avg_len
+        )
+        if n_curr > win_m - avg_len:
+            curr = jnp.concatenate(
+                [curr, jnp.full((tb, n_curr - (win_m - avg_len)), nanv)],
+                axis=1,
+            )
+        else:
+            curr = curr[:, :n_curr]
+        bad_c = jnp.max((wle != wle).astype(jnp.int32), axis=1,
+                        keepdims=True) > 0
+        curr_ref[:] = jnp.where(bad_c, nanv, curr)
+
 
 @functools.partial(
     jax.jit,
     static_argnames=("tb", "n", "span", "blk", "nblk", "base", "pad_l",
-                     "pad_r", "interpret"),
+                     "pad_r", "curr_spec", "interpret"),
 )
 def _fused_t0_call(w2, A, std, tb, n, span, blk, nblk, base, pad_l, pad_r,
-                   interpret=False):
+                   curr_spec=None, interpret=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     b = w2.shape[0]
     kern = functools.partial(
         _fused_t0_kernel, tb=tb, n=n, span=span, blk=blk, nblk=nblk,
-        base=base, pad_l=pad_l, pad_r=pad_r,
+        base=base, pad_l=pad_l, pad_r=pad_r, curr_spec=curr_spec,
     )
 
     def row_spec(width):
@@ -933,11 +965,16 @@ def _fused_t0_call(w2, A, std, tb, n, span, blk, nblk, base, pad_l, pad_r,
             (tb, width), lambda i: (i, 0), memory_space=pltpu.VMEM
         )
 
+    out_shape = [jax.ShapeDtypeStruct((b, 1), jnp.float32)] * 5
+    out_specs = [row_spec(1)] * 5
+    if curr_spec is not None:
+        out_shape.append(
+            jax.ShapeDtypeStruct((b, curr_spec[2]), jnp.float32)
+        )
+        out_specs.append(row_spec(curr_spec[2]))
     return pl.pallas_call(
         kern,
-        out_shape=tuple(
-            jax.ShapeDtypeStruct((b, 1), jnp.float32) for _ in range(5)
-        ),
+        out_shape=tuple(out_shape),
         grid=(b // tb,),
         in_specs=[
             row_spec(w2.shape[1]),
@@ -945,16 +982,21 @@ def _fused_t0_call(w2, A, std, tb, n, span, blk, nblk, base, pad_l, pad_r,
                          memory_space=pltpu.VMEM),
             row_spec(1),
         ],
-        out_specs=tuple(row_spec(1) for _ in range(5)),
+        out_specs=tuple(out_specs),
         interpret=interpret,
     )(w2, A, std)
 
 
-def fused_t0(w, kern_arr, a_std, interpret: bool = False):
+def fused_t0(w, kern_arr, a_std, curr_spec=None, interpret: bool = False):
     """Fused ``convolve_wf(w, kern, 's') -> min_max -> time_point_thresh(
     ..., a_std, tp_start, 0)``: returns ``(t_min, t_max, a_min, a_max,
     tp_0)`` per row, with ``wf_t0_filter`` never leaving VMEM — or ``None``
-    when the geometry does not fit VMEM (caller composes the XLA kernels)."""
+    when the geometry does not fit VMEM (caller composes the XLA kernels).
+
+    With ``curr_spec = (win_m, avg_len, n_curr)`` the A/E current branch
+    ``avg_current(windower(w, tp_0, win_m), avg_len)`` is absorbed too and
+    a sixth ``(..., n_curr)`` output is appended — wf_pz is never re-read
+    for the window, and ``wf_le`` never exists in HBM."""
     import numpy as np
 
     from .convolutions import _band_matrix
@@ -969,15 +1011,20 @@ def fused_t0(w, kern_arr, a_std, interpret: bool = False):
     pad_l = max(0, m - 1 - lo)
     pad_r = max(0, lo + p_pad - n)
     base = lo - (m - 1) + pad_l
+    if curr_spec is not None:
+        curr_spec = tuple(int(x) for x in curr_spec)
+    win_m = curr_spec[0] if curr_spec is not None else 0
 
     def vmem_bytes(tb):
         # input block + padded copy + band matrix + conv cols/result +
-        # crossing masks/iota intermediates (~2 more row-width planes)
+        # crossing masks/iota intermediates (~2 more row-width planes) +
+        # the windower's log-shift working set
         return 4 * (
             2 * tb * (n + pad_l + pad_r)
             + span * blk
             + tb * (nblk * blk + n)
             + 2 * tb * n
+            + 3 * tb * (n + 2 * win_m)
         )
 
     tb = _T0_TILE_B
@@ -998,9 +1045,12 @@ def fused_t0(w, kern_arr, a_std, interpret: bool = False):
     A = jnp.asarray(_band_matrix([kern_arr], blk).astype(np.float32))
     outs = _fused_t0_call(
         w2, A, std, tb=tb, n=n, span=span, blk=blk, nblk=nblk, base=base,
-        pad_l=pad_l, pad_r=pad_r, interpret=interpret,
+        pad_l=pad_l, pad_r=pad_r, curr_spec=curr_spec, interpret=interpret,
     )
-    return tuple(o[:b, 0].reshape(lead) for o in outs)
+    res = [o[:b, 0].reshape(lead) for o in outs[:5]]
+    if curr_spec is not None:
+        res.append(outs[5][:b].reshape(*lead, curr_spec[2]))
+    return tuple(res)
 
 
 def fused_current(

@@ -161,19 +161,27 @@ def fused_current_front(
     )
 
 
-def fused_t0_front(kernel_arr) -> Kernel:
+def fused_t0_front(kernel_arr, curr_spec=None) -> Kernel:
     """Factory: the t0/pileup branch — ``convolve_wf(w, kern, 's')`` ->
     ``min_max`` -> ``time_point_thresh(conv, a_std, tp_start, 0)``
     (reference ``convolutions.py:24``, ``min_max.py:19``,
     ``time_point_thresh.py:20`` chained by the icpc config) — as one
     VMEM pass (:func:`._pallas.fused_t0`). Returns a kernel
     ``(w, a_std) -> (t_min, t_max, a_min, a_max, tp_0)``; the filtered
-    waveform never reaches HBM (three full-array passes become one). The
+    waveform never reaches HBM (three full-array passes become one). With
+    ``curr_spec = (win_m, avg_len, n_curr)`` the A/E current
+    ``avg_current(windower(w, tp_0, win_m), avg_len)`` (reference
+    ``windower.py:17``, ``moving_windows.py:211``) is absorbed as a sixth
+    output, so ``wf_pz`` is not re-read and ``wf_le`` never exists. The
     XLA fallback composes the original kernel bodies (bit-identical to the
     unfused steps, which the fusion pass relies on)."""
     kern_arr = np.asarray(kernel_arr)
     if kern_arr.ndim != 1 or np.isnan(kern_arr).any():
         raise DSPFatal("fused_t0_front needs a 1-D NaN-free kernel")
+    if curr_spec is not None:
+        curr_spec = tuple(int(x) for x in curr_spec)
+        if len(curr_spec) != 3 or curr_spec[1] <= 0:
+            raise DSPFatal("curr_spec must be (win_m, avg_len, n_curr)")
 
     def fn(w_in, a_std, badrow=None):
         from ._pallas import fused_t0
@@ -182,7 +190,7 @@ def fused_t0_front(kernel_arr) -> Kernel:
         if kern_arr.shape[-1] > n:
             raise DSPFatal("The filter is longer than the input waveform")
         if pallas_available():
-            outs = fused_t0(w_in, kern_arr, a_std)
+            outs = fused_t0(w_in, kern_arr, a_std, curr_spec=curr_spec)
             if outs is not None:  # None: geometry too big for VMEM
                 return tuple(o.astype(w_in.dtype) for o in outs)
         from .convolutions import convolve_wf
@@ -192,12 +200,22 @@ def fused_t0_front(kernel_arr) -> Kernel:
         (c,) = convolve_wf(w_in, kern_arr, np.int8(ord("s")), dims={"p": n})
         t_min, t_max, a_min, a_max = min_max(c)
         (tp0,) = time_point_thresh(c, a_std, t_max, 0)
-        return t_min, t_max, a_min, a_max, tp0
+        if curr_spec is None:
+            return t_min, t_max, a_min, a_max, tp0
+        from .moving_windows import avg_current
+        from .windower import windower
 
+        win_m, avg_len, n_curr = curr_spec
+        (wle,) = windower(w_in, tp0, dims={"m": win_m})
+        (curr,) = avg_current(wle, float(avg_len), dims={"m": n_curr})
+        return t_min, t_max, a_min, a_max, tp0, curr
+
+    nout = 5 + (curr_spec is not None)
+    sig = "(n),()->(),(),(),(),()" + (",(p)" if curr_spec else "")
     return Kernel(
         fn,
-        "(n),()->(),(),(),(),()",
-        ["ff->fffff", "dd->ddddd"],
+        sig,
+        ["ff->" + "f" * nout, "dd->" + "d" * nout],
         name="fused_t0_front",
         badrow_arg=0,
     )

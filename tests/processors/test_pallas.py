@@ -504,3 +504,38 @@ def test_fused_energy_emit_minmax_blsub_interpret(rng):
     exp = wf - bl[:, None]
     np.testing.assert_allclose(bsub[[0, 1, 2]], exp[[0, 1, 2]], rtol=1e-6)
     assert np.isnan(bsub[3]).all() and np.isnan(bsub[5]).all()
+
+
+def test_fused_t0_curr_absorption_interpret(rng):
+    """curr_spec path: the absorbed windower -> avg_current output must
+    match the standalone kernels driven by the fused tp_0, including the
+    out-of-range window NaN semantics near the waveform end."""
+    from dspeed_tpu.processors._pallas import fused_t0
+    from dspeed_tpu.processors.moving_windows import avg_current
+    from dspeed_tpu.processors.windower import windower
+
+    n, win_m, ln = 512, 101, 1
+    w = np.cumsum(rng.normal(0.3, 1.0, (10, n)), axis=1).astype("float32")
+    # one event whose window will hang off the end of the waveform
+    w[7, :480] = 0.0
+    w[7, 480:] = np.linspace(0, 50, 32)
+    kern = rng.normal(0, 1, 33)
+    kern /= np.abs(kern).sum()
+    std = rng.uniform(0.2, 1.0, 10).astype("float32")
+    outs = fused_t0(
+        w, kern, std, curr_spec=(win_m, ln, win_m - ln), interpret=True
+    )
+    tp0 = np.asarray(outs[4])
+    (wle,) = windower(w, tp0, dims={"m": win_m})
+    (want,) = avg_current(np.asarray(wle), float(ln), dims={"m": win_m - ln})
+    got = np.asarray(outs[5])
+    want = np.asarray(want)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(
+        np.nan_to_num(got, nan=-12345.0),
+        np.nan_to_num(want, nan=-12345.0),
+        rtol=1e-6, atol=1e-6,
+    )
+    # the edge event's window must be NaN-poisoned through avg_current
+    if np.isnan(np.asarray(wle)[7]).any():
+        assert np.isnan(got[7]).all()
