@@ -1236,15 +1236,10 @@ class ProcessingChain:
                     continue
                 specs = [t[2] for t in uniq]
                 emax_for = [rec[2] for rec in am_steps]
-                # wf_blsub read by anything besides this pole_zero (slope
-                # fits, CUSP/ZAC slices, output managers): emit it from the
-                # fused kernel — it is already resident in VMEM — and delete
-                # the separate bl_subtract step's full waveform re-read.
-                # (Chaining off an earlier front: blsub is already emitted
-                # there, so this front recomputes it in VMEM, emitting
-                # nothing.)
-                emit = is_bls and self._env_read_counts().get(x_key, 0) > 1
-                fused_pos = i if emit else j
+                # conservative slot for the reader-position guards below:
+                # the fused step lands at i (emit) or j (no emit); requiring
+                # readers after j is safe for both
+                fused_pos = j
                 # a min_max of the RAW waveform (the same array this front
                 # reads) is four more in-VMEM reductions: absorb it when
                 # every reader of its outputs sits after the fused slot
@@ -1269,15 +1264,77 @@ class ProcessingChain:
                             if not early:
                                 mm_step = st2
                             break
+                # linear_slope_fit steps over static slices of blsub/pz
+                # (baseline and tail fits) are 4 more in-VMEM reductions
+                # each; absorb when the slice feeds only the fit and every
+                # reader of the fit outputs sits after the fused slot
+                n_src = (
+                    bls.out_specs[0] if is_bls else bls.out_specs[-1]
+                ).shape[-1]
+                src_of = {x_key: 0, pz_key: 1}
+                slope_recs = []  # (slice step, fit step, (src, a0, b0))
+                reads = self._env_read_counts()
+                for sst in steps:
+                    if (
+                        not isinstance(sst, SliceStep)
+                        or sst.src_key not in src_of
+                        or not isinstance(sst.sl, slice)
+                        or sst.sl.step not in (None, 1)
+                    ):
+                        continue
+                    a0, b0, _ = sst.sl.indices(n_src)
+                    if b0 <= a0 or reads.get(sst.out_key, 0) != 1:
+                        continue
+                    fit = next(
+                        (
+                            s2
+                            for s2 in steps
+                            if self._kname(s2) == "linear_slope_fit"
+                            and len(s2.out_specs) == 4
+                            and len(s2.arg_specs) == 1
+                            and self._env_key(s2.arg_specs[0]) == sst.out_key
+                        ),
+                        None,
+                    )
+                    if fit is None:
+                        continue
+                    fit_keys = {s.key for s in fit.out_specs}
+                    early = any(
+                        s2 is not fit
+                        and p2 < fused_pos
+                        and fit_keys & set(self._step_env_reads(s2) or ())
+                        for p2, s2 in enumerate(steps)
+                    )
+                    if not early:
+                        slope_recs.append(
+                            (sst, fit, (src_of[sst.src_key], a0, b0))
+                        )
+                # wf_blsub read by anything besides this pole_zero and the
+                # absorbed slope-fit slices (CUSP/ZAC slices, output
+                # managers): emit it from the fused kernel — it is already
+                # resident in VMEM — and delete the separate bl_subtract
+                # step's full waveform re-read. (Chaining off an earlier
+                # front: blsub is already emitted there, so this front
+                # recomputes it in VMEM, emitting nothing.)
+                absorbed_x = sum(
+                    1 for sst, _, _ in slope_recs if sst.src_key == x_key
+                )
+                emit = (
+                    is_bls
+                    and reads.get(x_key, 0) - 1 - absorbed_x > 0
+                )
                 kern = fused_energy_front(
                     float(tau), specs, emax_for, emit_blsub=emit,
                     emit_minmax=mm_step is not None,
+                    slope_specs=[r[2] for r in slope_recs],
                 )
                 params = (
                     [bls.params[0], bls.params[1], pz.out_specs[0].var]
                     + [t[1].out_specs[0].var for t in uniq]
                     + [rec[1].out_specs[0].var for rec in am_steps]
                 )
+                for _, fit, _spec in slope_recs:
+                    params += [s.var for s in fit.out_specs]
                 if mm_step is not None:
                     params += [s.var for s in mm_step.out_specs]
                 if emit:
@@ -1310,6 +1367,9 @@ class ProcessingChain:
                     )
                 if mm_step is not None:
                     steps.remove(mm_step)
+                for sst, fit, _spec in slope_recs:
+                    steps.remove(sst)
+                    steps.remove(fit)
                 return [f"fused_energy_front[{len(specs)}]"]
         return []
 

@@ -105,11 +105,15 @@ _EN_BLK = 128  # tuned on v5e: 128-wide HIGHEST tri matmuls beat 512 by ~20%
 def _fused_energy_kernel(w_ref, bl_ref, tri_ref, tri8_ref, omc_ref,
                          *refs, trap_specs: tuple, n: int,
                          emax_for: tuple = (0,), emit_blsub: bool = False,
-                         emit_minmax: bool = False):
+                         emit_minmax: bool = False,
+                         slope_specs: tuple = ()):
     pz_ref = refs[0]
     k = len(trap_specs)
+    ke = len(emax_for)
+    ns = len(slope_specs)
     trap_refs = refs[1 : 1 + k]
-    emax_refs = refs[1 + k : 1 + k + len(emax_for)]
+    emax_refs = refs[1 + k : 1 + k + ke]
+    slope_refs = refs[1 + k + ke : 1 + k + ke + 4 * ns]
     nb = n // _EN_BLK
     raw = w_ref[:]
     w = raw - bl_ref[:]  # (TB, n) baseline-subtracted
@@ -118,7 +122,7 @@ def _fused_energy_kernel(w_ref, bl_ref, tri_ref, tri8_ref, omc_ref,
         # NaN only — a NaN baseline must NOT poison these four outputs
         # (matches the standalone min_max's isnan_any(w_in))
         tmin_ref, tmax_ref, amin_ref, amax_ref = refs[
-            1 + k + len(emax_for) : 5 + k + len(emax_for)
+            1 + k + ke + 4 * ns : 5 + k + ke + 4 * ns
         ]
         bad_w = jnp.max((raw != raw).astype(jnp.int32), axis=1,
                         keepdims=True) > 0
@@ -221,6 +225,30 @@ def _fused_energy_kernel(w_ref, bl_ref, tri_ref, tri8_ref, omc_ref,
         if ti not in emax_done:
             emax_done[ti] = jnp.max(traps[ti], axis=1, keepdims=True)
         e_ref[:] = poison(emax_done[ti])
+    for si, (src, a0, b0) in enumerate(slope_specs):
+        # absorbed linear_slope_fit over a static slice of blsub (src 0)
+        # or pz (src 1): closed-form mean/stdev/slope/intercept, the same
+        # f32 formulas as the standalone kernel (linear_slope_fit.py)
+        x = (w if src == 0 else pz)[:, a0:b0]
+        L = b0 - a0
+        icol = jax.lax.broadcasted_iota(
+            jnp.int32, (L, 1), 0
+        ).astype(jnp.float32)
+        sum_y = jnp.sum(x, axis=1, keepdims=True)
+        sum_xy = jnp.dot(x, icol, preferred_element_type=jnp.float32,
+                         precision=hp)
+        mean = sum_y / L
+        if L > 1:
+            var = jnp.sum((x - mean) ** 2, axis=1, keepdims=True) / (L - 1)
+        else:
+            var = jnp.zeros_like(mean)
+        stdev = jnp.sqrt(var)
+        sum_x = L * (L - 1) / 2.0
+        sum_x2 = (L - 1) * L * (2 * L - 1) / 6.0
+        slope = (L * sum_xy - sum_x * sum_y) / (L * sum_x2 - sum_x * sum_x)
+        intercept = (sum_y - sum_x * slope) / L
+        for oi, val in enumerate((mean, stdev, slope, intercept)):
+            slope_refs[4 * si + oi][:] = poison(val)
     if emit_blsub:
         # the baseline-subtracted rows are already resident: emitting them
         # here deletes the separate bl_subtract step's full re-read of the
@@ -231,11 +259,13 @@ def _fused_energy_kernel(w_ref, bl_ref, tri_ref, tri8_ref, omc_ref,
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "trap_specs", "emax_for", "emit_blsub", "emit_minmax", "interpret"
+        "trap_specs", "emax_for", "emit_blsub", "emit_minmax", "slope_specs",
+        "interpret",
     ),
 )
 def _fused_energy_call(w, bl, omc, trap_specs, emax_for=(0,),
-                       emit_blsub=False, emit_minmax=False, interpret=False):
+                       emit_blsub=False, emit_minmax=False, slope_specs=(),
+                       interpret=False):
     import numpy as np
 
     from jax.experimental import pallas as pl
@@ -250,10 +280,12 @@ def _fused_energy_call(w, bl, omc, trap_specs, emax_for=(0,),
     kern = functools.partial(
         _fused_energy_kernel, trap_specs=trap_specs, n=n, emax_for=emax_for,
         emit_blsub=emit_blsub, emit_minmax=emit_minmax,
+        slope_specs=slope_specs,
     )
     grid = (b // _EN_TILE_B,)
     k = len(trap_specs)
     ke = len(emax_for)
+    n_scalar = ke + 4 * len(slope_specs) + 4 * emit_minmax
 
     def row_spec(width):
         return pl.BlockSpec(
@@ -264,8 +296,7 @@ def _fused_energy_call(w, bl, omc, trap_specs, emax_for=(0,),
         kern,
         out_shape=tuple(
             [jax.ShapeDtypeStruct((b, n), jnp.float32)] * (1 + k)
-            + [jax.ShapeDtypeStruct((b, 1), jnp.float32)] * ke
-            + [jax.ShapeDtypeStruct((b, 1), jnp.float32)] * (4 * emit_minmax)
+            + [jax.ShapeDtypeStruct((b, 1), jnp.float32)] * n_scalar
             + [jax.ShapeDtypeStruct((b, n), jnp.float32)] * emit_blsub
         ),
         grid=grid,
@@ -277,8 +308,7 @@ def _fused_energy_call(w, bl, omc, trap_specs, emax_for=(0,),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=tuple(
-            [row_spec(n)] * (1 + k) + [row_spec(1)] * ke
-            + [row_spec(1)] * (4 * emit_minmax)
+            [row_spec(n)] * (1 + k) + [row_spec(1)] * n_scalar
             + [row_spec(n)] * emit_blsub
         ),
         interpret=interpret,
@@ -1109,7 +1139,7 @@ def fused_current(
 def fused_energy(
     w, baseline, tau, rise: int | None = None, flat: int | None = None,
     trap_specs=None, emax_for=(0,), emit_blsub: bool = False,
-    emit_minmax: bool = False, interpret: bool = False,
+    emit_minmax: bool = False, slope_specs=(), interpret: bool = False,
 ):
     """Fused bl_subtract -> pole_zero(tau) -> trapezoids -> amaxes.
 
@@ -1142,9 +1172,10 @@ def fused_energy(
     if pad_b:
         bl = jnp.pad(bl, ((0, pad_b), (0, 0)))
     omc = jnp.full((1, 1), -np.expm1(-1.0 / float(tau)), jnp.float32)
+    slope_specs = tuple(tuple(int(v) for v in s) for s in slope_specs)
     outs = _fused_energy_call(
         w2, bl, omc, trap_specs, emax_for=emax_for, emit_blsub=emit_blsub,
-        emit_minmax=emit_minmax, interpret=interpret,
+        emit_minmax=emit_minmax, slope_specs=slope_specs, interpret=interpret,
     )
     k = len(trap_specs)
     ke = len(emax_for)
@@ -1154,10 +1185,9 @@ def fused_energy(
     if legacy:
         return pz, traps[0], emaxes[0]
     extras = []
-    if emit_minmax:
-        extras += [
-            o[:b, 0].reshape(lead) for o in outs[1 + k + ke : 5 + k + ke]
-        ]
+    pos = 1 + k + ke
+    for o in outs[pos : pos + 4 * len(slope_specs) + 4 * emit_minmax]:
+        extras.append(o[:b, 0].reshape(lead))
     if emit_blsub:
         extras.append(outs[-1][:b].reshape(*lead, n))
     if extras:

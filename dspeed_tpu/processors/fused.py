@@ -222,7 +222,8 @@ def fused_t0_front(kernel_arr, curr_spec=None) -> Kernel:
 
 
 def fused_energy_front(
-    tau, trap_specs, emax_for=(0,), emit_blsub=False, emit_minmax=False
+    tau, trap_specs, emax_for=(0,), emit_blsub=False, emit_minmax=False,
+    slope_specs=(),
 ) -> Kernel:
     """Factory: one VMEM pass producing the pole-zero waveform, every
     trapezoid read off it, and the requested trapezoid maxima.
@@ -235,9 +236,13 @@ def fused_energy_front(
     fusion pass sets it when other processors read ``wf_blsub``, deleting
     the separate ``bl_subtract`` step's full re-read of the waveform. With
     ``emit_minmax`` the RAW waveform's ``min_max`` quadruple is absorbed
-    too (masked by waveform NaN only, like the standalone kernel).
+    too (masked by waveform NaN only, like the standalone kernel), and
+    ``slope_specs`` — tuples ``(src, start, stop)`` with src 0 = blsub,
+    1 = pz — absorb ``linear_slope_fit`` steps over static slices of the
+    resident arrays (reference ``linear_slope_fit.py:19``).
     Returns a kernel ``(w_in, a_baseline) -> (pz, trap_0, ...,
-    trap_{k-1}, emax..., [t_min, t_max, a_min, a_max], [blsub])``.
+    trap_{k-1}, emax..., [mean, stdev, slope, intercept]*, [t_min, t_max,
+    a_min, a_max], [blsub])``.
     The XLA fallback composes the original kernel bodies (bit-identical to
     the unfused steps); on TPU the Pallas kernel computes every trap from
     one in-VMEM prefix-sum pair (:mod:`._pallas`).
@@ -259,6 +264,11 @@ def fused_energy_front(
     emax_for = tuple(int(i) for i in emax_for)
     if not emax_for or any(not (0 <= i < k) for i in emax_for):
         raise DSPFatal("emax_for must index trap_specs")
+    slope_specs = tuple(
+        (int(src), int(a0), int(b0)) for src, a0, b0 in slope_specs
+    )
+    if any(src not in (0, 1) or b0 <= a0 for src, a0, b0 in slope_specs):
+        raise DSPFatal("slope_specs entries must be (0|1, start, stop)")
 
     def fn(w_in, a_baseline):
         n = w_in.shape[-1]
@@ -270,6 +280,7 @@ def fused_energy_front(
 
         blsub = None
         mm = ()
+        slopes = ()
         if pallas_available() and n % _pallas._EN_BLK == 0:
             # the kernel NaN-poisons in VMEM (row scan + selects are free
             # there; an XLA-side nanmask re-reads and re-writes every (B, n)
@@ -278,9 +289,13 @@ def fused_energy_front(
             outs = fused_energy(
                 w_in, a_baseline, tau, trap_specs=specs, emax_for=emax_for,
                 emit_blsub=emit_blsub, emit_minmax=emit_minmax,
+                slope_specs=slope_specs,
             )
             pz, traps, emaxes = outs[:3]
             rest = list(outs[3:])
+            if slope_specs:
+                nsl = 4 * len(slope_specs)
+                slopes, rest = tuple(rest[:nsl]), rest[nsl:]
             if emit_minmax:
                 mm, rest = tuple(rest[:4]), rest[4:]
             if emit_blsub:
@@ -295,6 +310,16 @@ def fused_energy_front(
             (pz,) = pole_zero(wsub, tau)
             if emit_blsub:
                 blsub = wsub
+            if slope_specs:
+                from .linear_slope_fit import linear_slope_fit
+
+                slopes = tuple(
+                    o
+                    for src, a0, b0 in slope_specs
+                    for o in linear_slope_fit(
+                        (wsub if src == 0 else pz)[..., a0:b0]
+                    )
+                )
             if emit_minmax:
                 from .min_max import min_max
 
@@ -315,6 +340,8 @@ def fused_energy_front(
         outs = [nanmask(bad, pz.astype(w_in.dtype))]
         outs += [nanmask(bad, t.astype(w_in.dtype)) for t in traps]
         outs += [nanmask(bad, e.astype(w_in.dtype)) for e in emaxes]
+        # slope fits self-mask on their slice (== bad rows after poisoning)
+        outs += [s.astype(w_in.dtype) for s in slopes]
         # min_max outputs carry their own (waveform-only) NaN mask
         outs += [m.astype(w_in.dtype) for m in mm]
         if emit_blsub:
@@ -325,10 +352,14 @@ def fused_energy_front(
         "(n),()->(n),"
         + ",".join(["(n)"] * k)
         + "," + ",".join(["()"] * len(emax_for))
+        + ",(),(),(),()" * len(slope_specs)
         + (",(),(),(),()" if emit_minmax else "")
         + (",(n)" if emit_blsub else "")
     )
-    nouts = k + 1 + len(emax_for) + 4 * bool(emit_minmax) + bool(emit_blsub)
+    nouts = (
+        k + 1 + len(emax_for) + 4 * len(slope_specs)
+        + 4 * bool(emit_minmax) + bool(emit_blsub)
+    )
     types = ["ff->" + "f" * nouts, "dd->" + "d" * nouts]
     kern = Kernel(fn, sig, types, name="fused_energy_front")
     # the fusion matcher chains a second energy front off this one's

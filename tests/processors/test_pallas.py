@@ -539,3 +539,37 @@ def test_fused_t0_curr_absorption_interpret(rng):
     # the edge event's window must be NaN-poisoned through avg_current
     if np.isnan(np.asarray(wle)[7]).any():
         assert np.isnan(got[7]).all()
+
+
+def test_fused_energy_slope_specs_interpret(rng):
+    """slope_specs: the absorbed linear_slope_fit quadruples over blsub/pz
+    slices must match the standalone kernel on the same slices."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from test_build_dsp import make_hpge_waveforms
+
+    from dspeed_tpu.processors._pallas import fused_energy
+    from dspeed_tpu.processors.bl_subtract import bl_subtract
+    from dspeed_tpu.processors.linear_slope_fit import linear_slope_fit
+    from dspeed_tpu.processors.pole_zero import pole_zero
+
+    wf, amp, t0, bl = make_hpge_waveforms(n=12, nsamp=1024)
+    bl = bl.astype("float32")
+    outs = fused_energy(
+        wf, bl, 27460.5, trap_specs=(("norm", 64, 16),), emax_for=(0,),
+        slope_specs=((0, 0, 300), (1, 600, 1024)), interpret=True,
+    )
+    pz_arr = np.asarray(outs[0])
+    (wsub,) = bl_subtract(wf, bl)
+    (pz_ref,) = pole_zero(np.asarray(wsub), 27460.5)
+    for si, (arr, sl) in enumerate(
+        ((np.asarray(wsub), slice(0, 300)), (np.asarray(pz_ref), slice(600, 1024)))
+    ):
+        want = [np.asarray(x) for x in linear_slope_fit(arr[:, sl])]
+        got = [np.asarray(outs[3 + 4 * si + oi]) for oi in range(4)]
+        for g, e, nm in zip(got, want, ("mean", "std", "slope", "icept")):
+            scale = max(1.0, np.abs(e).max())
+            np.testing.assert_allclose(
+                g, e, rtol=5e-4, atol=1e-4 * scale,
+                err_msg=f"spec {si} {nm}",
+            )
