@@ -138,3 +138,27 @@ def test_random_pipelines_match_direct(trial):
     np.testing.assert_allclose(
         nda, exp, rtol=1e-6, atol=1e-6, err_msg=f"pipeline {ops}"
     )
+
+    # every random pipeline must be bit-identical with the fusion pass off
+    # (whatever subset of matchers fired on this composition)
+    import os
+
+    prev_env = os.environ.get("DSPEED_TPU_FUSE")
+    os.environ["DSPEED_TPU_FUSE"] = "0"
+    try:
+        out_u = build_dsp(tbl, dsp_config=config)
+    finally:
+        if prev_env is None:
+            os.environ.pop("DSPEED_TPU_FUSE", None)
+        else:
+            os.environ["DSPEED_TPU_FUSE"] = prev_env
+    for col in out.keys():
+        a = out[col]
+        b = out_u[col]
+        a = a.values.nda if hasattr(a, "values") else a.nda
+        b = b.values.nda if hasattr(b, "values") else b.nda
+        np.testing.assert_array_equal(
+            np.nan_to_num(a, nan=-12345.0),
+            np.nan_to_num(b, nan=-12345.0),
+            err_msg=f"fused != unfused for {col}: {ops}",
+        )
