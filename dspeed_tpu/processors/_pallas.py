@@ -925,13 +925,16 @@ def _fused_t0_kernel(w_ref, A_ref, std_ref, tmin_ref, tmax_ref, amin_ref,
 
     # time_point_thresh(c, std, t_max, walk=0): backward crossing search —
     # mask index i means a crossing between samples i-1 and i, last true
-    # with i <= t_start wins (reference time_point_thresh.py:85-92)
+    # with i <= t_start wins (reference time_point_thresh.py:85-92).
+    # Mosaic note: a SLICED broadcasted_iota (iota[:, 1:]) aborts the TPU
+    # compiler ("limits <= dim(i)"); generate the shifted iota directly.
     a = std_ref[:]  # (tb, 1)
     c0 = c[:, :-1]
     c1 = c[:, 1:]
     cross = ((c0 < a) & (a <= c1)) | ((c0 > a) & (a >= c1))
-    valid = cross & (iota[:, 1:] <= t_max)
-    idx = jnp.max(jnp.where(valid, iota[:, 1:], -1), axis=1, keepdims=True)
+    iota1 = jax.lax.broadcasted_iota(jnp.int32, (tb, n - 1), 1) + 1
+    valid = cross & (iota1 <= t_max)
+    idx = jnp.max(jnp.where(valid, iota1, -1), axis=1, keepdims=True)
     found = idx >= 0
     tp0 = jnp.where(found & ~jnp.isnan(a), idx.astype(jnp.float32), nanv)
 
