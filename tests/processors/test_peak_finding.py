@@ -141,6 +141,30 @@ class TestPeakSnr:
         np.testing.assert_allclose(np.asarray(got_idx)[0], exp, equal_nan=True)
         assert int(np.asarray(got_n)[0]) == k
 
+    def test_accel_compare_reduce_matches_gather(self, monkeypatch):
+        """The TPU branch (windowed min / peak pickoff as broadcast compares
+        fused into the sample reduction — gathers serialize on TPU) must be
+        bit-identical to the CPU gather branch, including NaN candidates,
+        window clipping at both edges, and empty windows."""
+        import jax
+
+        rng = np.random.default_rng(11)
+        n, m, width, ratio = 200, 12, 10, 0.5
+        w = make_pulse_train(rng, n=n).astype("float64") + 2.0
+        w2 = w.copy()
+        w2[37] = np.nan  # NaN inside some window
+        for wf in (w, w2):
+            idx = np.full(m, np.nan)
+            # include edge candidates so both clips and the empty-window
+            # (b <= a) path are exercised
+            idx[:8] = [0, 3, n - 1, n - 5, 50, 90, 130, 170]
+            ref = dp.peak_snr_threshold(wf[None], idx[None], ratio, width)
+            monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+            got = dp.peak_snr_threshold(wf[None], idx[None], ratio, width)
+            monkeypatch.undo()
+            for r, g in zip(ref, got):
+                np.testing.assert_array_equal(np.asarray(r), np.asarray(g))
+
 
 class TestMultiTFilter:
     def test_remove_duplicates(self):
