@@ -20,7 +20,14 @@ import jax
 import jax.numpy as jnp
 
 from ..errors import DSPFatal
-from ._helpers import isnan_any, nanmask, static_float, static_int, take_last
+from ._helpers import (
+    isnan_any,
+    nanmask,
+    static_float,
+    static_int,
+    take_last,
+    take_per_row,
+)
 from ._kernel import kernel
 
 __all__ = [
@@ -253,9 +260,7 @@ def peak_snr_threshold(w_in, idx_in, ratio_in, width_in):
         # empty window (b <= a) -> min at a, like the reference's init
         wa = jnp.min(jnp.where(i == a[..., None], wrow, jnp.inf), axis=-1)
         wmin = jnp.minimum(wmin, wa)
-        idxc = jnp.clip(idx, 0, n - 1)
-        peak = jnp.sum(jnp.where(i == idxc[..., None], wrow, 0.0), axis=-1)
-        peak = peak.astype(w_in.dtype)
+        peak = take_per_row(w_in, idx)
     else:
         # CPU: the gather is the fast path
         # window positions a..a+2w-1, masked to < b (ref loops range(a, b))
@@ -334,6 +339,6 @@ def multi_a_filter(w_in, vt_max_in):
     n = w_in.shape[-1]
     idx = jnp.nan_to_num(vt_max_in, nan=0.0).astype(jnp.int32)
     valid = ~jnp.isnan(vt_max_in) & (idx >= 0) & (idx < n)
-    vals = jnp.take_along_axis(w_in, jnp.clip(idx, 0, n - 1), axis=-1)
+    vals = take_per_row(w_in, idx)
     out = jnp.where(valid, vals, jnp.nan).astype(w_in.dtype)
     return nanmask(isnan_any(w_in, 1), out)

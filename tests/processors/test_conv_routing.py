@@ -56,3 +56,31 @@ class TestBandedMatmul:
                                    rtol=1e-9, atol=1e-9)
         np.testing.assert_allclose(outs["fft"], outs["direct"],
                                    rtol=1e-7, atol=1e-7)
+
+    def test_accel_shiftadd_matches_conv(self, batch, monkeypatch, rng):
+        """The accelerator branch of _conv_full_direct_only (m weighted
+        shifted slices — a 1-channel conv_general_dilated wastes the MXU's
+        feature lanes) must match the conv lowering to accumulation-order
+        rounding for short kernels, traced or concrete."""
+        import jax
+
+        from dspeed_tpu.processors.convolutions import _conv_full_direct_only
+
+        for m in (1, 2, 9, 33):
+            taps = rng.normal(0, 1, m)
+            ref = np.asarray(_conv_full_direct_only(batch, taps))
+            monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+            got = np.asarray(_conv_full_direct_only(batch, taps))
+            traced = np.asarray(
+                jax.jit(_conv_full_direct_only)(batch, taps)
+            )
+            monkeypatch.undo()
+            np.testing.assert_allclose(got, ref, rtol=1e-12, atol=1e-12)
+            np.testing.assert_allclose(traced, ref, rtol=1e-12, atol=1e-12)
+        # above the unroll cut the conv lowering is kept verbatim
+        taps = rng.normal(0, 1, 65)
+        ref = np.asarray(_conv_full_direct_only(batch, taps))
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        got = np.asarray(_conv_full_direct_only(batch, taps))
+        monkeypatch.undo()
+        np.testing.assert_array_equal(got, ref)

@@ -166,6 +166,24 @@ class TestPeakSnr:
                 np.testing.assert_array_equal(np.asarray(r), np.asarray(g))
 
 
+class TestMultiAFilter:
+    def test_accel_pickoff_matches_gather(self, monkeypatch):
+        """take_per_row's accelerator branch (compare-reduce pickoff) must
+        be bit-identical to the CPU gather, including NaN candidates and
+        out-of-range indices."""
+        import jax
+
+        rng = np.random.default_rng(3)
+        w = make_pulse_train(rng, n=300).astype("float32")
+        w[17] = np.nan
+        idx = np.array([[0.0, 5.0, 299.0, 400.0, -3.0, np.nan, 17.0, 60.0]])
+        ref = dp.multi_a_filter(w[None], idx)
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        got = dp.multi_a_filter(w[None], idx)
+        monkeypatch.undo()
+        np.testing.assert_array_equal(np.asarray(ref[0]), np.asarray(got[0]))
+
+
 class TestMultiTFilter:
     def test_remove_duplicates(self):
         t_in = np.array([[5.0, 9.0, 9.0, np.nan]])
