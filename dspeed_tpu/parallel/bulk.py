@@ -28,6 +28,36 @@ log = logging.getLogger("dspeed_tpu.parallel")
 __all__ = ["build_dsp_stacked"]
 
 
+def _stacked_cache_key(dsp_config, database, outputs, tb_in0):
+    """Key into :data:`dspeed_tpu.build_dsp._CHAIN_CACHE` so repeated
+    stacked-production calls (same config/db/schema) reuse the traced chain
+    — and, through the chain's packed-program cache, the compiled XLA
+    program — instead of paying a multi-second retrace per call."""
+    import json
+    import os
+
+    from ..build_dsp import _schema_fingerprint
+
+    if os.getenv("DSPEED_TPU_CHAIN_CACHE", "1") in ("0", "false"):
+        return None
+    try:
+        if isinstance(dsp_config, (str, os.PathLike)):
+            path = os.path.realpath(dsp_config)
+            cfg = (path, os.path.getmtime(path))
+        else:
+            cfg = json.dumps(dsp_config, sort_keys=True, default=str)
+        return (
+            "stacked",
+            cfg,
+            json.dumps(database, sort_keys=True, default=str),
+            tuple(outputs) if outputs is not None else None,
+            _schema_fingerprint(tb_in0),
+            len(tb_in0),
+        )
+    except (TypeError, OSError):
+        return None
+
+
 def build_dsp_stacked(
     raw_in: str,
     dsp_out: str | None,
@@ -51,7 +81,7 @@ def build_dsp_stacked(
     """
     import jax
 
-    from ..build_dsp import per_host_out_path
+    from ..build_dsp import _CHAIN_CACHE, _CHAIN_CACHE_MAX, per_host_out_path
 
     lh5_tables = list(lh5_tables)
     if distribute and jax.process_count() > 1:
@@ -73,9 +103,20 @@ def build_dsp_stacked(
         log.warning("channel tables differ in length; clipping to %d", n_rows)
 
     tb_in0 = iterators[0].read(0)
-    chain, field_mask, tb_out = build_processing_chain(
-        dsp_config, tb_in0, db_dict=database, outputs=outputs
-    )
+    cache_key = _stacked_cache_key(dsp_config, database, outputs, tb_in0)
+    cached = _CHAIN_CACHE.get(cache_key) if cache_key is not None else None
+    if cached is not None:
+        chain, field_mask, tb_out = cached
+        _CHAIN_CACHE[cache_key] = _CHAIN_CACHE.pop(cache_key)  # LRU recency
+        log.debug("reusing compiled chain for stacked production")
+    else:
+        chain, field_mask, tb_out = build_processing_chain(
+            dsp_config, tb_in0, db_dict=database, outputs=outputs
+        )
+        if cache_key is not None:
+            _CHAIN_CACHE[cache_key] = (chain, field_mask, tb_out)
+            while len(_CHAIN_CACHE) > _CHAIN_CACHE_MAX:
+                _CHAIN_CACHE.pop(next(iter(_CHAIN_CACHE)))
     for it in iterators:
         it.reset_field_mask(field_mask)
     if mesh is not None:
@@ -89,14 +130,27 @@ def build_dsp_stacked(
 
     tb_outs = [copy.deepcopy(tb_out) for _ in range(n_chan)]
 
-    def _write_chunk(out_dev, i, n):
+    def _write_chunk(pending, i, n):
         """Fetch chunk ``(i, n)`` from the device and write every channel —
         runs on the single writer thread so the (blocking) D2H transfer and
         the LH5 writes overlap the next chunk's read + dispatch. Only this
-        thread touches the output managers / tb_outs / store."""
-        out = jax.tree_util.tree_map(np.asarray, out_dev)
+        thread touches the output managers / tb_outs / store.
+
+        ``pending`` is a packed-program handle: one 2-D array per output
+        dtype (a D2H copy costs a full round trip on remote backends, so
+        the 30+ output columns come back in ~3 transfers, not 30+)."""
+        packed, plan, scalars = pending
+        out: dict[str, np.ndarray] = {}
+        for dt, grp in plan.items():
+            host = np.asarray(packed[dt])
+            for k, c0, c1, inner in grp:
+                col = host[:, c0:c1]
+                out[k] = col.reshape(host.shape[0], *inner) if inner else col[:, 0]
+        for k in scalars:
+            out[k] = np.asarray(packed["__scalars__"][k])
+        batched = {k for grp in plan.values() for (k, _, _, _) in grp}
         for ci, tb in enumerate(lh5_tables):
-            res_ci = {k: v[ci] for k, v in out.items()}
+            res_ci = {k: v[ci] if k in batched else v for k, v in out.items()}
             for varname, man in chain._output_managers.items():
                 man.set_buffer(tb_outs[ci][varname])
                 man.write(res_ci, 0, n)
@@ -127,7 +181,6 @@ def build_dsp_stacked(
 
     from concurrent.futures import ThreadPoolExecutor
 
-    fn = None
     i = 0
     writer = ThreadPoolExecutor(1)
     prev_job = None
@@ -141,18 +194,32 @@ def build_dsp_stacked(
                 for varname in list(chain._input_managers):
                     chain.link_input_buffer(varname, tb_in[varname])
                 inputs, n_av = chain._gather_inputs(0, n)
+                n = min(n, n_av)
                 for k, v in inputs.items():
                     stacked.setdefault(k, []).append(v)
-            stacked = {k: np.stack(v) for k, v in stacked.items()}
-
-            if fn is None:
-                fn = jax.jit(chain._build_fn())
+            # pad the data axis (axis 0 per channel, axis 1 stacked) to the
+            # nominal chunk length so every chunk reuses one compiled shape
+            pad_to = chain._pad_to(n)
+            if n < pad_to:
+                stacked = {
+                    k: [
+                        np.pad(a[:n], [(0, pad_to - n)] + [(0, 0)] * (a.ndim - 1))
+                        for a in v
+                    ]
+                    for k, v in stacked.items()
+                }
+            arrs = {k: np.stack(v) for k, v in stacked.items()}
+            dev = chain._shard_inputs(arrs)
+            if mesh is None:
+                # start the async H2D copy explicitly (no mesh = passthrough)
+                dev = {k: jax.device_put(v) for k, v in dev.items()}
+            fn, plan, scalars = chain._get_packed(arrs)
             # async dispatch: the device computes chunk i while the writer
             # thread is still fetching/writing chunk i-1
-            out_dev = fn(chain._shard_inputs(stacked))
+            packed = fn(dev)
             if prev_job is not None:
                 prev_job.result()  # bound in-flight chunks to two
-            prev_job = writer.submit(_write_chunk, out_dev, i, n)
+            prev_job = writer.submit(_write_chunk, (packed, plan, scalars), i, n)
             i += n
         if prev_job is not None:
             prev_job.result()

@@ -1036,9 +1036,12 @@ class ProcessingChain:
         self._default_grid: CoordinateGrid | None = None
         self._compiled = None
         self._compiled_nsteps = -1
-        self._packed = None
+        # packed-program cache: input struct -> (jitted fn, plan, scalars).
+        # A dict (not a single slot) so one chain instance can serve both
+        # flat (B, ...) and stacked (C, B, ...) drivers without re-tracing
+        # on every alternation
+        self._packed: dict[tuple, tuple] = {}
         self._packed_nsteps = -1
-        self._packed_struct = None
         self.time_total = 0.0
         self._mesh = None
         self._batch_axes: tuple[str, ...] = ("data",)
@@ -2095,7 +2098,7 @@ class ProcessingChain:
 
     def _invalidate(self) -> None:
         self._compiled = None
-        self._packed = None
+        self._packed = {}
 
     # -- I/O buffers -------------------------------------------------------
 
@@ -2226,12 +2229,11 @@ class ProcessingChain:
         struct = tuple(
             (k, tuple(v.shape), _dt(v).name) for k, v in sorted(inputs.items())
         )
-        if (
-            self._packed is not None
-            and self._packed_nsteps == len(self._steps)
-            and self._packed_struct == struct
-        ):
-            return self._packed
+        if self._packed_nsteps != len(self._steps):
+            self._packed = {}
+        hit = self._packed.get(struct)
+        if hit is not None:
+            return hit
 
         base = self._build_fn()
         out_shapes = jax.eval_shape(
@@ -2270,10 +2272,12 @@ class ProcessingChain:
                 packed["__scalars__"] = {k: out[k] for k in scalars}
             return packed
 
-        self._packed = (jax.jit(packed_fn), plan, scalars)
+        entry = (jax.jit(packed_fn), plan, scalars)
+        self._packed[struct] = entry
         self._packed_nsteps = len(self._steps)
-        self._packed_struct = struct
-        return self._packed
+        while len(self._packed) > 8:  # bound retraces kept per chain
+            self._packed.pop(next(iter(self._packed)))
+        return entry
 
     def execute(self, start: int = 0, stop: int = None, staged=None) -> None:
         """Run the chain over rows ``[start, stop)`` of the linked buffers.
