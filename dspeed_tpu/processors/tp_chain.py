@@ -82,10 +82,10 @@ def chained_time_point_thresh(factors, walk_forward, start_from) -> Kernel:
             # Rank-plane formulation: every link's crossing predicate is a
             # comparison of the waveform against its own threshold, so ONE
             # fused pass computes R1[i] = #{a_j < w[i]} / R2[i] = #{a_j <=
-            # w[i]} (int8), and each link tests its threshold's per-event
-            # rank against the planes instead of re-reading the float
-            # waveform — the links' HBM traffic halves and the per-link
-            # float compares disappear. Exactly equivalent (incl. ties):
+            # w[i]}, and each link tests its threshold's per-event rank
+            # against the planes instead of re-reading the float waveform —
+            # the links' HBM traffic halves and the per-link float compares
+            # disappear. Exactly equivalent (incl. ties):
             #   w0 <= a_k       <=>  R1[i]  <= srank_k   (srank = #{a_j < a_k})
             #   a_k <  w1       <=>  srank_k < R1[i+1]
             #   a_k <= w0       <=>  crank_k <= R2[i]    (crank = #{a_j <= a_k})
@@ -95,16 +95,34 @@ def chained_time_point_thresh(factors, walk_forward, start_from) -> Kernel:
             # so outputs stay bit-identical to the float cascade.
             A = jnp.stack(a_list, axis=-1)  # (..., m)
             wexp = w_in[..., None, :]
-            R = jnp.sum((A[..., :, None] < wexp), axis=-2, dtype=jnp.int8)
-            R2 = jnp.sum((A[..., :, None] <= wexp), axis=-2, dtype=jnp.int8)
+            if m <= 15:
+                # both ranks fit a nibble: pack P = R1 + 16*R2 so ONE uint8
+                # plane (one reduction over the float waveform, one plane of
+                # HBM traffic for all links) carries the whole cascade
+                P = jnp.sum(
+                    (A[..., :, None] < wexp).astype(jnp.uint8)
+                    + ((A[..., :, None] <= wexp).astype(jnp.uint8) << 4),
+                    axis=-2,
+                    dtype=jnp.uint8,
+                )
+                Pa, Pb = P[..., :-1], P[..., 1:]
+                R1a, R1b = Pa & 15, Pb & 15
+                R2a, R2b = Pa >> 4, Pb >> 4
+                rank_dtype = jnp.uint8
+            else:
+                R = jnp.sum((A[..., :, None] < wexp), axis=-2, dtype=jnp.int8)
+                R2 = jnp.sum(
+                    (A[..., :, None] <= wexp), axis=-2, dtype=jnp.int8
+                )
+                R1a, R1b = R[..., :-1], R[..., 1:]
+                R2a, R2b = R2[..., :-1], R2[..., 1:]
+                rank_dtype = jnp.int8
             srank = jnp.sum(
-                A[..., :, None] > A[..., None, :], axis=-1, dtype=jnp.int8
+                A[..., :, None] > A[..., None, :], axis=-1, dtype=rank_dtype
             )  # srank[..., k] = #{a_j < a_k}
             crank = jnp.sum(
-                A[..., :, None] >= A[..., None, :], axis=-1, dtype=jnp.int8
+                A[..., :, None] >= A[..., None, :], axis=-1, dtype=rank_dtype
             )  # crank[..., k] = #{a_j <= a_k}
-            R1a, R1b = R[..., :-1], R[..., 1:]
-            R2a, R2b = R2[..., :-1], R2[..., 1:]
             pad_r = [(0, 0)] * (w_in.ndim - 1) + [(0, 1)]
             pad_l = [(0, 0)] * (w_in.ndim - 1) + [(1, 0)]
 
