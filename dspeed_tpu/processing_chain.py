@@ -955,6 +955,7 @@ class SliceStep(Step):
     """A subscript view ``var[slice]`` (reference: numpy buffer views)."""
 
     def __init__(self, src: ProcChainVar, out: ProcChainVar, sl) -> None:
+        self.src = src  # kept for fusion matchers that absorb the slice
         self.src_key = src.key
         self.out_key = out.key
         self.sl = sl
@@ -1638,6 +1639,7 @@ class ProcessingChain:
             for s in steps
             if isinstance(s, SliceStep)
         }
+        slice_step = {s.out_key: s for s in steps if isinstance(s, SliceStep)}
         groups: dict = {}
         for i, st in enumerate(steps):
             if self._kname(st) not in ("convolve_wf", "fft_convolve_wf"):
@@ -1667,14 +1669,32 @@ class ProcessingChain:
             if len(recs) < 2:
                 continue
             lo, _ = _mode_window(ch, n, m)
-            kern = fused_conv_bank(
-                [st.arg_specs[1].value for _, st in recs], lo, p
-            )
             i0, st0 = recs[0]
+            in_param = st0.params[0]
+            n_in = None
+            # absorb a leading [0:n] view: pass the unsliced source with an
+            # effective length instead — the Pallas row BlockSpec then DMAs
+            # only the first n columns and the engine's slice (a full HBM
+            # materialization before a custom call) goes dead
+            sstep = slice_step.get(self._env_key(st0.arg_specs[0]))
+            if sstep is not None:
+                sl = sstep.sl
+                if (
+                    isinstance(sl, slice)
+                    and sl.start in (None, 0)
+                    and sl.step in (None, 1)
+                    and isinstance(sl.stop, int)
+                    and sl.stop == n
+                ):
+                    in_param = sstep.src
+                    n_in = n
+            kern = fused_conv_bank(
+                [st.arg_specs[1].value for _, st in recs], lo, p, n_in=n_in
+            )
             fused = KernelStep(
                 self,
                 kern,
-                [st0.params[0]] + [st.out_specs[0].var for _, st in recs],
+                [in_param] + [st.out_specs[0].var for _, st in recs],
                 {},
             )
             for idx, _ in sorted(recs[1:], reverse=True):

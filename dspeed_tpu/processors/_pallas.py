@@ -786,8 +786,13 @@ def _banded_conv_body(w, A, *, tb, span, blk, nblk, base, pad_l, pad_r):
 
 
 def _banded_conv_kernel(w_ref, A_ref, o_ref, *, tb, span, blk, nblk, base,
-                        pad_l, pad_r):
+                        pad_l, pad_r, mask_from=None):
     w = w_ref[:]
+    if mask_from is not None:
+        # loaded block is 128-aligned and wider than the absorbed [0:n_in]
+        # view; zero the tail columns (== the view's right zero-padding)
+        col = jax.lax.broadcasted_iota(jnp.int32, w.shape, 1)
+        w = jnp.where(col < mask_from, w, jnp.float32(0))
     bad = jnp.max((w != w).astype(jnp.int32), axis=1, keepdims=True) > 0
     out = _banded_conv_body(
         w, A_ref[:], tb=tb, span=span, blk=blk, nblk=nblk, base=base,
@@ -799,18 +804,30 @@ def _banded_conv_kernel(w_ref, A_ref, o_ref, *, tb, span, blk, nblk, base,
 @functools.partial(
     jax.jit,
     static_argnames=("tb", "span", "blk", "nblk", "base", "pad_l", "pad_r",
-                     "interpret"),
+                     "n_eff", "interpret"),
 )
 def _banded_conv_call(w2, A, tb, span, blk, nblk, base, pad_l, pad_r,
-                      interpret=False):
+                      n_eff=None, interpret=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     b, n = w2.shape
+    # absorb a leading [0:n_eff] slice of a wider operand: the row BlockSpec
+    # DMAs only the first columns, so the slice never exists in HBM. Mosaic
+    # wants the block width 128-aligned (or the full array width); load the
+    # aligned cover of n_eff and zero the tail columns in VMEM
+    mask_from = None
+    if n_eff is not None and n_eff < n:
+        n_load = min(n, -(-n_eff // 128) * 128)
+        if n_load > n_eff:
+            mask_from = n_eff
+            # the in-VMEM zeros [n_eff, n_load) stand in for right padding
+            pad_r = max(0, pad_r - (n_load - n_eff))
+        n = n_load
     W = A.shape[1]
     kern = functools.partial(
         _banded_conv_kernel, tb=tb, span=span, blk=blk, nblk=nblk, base=base,
-        pad_l=pad_l, pad_r=pad_r,
+        pad_l=pad_l, pad_r=pad_r, mask_from=mask_from,
     )
 
     def row_spec(width):
@@ -832,14 +849,18 @@ def _banded_conv_call(w2, A, tb, span, blk, nblk, base, pad_l, pad_r,
     )(w2, A)
 
 
-def banded_conv_multi(w, kerns, lo, p, interpret: bool = False):
-    """``full_conv(w, k_j)[..., lo:lo+p]`` per kernel, as one VMEM-resident
-    banded-matmul pass; NaN rows are poisoned in-kernel.
+def banded_conv_multi(w, kerns, lo, p, n_in=None, interpret: bool = False):
+    """``full_conv(w[..., :n_in], k_j)[..., lo:lo+p]`` per kernel, as one
+    VMEM-resident banded-matmul pass; NaN rows are poisoned in-kernel.
 
     ``kerns`` are same-length 1-D NaN-free numpy arrays (the band matrices
     concatenate along the output columns, so a bank shares the one window
-    read). Returns a list of ``(..., p)`` float32 arrays, or ``None`` when
-    the geometry does not fit the kernel (caller falls back to XLA).
+    read). ``n_in`` absorbs a leading slice of a wider input: the row
+    BlockSpec reads only the first ``n_in`` columns, so the engine's
+    ``var[0:n_in]`` view never materializes in HBM (the fusion pass passes
+    the unsliced source). Returns a list of ``(..., p)`` float32 arrays, or
+    ``None`` when the geometry does not fit the kernel (caller falls back
+    to XLA).
     """
     import numpy as np
 
@@ -847,7 +868,10 @@ def banded_conv_multi(w, kerns, lo, p, interpret: bool = False):
 
     nk = len(kerns)
     m = int(kerns[0].shape[-1])
-    *lead, n = w.shape
+    *lead, n_full = w.shape
+    n = n_full if n_in is None else int(n_in)
+    if n > n_full:
+        return None
     # single block when the bank's total width stays MXU-friendly; else
     # 128-wide blocks (minimum window redundancy at full lane utilization)
     blk = p if nk * p <= 640 else _BC_BLK
@@ -871,7 +895,7 @@ def banded_conv_multi(w, kerns, lo, p, interpret: bool = False):
     if vmem_bytes(tb) > _BC_VMEM_BYTES:
         return None
 
-    w2 = jnp.asarray(w, jnp.float32).reshape(-1, n)
+    w2 = jnp.asarray(w, jnp.float32).reshape(-1, n_full)
     b = w2.shape[0]
     pad_b = (-b) % tb
     if pad_b:
@@ -879,7 +903,8 @@ def banded_conv_multi(w, kerns, lo, p, interpret: bool = False):
     A = jnp.asarray(_band_matrix(kerns, blk).astype(np.float32))
     out = _banded_conv_call(
         w2, A, tb=tb, span=span, blk=blk, nblk=nblk, base=base,
-        pad_l=pad_l, pad_r=pad_r, interpret=interpret,
+        pad_l=pad_l, pad_r=pad_r,
+        n_eff=None if n == n_full else n, interpret=interpret,
     )
     # columns are laid out (block k, kernel j, in-block i)
     out = out.reshape(-1, nblk, nk, blk)

@@ -27,7 +27,7 @@ __all__ = [
 ]
 
 
-def fused_conv_bank(kernels, lo: int, p: int) -> Kernel:
+def fused_conv_bank(kernels, lo: int, p: int, n_in: int | None = None) -> Kernel:
     """Factory: several constant-kernel convolutions of ONE input sharing a
     single banded-matmul window read.
 
@@ -36,9 +36,12 @@ def fused_conv_bank(kernels, lo: int, p: int) -> Kernel:
     and the same mode window — the CUSP + ZAC energy pair in the flagship
     chain (reference ``convolutions.py:81``; each unfused step re-reads the
     full waveform from HBM for its own matmul). ``lo``/``p`` are the mode
-    window into the full convolution. Returns a kernel
-    ``(w,) -> (out_1, ..., out_k)`` whose every column is computed by the
-    same contraction as the single-kernel banded matmul.
+    window into the full convolution. With ``n_in``, the convolutions read
+    only ``w[..., :n_in]`` of a wider input — the fusion pass passes the
+    unsliced source so the engine's ``var[0:n_in]`` view (a full HBM
+    materialization before a Pallas custom call) disappears. Returns a
+    kernel ``(w,) -> (out_1, ..., out_k)`` whose every column is computed
+    by the same contraction as the single-kernel banded matmul.
     """
     import os
 
@@ -63,10 +66,12 @@ def fused_conv_bank(kernels, lo: int, p: int) -> Kernel:
             from ._pallas import banded_conv_multi, pallas_available
 
             if pallas_available():
-                outs = banded_conv_multi(w_in, kerns, lo, p)
+                outs = banded_conv_multi(w_in, kerns, lo, p, n_in=n_in)
                 if outs is not None:
                     # rows already NaN-poisoned in VMEM; kernels NaN-free
                     return tuple(o.astype(w_in.dtype) for o in outs)
+        if n_in is not None and w_in.shape[-1] > n_in:
+            w_in = w_in[..., :n_in]  # XLA materializes the view lazily here
         # NaN rows poison every output column through the matmul itself;
         # nanmask below makes the rows canonical (all-NaN), matching the
         # unfused kernels' poisoning

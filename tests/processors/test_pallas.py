@@ -347,6 +347,24 @@ class TestBandedConv:
                 np.asarray(g), ref, rtol=5e-5, atol=1e-5 * scale
             )
 
+    def test_n_in_absorbs_leading_slice(self, rng):
+        """``n_in=k`` on a wider array must equal slicing ``w[..., :k]``
+        first, bit-for-bit — the fusion pass relies on this to delete the
+        engine's ``var[0:k]`` HBM materialization before the custom call.
+        Data beyond the slice (including NaN) must not leak in."""
+        from dspeed_tpu.processors._pallas import banded_conv_multi
+
+        w = rng.normal(0, 1, (16, 499)).astype("float32")
+        w[:, 420:] = np.nan  # beyond the view: must never be read
+        kerns = [rng.normal(0, 1, 400), rng.normal(0, 1, 400)]
+        lo, p = 399, 20
+        ref = banded_conv_multi(w[:, :418], kerns, lo, p, interpret=True)
+        got = banded_conv_multi(w, kerns, lo, p, n_in=418, interpret=True)
+        for g, r in zip(got, ref):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(r))
+        assert banded_conv_multi(w, kerns, lo, p, n_in=600,
+                                 interpret=True) is None
+
     def test_nan_rows_poison_in_kernel(self, rng):
         from dspeed_tpu.processors._pallas import banded_conv_multi
 
