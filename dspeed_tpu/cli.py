@@ -99,14 +99,14 @@ def dspeed_cli(argv=None) -> None:
             "not possible to set multiple output file names yet"
         )
 
-    out_files = []
+    def derive_out(raw_path: str) -> str:
+        stem = os.path.splitext(os.path.basename(raw_path))[0]
+        return stem.removesuffix("_raw") + "_dsp.lh5"
+
     if len(args.raw_lh5_file) == 1 and args.output is not None:
-        out_files.append(args.output)
+        out_files = [args.output]
     else:
-        for file in args.raw_lh5_file:
-            basename = os.path.splitext(os.path.basename(file))[0]
-            basename = basename.removesuffix("_raw")
-            out_files.append(f"{basename}_dsp.lh5")
+        out_files = [derive_out(f) for f in args.raw_lh5_file]
 
     config: dict = {}
     for cfg in args.config:
