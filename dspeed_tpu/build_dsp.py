@@ -21,7 +21,7 @@ import re
 import time
 from copy import deepcopy
 from fnmatch import fnmatch
-from typing import Collection, Mapping, MutableMapping
+from typing import Collection, Mapping, MutableMapping  # noqa: UP035
 
 from . import lh5
 from .errors import DSPFatal, ProcessingChainError
@@ -234,14 +234,12 @@ def build_dsp(
         lh5_tables = [lh5_tables]
 
     if isinstance(raw_in, (Table, LH5Iterator)):
-        if base_group is None:
-            base_group = ""
-        if lh5_tables is None:
-            lh5_tables = [""]
-        elif len(lh5_tables) > 1:
+        base_group = base_group or ""
+        lh5_tables = lh5_tables if lh5_tables is not None else [""]
+        if len(lh5_tables) > 1:
             raise RuntimeError(
-                "Cannot have more than one value in lh5_tables for input of "
-                "type Table or LH5Iterator"
+                "in-memory Table/LH5Iterator input allows a single lh5_tables "
+                f"entry, got {len(lh5_tables)}"
             )
     elif isinstance(raw_in, str):
         if base_group is None:
@@ -266,7 +264,8 @@ def build_dsp(
             raise RuntimeError(f"could not find any valid LH5 table in {raw_in}")
     else:
         raise RuntimeError(
-            f"raw_in was not a file name, Table, or LH5Iterator: {raw_in}"
+            f"unsupported raw_in type {type(raw_in).__name__!r}: expected a "
+            "file name, Table, or LH5Iterator"
         )
 
     # ---- multi-host partitioning (BASELINE config 5) ----
@@ -312,12 +311,14 @@ def build_dsp(
     if dsp_out is None:
         dsp_st = Struct()
     else:
-        if write_mode is None and os.path.isfile(dsp_out):
-            raise FileExistsError(
-                f"output file {dsp_out} exists. Set the 'write_mode' keyword"
-            )
-        if write_mode == "r" and os.path.isfile(dsp_out):
-            os.remove(dsp_out)
+        if os.path.isfile(dsp_out):
+            if write_mode is None:
+                raise FileExistsError(
+                    f"refusing to touch existing output {dsp_out}; pass "
+                    "write_mode='r'/'a'/'u'"
+                )
+            if write_mode == "r":
+                os.remove(dsp_out)
         dsp_st = LH5Store(keep_open=True)
 
     for tb in lh5_tables:
@@ -332,24 +333,20 @@ def build_dsp(
             continue
 
         # per-channel database slice (reference :247-253)
+        db_dict = database
         if tb not in ("", "raw"):
             chan_name = next(k for k in tb.split("/") if k not in ("", "raw"))
-            db_dict = database.get(chan_name) if database else None
+            db_dict = (database or {}).get(chan_name)
             if db_dict is not None:
                 log.info("Found database for %s", chan_name)
-        else:
-            db_dict = database
 
+        # entry selection shared by the main iterator and every friend
+        sel_kw = dict(
+            entry_list=entry_list, entry_mask=entry_mask,
+            i_start=i_start, n_entries=n_entries, buffer_len=buffer_len,
+        )
         if isinstance(raw_in, str):
-            lh5_in = LH5Iterator(
-                raw_in,
-                tb,
-                entry_list=entry_list,
-                entry_mask=entry_mask,
-                i_start=i_start,
-                n_entries=n_entries,
-                buffer_len=buffer_len,
-            )
+            lh5_in = LH5Iterator(raw_in, tb, **sel_kw)
         else:
             lh5_in = raw_in
 
@@ -366,17 +363,8 @@ def build_dsp(
                 group = _db_lookup(group, db_dict, "friend group")
             if isinstance(lh5_in, LH5Iterator):
                 lh5_in.add_friend(
-                    LH5Iterator(
-                        file,
-                        group,
-                        entry_list=entry_list,
-                        entry_mask=entry_mask,
-                        i_start=i_start,
-                        n_entries=n_entries,
-                        buffer_len=buffer_len,
-                    ),
-                    prefix=prefix_,
-                    suffix=suffix_,
+                    LH5Iterator(file, group, **sel_kw),
+                    prefix=prefix_, suffix=suffix_,
                 )
             else:
                 lh5_in.join(
@@ -388,10 +376,9 @@ def build_dsp(
         processors = this_config["processors"]
         _outputs = this_config["outputs"] if outputs is None else outputs
 
-        if n_entries is None:
-            tot_n_rows = len(lh5_in)
-        else:
-            tot_n_rows = min(n_entries, len(lh5_in))
+        tot_n_rows = len(lh5_in)
+        if n_entries is not None:
+            tot_n_rows = min(n_entries, tot_n_rows)
 
         if isinstance(lh5_in, LH5Iterator):
             lh5_it = lh5_in
@@ -451,15 +438,14 @@ def build_dsp(
         if isinstance(dsp_st, Struct):
             tb_fill = deepcopy(tb_out)
             tb_fill.resize(0)
-            if dsp_name != "":
-                groups = dsp_name.split("/")
-                tb_name = groups.pop(-1)
+            if dsp_name == "":
+                dsp_st = tb_fill
+            else:
+                *groups, tb_name = dsp_name.split("/")
                 node = dsp_st
                 for gr in groups:
                     node = node.setdefault(gr, Struct())
                 node[tb_name] = tb_fill
-            else:
-                dsp_st = tb_fill
 
         profile_dir = os.getenv("DSPEED_TPU_PROFILE")
         profiler_cm = None
