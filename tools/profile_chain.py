@@ -61,18 +61,43 @@ def per_step(n_ev: int, fused: bool) -> None:
 
 
 def _hlo_fusion_map(compiled_text: str):
-    """fusion name -> (source_file:line, estimated_cycles) from HLO."""
+    """fusion name -> (source_file:line, estimated_cycles) from HLO.
+
+    Parsed per line: a single lazy regex with every group optional matches
+    zero-width before the fields it is meant to capture (the round-3 source
+    column came out blank), so the name, the cycles annotation, and the
+    metadata fields are extracted independently.
+    """
     info = {}
-    for m in re.finditer(
-        r"%?([\w.-]+) = [^\n]*?(?:\"estimated_cycles\":(\d+))?[^\n]*?"
-        r"metadata={[^}]*?(?:source_file=\"([^\"]+)\"[^}]*?source_line=(\d+))?",
-        compiled_text,
-    ):
-        name, cycles, sfile, sline = m.groups()
-        src = f"{os.path.basename(sfile)}:{sline}" if sfile else ""
-        cyc = int(cycles) if cycles else None
-        if name not in info or (src and not info[name][0]):
-            info[name] = (src, cyc)
+    name_re = re.compile(r"^\s*(?:ROOT )?%?([\w.-]+) = ")
+    cyc_re = re.compile(r"\"estimated_cycles\":(\d+)")
+    src_re = re.compile(r"source_file=\"([^\"]+)\"")
+    line_re = re.compile(r"source_line=(\d+)")
+    op_re = re.compile(r"op_name=\"([^\"]+)\"")
+    for text_line in compiled_text.splitlines():
+        nm = name_re.match(text_line)
+        if nm is None:
+            continue
+        name = nm.group(1)
+        cm, sm, lm = (
+            cyc_re.search(text_line),
+            src_re.search(text_line),
+            line_re.search(text_line),
+        )
+        src = ""
+        if sm and lm:
+            src = f"{os.path.basename(sm.group(1))}:{lm.group(1)}"
+        else:
+            # newer XLA text dumps carry stack_frame_id references instead of
+            # inline file:line; the op_name path is the useful join there
+            om = op_re.search(text_line)
+            if om:
+                src = re.sub(r"^jit\([^)]*\)/", "", om.group(1))
+        cyc = int(cm.group(1)) if cm else None
+        prev = info.get(name)
+        if prev is None or (src and not prev[0]) or (cyc and not prev[1]):
+            info[name] = (src or (prev[0] if prev else ""),
+                          cyc or (prev[1] if prev else None))
     return info
 
 
