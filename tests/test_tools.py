@@ -37,3 +37,38 @@ def test_per_step_profile_fused_path(capsys):
     tool.per_step(n_ev=32, fused=True)
     out = capsys.readouterr().out
     assert "TOTAL" in out
+
+
+def test_hlo_fusion_map_labels():
+    """The HLO join must attribute instructions to a source label on BOTH
+    metadata formats: inline source_file/source_line (TPU dumps) and
+    op_name + stack_frame_id (newer CPU dumps). A zero-width-matching regex
+    regression here silently blanks the profiler's source column."""
+    tool = _load_tool()
+    inline = (
+        '  %fusion.7 = f32[16384]{0} fusion(%p0), kind=kLoop, '
+        'backend_config={"estimated_cycles":123456}, '
+        'metadata={op_name="jit(chain_fn)/reduce_min" '
+        'source_file="/repo/dspeed_tpu/processors/tp_chain.py" '
+        'source_line=102}'
+    )
+    frame = (
+        '  %and_or_fusion.9 = pred[16384,4096]{1,0} fusion(%p1), '
+        'kind=kLoop, metadata={op_name="jit(chain_fn)/jit(_where)/and" '
+        'stack_frame_id=310}'
+    )
+    info = tool._hlo_fusion_map(inline + "\n" + frame)
+    assert info["fusion.7"] == ("tp_chain.py:102", 123456)
+    assert info["and_or_fusion.9"][0] == "jit(_where)/and"
+
+
+def test_hlo_fusion_map_on_real_lowering():
+    """End-to-end: most instructions of a real compiled chain get a label."""
+    import jax
+
+    tool = _load_tool()
+    chain, inputs, _, _ = tool._build(32, True)
+    txt = jax.jit(chain._build_fn()).lower(inputs).compile().as_text()
+    info = tool._hlo_fusion_map(txt)
+    labeled = sum(1 for src, _ in info.values() if src)
+    assert labeled > len(info) * 0.3, (labeled, len(info))
