@@ -1221,3 +1221,160 @@ def fused_energy(
     if extras:
         return (pz, traps, emaxes, *extras)
     return pz, traps, emaxes
+
+
+# ---------------------------------------------------------------------------
+# chained time-point cascade: rank planes + every link's masked-iota search
+# in one VMEM pass (reference semantics: time_point_thresh.py:34-120 chained
+# per tests/configs/icpc-dsp-config.json; see processors/tp_chain.py)
+
+_TP_TILE_B = int(os.getenv("DSPEED_TPU_TP_TILE_B", "128"))
+
+
+def _cascade_kernel(w_ref, base_ref, t_ref, *out_refs, tb, n, factors, dirs,
+                    starts):
+    m = len(factors)
+    w = w_ref[:]                     # (tb, n) f32
+    base = base_ref[:]               # (tb, 1) f32
+    t = t_ref[:]                     # (tb, 1) f32
+    nanv = jnp.float32(jnp.nan)
+
+    wnan = jnp.max((w != w).astype(jnp.int32), axis=1, keepdims=True) > 0
+    ti0 = jnp.trunc(t).astype(jnp.int32)
+    in_range = (ti0 >= 0) & (ti0 < n)
+    integral = jnp.trunc(t) == t
+    root_bad = wnan | (t != t) | ~in_range | ~integral  # (tb, 1)
+
+    # python-float scales match the engine's weak-typed expression
+    # arithmetic bit-for-bit (tp_chain.py builds thresholds the same way)
+    a = [
+        jnp.float32(factors[k]) * base if factors[k] != 1.0 else base
+        for k in range(m)
+    ]
+
+    # packed rank plane P = R1 + 16*R2 (i32 in VMEM: registers are free
+    # here, unlike the XLA route's uint8 HBM plane)
+    P = jnp.zeros((tb, n), jnp.int32)
+    for k in range(m):
+        P = (
+            P
+            + (a[k] < w).astype(jnp.int32)
+            + (a[k] <= w).astype(jnp.int32) * 16
+        )
+    R1a, R1b = (P & 15)[:, :-1], (P & 15)[:, 1:]
+    R2a, R2b = (P >> 4)[:, :-1], (P >> 4)[:, 1:]
+
+    # per-link threshold ranks (tb, 1) — m^2 tiny vector ops
+    srank, crank = [], []
+    for k in range(m):
+        sk = jnp.zeros((tb, 1), jnp.int32)
+        ck = jnp.zeros((tb, 1), jnp.int32)
+        for j in range(m):
+            sk = sk + (a[j] < a[k]).astype(jnp.int32)
+            ck = ck + (a[j] <= a[k]).astype(jnp.int32)
+        srank.append(sk)
+        crank.append(ck)
+
+    iota = jax.lax.broadcasted_iota(jnp.int32, (tb, n - 1), 1)
+    results, bads = [], []
+    for k in range(m):
+        if starts[k] < 0:
+            s, sbad = ti0, root_bad
+        else:
+            s = jnp.trunc(results[starts[k]]).astype(jnp.int32)
+            sbad = bads[starts[k]]
+        sk, ck = srank[k], crank[k]
+        if dirs[k] == 1:
+            # crossing between samples i and i+1 reported at i (the XLA
+            # route's right-padded position n-1 is always False — dropped)
+            mask = ((R1a <= sk) & (sk < R1b)) | ((ck <= R2a) & (R2b < ck))
+            valid = mask & (iota >= s)
+            idx = jnp.min(jnp.where(valid, iota, n), axis=1, keepdims=True)
+            found = idx < n
+            idx = jnp.where(found, idx, 0)
+        else:
+            # crossing between i-1 and i reported at i: positions 1..n-1
+            mask = ((ck > R2a) & (ck <= R2b)) | ((sk < R1a) & (sk >= R1b))
+            pos = iota + 1
+            valid = mask & (pos <= s)
+            idx = jnp.max(jnp.where(valid, pos, -1), axis=1, keepdims=True)
+            found = idx >= 0
+            idx = jnp.where(found, idx, n - 1)
+        bad = sbad | (a[k] != a[k]) | ~found
+        results.append(jnp.where(bad, nanv, idx.astype(jnp.float32)))
+        bads.append(bad)
+
+    for k in range(m):
+        out_refs[k][:] = results[k]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tb", "n", "factors", "dirs", "starts", "interpret"),
+)
+def _cascade_call(w2, base, t, tb, n, factors, dirs, starts,
+                  interpret=False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b = w2.shape[0]
+    m = len(factors)
+    kern = functools.partial(
+        _cascade_kernel, tb=tb, n=n, factors=factors, dirs=dirs,
+        starts=starts,
+    )
+
+    def row_spec(width):
+        return pl.BlockSpec(
+            (tb, width), lambda i: (i, 0), memory_space=pltpu.VMEM
+        )
+
+    return pl.pallas_call(
+        kern,
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((b, 1), jnp.float32) for _ in range(m)
+        ),
+        grid=(b // tb,),
+        in_specs=[row_spec(n), row_spec(1), row_spec(1)],
+        out_specs=tuple(row_spec(1) for _ in range(m)),
+        interpret=interpret,
+    )(w2, base, t)
+
+
+def cascade_tp(w, a_base, t_start, factors, dirs, starts,
+               interpret: bool = False):
+    """Whole threshold cascade in one VMEM pass — the XLA route materializes
+    one (B, n) boolean mask plane per link in HBM (~0.26 ms/link at flagship
+    shapes); here the packed rank plane and every link's masked-iota search
+    stay on the resident rows. Returns the m per-row time points, or ``None``
+    when the geometry doesn't fit (caller falls back to the XLA body, which
+    is bit-identical)."""
+    *lead, n = w.shape
+    m = len(factors)
+    if m > 15 or n % 128 != 0 or n < 256:
+        return None
+    # w + P planes resident plus ~4 transient mask/iota planes per link pass
+    tb = _TP_TILE_B
+    while tb > 8 and 4 * tb * n * 6 > _BC_VMEM_BYTES:
+        tb //= 2
+    if 4 * tb * n * 6 > _BC_VMEM_BYTES:
+        return None
+
+    w2 = jnp.asarray(w, jnp.float32).reshape(-1, n)
+    b = w2.shape[0]
+    base = jnp.broadcast_to(
+        jnp.asarray(a_base, jnp.float32).reshape(-1)[:, None], (b, 1)
+    )
+    t = jnp.broadcast_to(
+        jnp.asarray(t_start, jnp.float32).reshape(-1)[:, None], (b, 1)
+    )
+    pad_b = (-b) % tb
+    if pad_b:
+        w2 = jnp.pad(w2, ((0, pad_b), (0, 0)))
+        base = jnp.pad(base, ((0, pad_b), (0, 0)))
+        t = jnp.pad(t, ((0, pad_b), (0, 0)))
+    outs = _cascade_call(
+        w2, base, t, tb=tb, n=n, factors=tuple(factors), dirs=tuple(dirs),
+        starts=tuple(starts), interpret=interpret,
+    )
+    return tuple(o[:b, 0].reshape(lead) for o in outs)

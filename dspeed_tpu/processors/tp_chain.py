@@ -60,6 +60,17 @@ def chained_time_point_thresh(factors, walk_forward, start_from) -> Kernel:
 
     def fn(w_in, a_base, t_start, badrow=None):
         n = w_in.shape[-1]
+        if m <= 15:
+            # TPU: the whole cascade in one Pallas VMEM pass — the XLA
+            # route below materializes one (B, n) mask plane per link in
+            # HBM. Bit-identical (the row-bad scan the kernel runs in VMEM
+            # is the same reduction `badrow` carries).
+            from ._pallas import cascade_tp, pallas_available
+
+            if pallas_available():
+                res = cascade_tp(w_in, a_base, t_start, factors, dirs, starts)
+                if res is not None:
+                    return tuple(r.astype(w_in.dtype) for r in res)
         base = jnp.asarray(a_base, w_in.dtype)
         t = jnp.asarray(t_start)
         ti0 = jnp.trunc(t).astype(jnp.int32)

@@ -591,3 +591,51 @@ def test_fused_energy_slope_specs_interpret(rng):
                 g, e, rtol=5e-4, atol=1e-4 * scale,
                 err_msg=f"spec {si} {nm}",
             )
+
+
+def test_cascade_tp_interpret_bit_identical(rng):
+    """Pallas VMEM cascade vs the XLA chained_time_point_thresh body: every
+    link's index must match bit-for-bit, including NaN-poisoned rows
+    (NaN waveform, NaN threshold base, NaN / non-integral / out-of-range
+    start) and ties (the flat-top rows)."""
+    import jax.numpy as jnp
+
+    from dspeed_tpu.processors._pallas import cascade_tp
+    from dspeed_tpu.processors.tp_chain import chained_time_point_thresh
+
+    factors = [1.0, 0.99, 0.95, 0.90, 0.80, 0.50, 0.20, 0.10, 0.01, 0.005]
+    dirs = [1, 1, -1, -1, -1, -1, -1, -1, -1, -1]
+    starts = [-1, -1, 1, 2, 3, 4, 5, 6, 7, 8]
+    kern = chained_time_point_thresh(factors, dirs, starts)
+
+    B, N = 64, 512
+    w = np.abs(np.cumsum(rng.normal(0.05, 1.0, (B, N)), axis=1)).astype(
+        "float32"
+    ) + 1.0
+    w[2, 50:60] = w[2, 49]  # exact ties across the extremum
+    w[3, 100] = np.nan
+    base = (np.nanmax(w, axis=1) * 0.97).astype("float32")
+    base[5] = np.nan
+    t0 = np.full(B, 40.0, "float32")
+    t0[7] = 39.5
+    t0[9] = -3.0
+    t0[11] = np.nan
+
+    ref = kern.fn(jnp.asarray(w), jnp.asarray(base), jnp.asarray(t0))
+    got = cascade_tp(w, base, t0, factors, dirs, starts, interpret=True)
+    assert got is not None
+    for k, (r, g) in enumerate(zip(ref, got)):
+        r, g = np.asarray(r), np.asarray(g)
+        same = (r == g) | (np.isnan(r) & np.isnan(g))
+        assert same.all(), (k, np.where(~same)[0][:5])
+
+
+def test_cascade_tp_geometry_gates():
+    from dspeed_tpu.processors._pallas import cascade_tp
+
+    w = np.ones((8, 500), "float32")  # n % 128 != 0
+    assert cascade_tp(w, np.ones(8, "f4"), np.zeros(8, "f4"),
+                      [1.0], [1], [-1]) is None
+    w = np.ones((8, 512), "float32")
+    assert cascade_tp(w, np.ones(8, "f4"), np.zeros(8, "f4"),
+                      [0.1] * 16, [1] * 16, [-1] * 16) is None  # m > 15
