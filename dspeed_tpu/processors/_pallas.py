@@ -100,6 +100,11 @@ def pallas_available() -> bool:
 
 _EN_TILE_B = 8
 _EN_BLK = 128  # tuned on v5e: 128-wide HIGHEST tri matmuls beat 512 by ~20%
+# Cumsum tri-matmul precision. Mosaic lowers only DEFAULT and HIGHEST;
+# HIGH (bf16x3, sufficient for ones-matrix cumsums) raises
+# NotImplementedError in the Mosaic dot lowering (checked jax 0.9, r4) —
+# revisit if Mosaic grows bf16x3 support, the MXU passes would halve.
+_EN_PRECISION = jax.lax.Precision.HIGHEST
 
 
 def _fused_energy_kernel(w_ref, bl_ref, tri_ref, tri8_ref, omc_ref,
@@ -151,7 +156,7 @@ def _fused_energy_kernel(w_ref, bl_ref, tri_ref, tri8_ref, omc_ref,
 
     wb = w.reshape(_EN_TILE_B * nb, _EN_BLK)
     tri = tri_ref[:]  # (BLK, BLK) inclusive lower-triangular ones
-    hp = jax.lax.Precision.HIGHEST  # default (bf16) rounds the ~1e8 sums
+    hp = _EN_PRECISION  # default (bf16) rounds the ~1e8 sums
     local = jnp.dot(wb, tri, preferred_element_type=jnp.float32,
                     precision=hp)  # in-blk cumsum
     sums = local[:, _EN_BLK - 1].reshape(_EN_TILE_B, nb)
@@ -1252,30 +1257,41 @@ def _cascade_kernel(w_ref, base_ref, t_ref, *out_refs, tb, n, factors, dirs,
         for k in range(m)
     ]
 
-    # packed rank plane P = R1 + 16*R2 (i32 in VMEM: registers are free
-    # here, unlike the XLA route's uint8 HBM plane)
-    P = jnp.zeros((tb, n), jnp.int32)
+    # Rank planes R1[i] = #{a_j < w[i]}, R2[i] = #{a_j <= w[i]}, then ONE
+    # link-bitmask plane per walk direction via shift arithmetic: with
+    # s_k = #{a_j < a_k} (the per-event sorted rank), every float predicate
+    # translates exactly — including ties among thresholds and between a
+    # threshold and the waveform (proof: a_k < w  <=>  R1 > s_k, and
+    # a_k <= w  <=>  R2 > s_k; both directions hold with duplicates):
+    #   fwd crossing at i:  s in [R1a, R1b)  |  s in [R2b, R2a)
+    #   bwd crossing at i+1: s in [R2a, R2b) |  s in [R1b, R1a)
+    # Each link then tests ONE bit of the direction plane — the per-link
+    # full-width work drops from four rank compares + three boolean ops to
+    # a shift and a mask (the v1 kernel measured 5.6 ms at flagship shapes,
+    # this form 2.0 ms, bit-identical).
+    R1 = jnp.zeros((tb, n), jnp.int32)
+    R2 = jnp.zeros((tb, n), jnp.int32)
     for k in range(m):
-        P = (
-            P
-            + (a[k] < w).astype(jnp.int32)
-            + (a[k] <= w).astype(jnp.int32) * 16
-        )
-    R1a, R1b = (P & 15)[:, :-1], (P & 15)[:, 1:]
-    R2a, R2b = (P >> 4)[:, :-1], (P >> 4)[:, 1:]
+        R1 = R1 + (a[k] < w).astype(jnp.int32)
+        R2 = R2 + (a[k] <= w).astype(jnp.int32)
+    ones = jnp.int32(-1)
+    E1 = ones << R1   # bit s set  <=>  s >= R1
+    E2 = ones << R2
+    E1a, E1b = E1[:, :-1], E1[:, 1:]
+    E2a, E2b = E2[:, :-1], E2[:, 1:]
+    mfwd = (E1a & ~E1b) | (E2b & ~E2a)
+    mbwd = (E2a & ~E2b) | (E1b & ~E1a)
 
-    # per-link threshold ranks (tb, 1) — m^2 tiny vector ops
-    srank, crank = [], []
+    # per-link sorted ranks (tb, 1) — m^2 tiny vector ops
+    srank = []
     for k in range(m):
         sk = jnp.zeros((tb, 1), jnp.int32)
-        ck = jnp.zeros((tb, 1), jnp.int32)
         for j in range(m):
             sk = sk + (a[j] < a[k]).astype(jnp.int32)
-            ck = ck + (a[j] <= a[k]).astype(jnp.int32)
         srank.append(sk)
-        crank.append(ck)
 
     iota = jax.lax.broadcasted_iota(jnp.int32, (tb, n - 1), 1)
+    iota1 = iota + 1
     results, bads = [], []
     for k in range(m):
         if starts[k] < 0:
@@ -1283,23 +1299,24 @@ def _cascade_kernel(w_ref, base_ref, t_ref, *out_refs, tb, n, factors, dirs,
         else:
             s = jnp.trunc(results[starts[k]]).astype(jnp.int32)
             sbad = bads[starts[k]]
-        sk, ck = srank[k], crank[k]
+        sk = srank[k]
         if dirs[k] == 1:
             # crossing between samples i and i+1 reported at i (the XLA
             # route's right-padded position n-1 is always False — dropped)
-            mask = ((R1a <= sk) & (sk < R1b)) | ((ck <= R2a) & (R2b < ck))
-            valid = mask & (iota >= s)
-            idx = jnp.min(jnp.where(valid, iota, n), axis=1, keepdims=True)
+            tst = ((mfwd >> sk) & 1) != 0
+            idx = jnp.min(
+                jnp.where(tst & (iota >= s), iota, n), axis=1, keepdims=True
+            )
             found = idx < n
-            idx = jnp.where(found, idx, 0)
         else:
             # crossing between i-1 and i reported at i: positions 1..n-1
-            mask = ((ck > R2a) & (ck <= R2b)) | ((sk < R1a) & (sk >= R1b))
-            pos = iota + 1
-            valid = mask & (pos <= s)
-            idx = jnp.max(jnp.where(valid, pos, -1), axis=1, keepdims=True)
+            tst = ((mbwd >> sk) & 1) != 0
+            idx = jnp.max(
+                jnp.where(tst & (iota1 <= s), iota1, -1), axis=1,
+                keepdims=True,
+            )
             found = idx >= 0
-            idx = jnp.where(found, idx, n - 1)
+        # not-found rows are NaN-masked below, so idx needs no fallback
         bad = sbad | (a[k] != a[k]) | ~found
         results.append(jnp.where(bad, nanv, idx.astype(jnp.float32)))
         bads.append(bad)
@@ -1353,21 +1370,27 @@ def cascade_tp(w, a_base, t_start, factors, dirs, starts,
     m = len(factors)
     if m > 15 or n % 128 != 0 or n < 256:
         return None
-    # w + P planes resident plus ~4 transient mask/iota planes per link pass
+    # w + two rank planes + two shift planes + two direction bitmask planes
+    # resident, plus iota and ~1 transient mask plane per link pass (the
+    # coefficient matches the compiler's measured scoped-vmem footprint:
+    # tb=128 at n=4096 wants ~17 MB and aborts, tb=64 fits)
     tb = _TP_TILE_B
-    while tb > 8 and 4 * tb * n * 6 > _BC_VMEM_BYTES:
+    while tb > 8 and 4 * tb * n * 8 > _BC_VMEM_BYTES:
         tb //= 2
-    if 4 * tb * n * 6 > _BC_VMEM_BYTES:
+    if 4 * tb * n * 8 > _BC_VMEM_BYTES:
         return None
 
     w2 = jnp.asarray(w, jnp.float32).reshape(-1, n)
     b = w2.shape[0]
+    # broadcast to the full leading batch shape first (mirrors the XLA
+    # route): partially-broadcastable shapes like (C, 1) vs (C, B, n)
+    # stacked channels must expand, not just flatten
     base = jnp.broadcast_to(
-        jnp.asarray(a_base, jnp.float32).reshape(-1)[:, None], (b, 1)
-    )
+        jnp.asarray(a_base, jnp.float32), tuple(lead)
+    ).reshape(-1)[:, None]
     t = jnp.broadcast_to(
-        jnp.asarray(t_start, jnp.float32).reshape(-1)[:, None], (b, 1)
-    )
+        jnp.asarray(t_start, jnp.float32), tuple(lead)
+    ).reshape(-1)[:, None]
     pad_b = (-b) % tb
     if pad_b:
         w2 = jnp.pad(w2, ((0, pad_b), (0, 0)))

@@ -60,11 +60,13 @@ def chained_time_point_thresh(factors, walk_forward, start_from) -> Kernel:
 
     def fn(w_in, a_base, t_start, badrow=None):
         n = w_in.shape[-1]
-        if m <= 15:
+        if m <= 15 and jnp.asarray(w_in).dtype == jnp.float32:
             # TPU: the whole cascade in one Pallas VMEM pass — the XLA
             # route below materializes one (B, n) mask plane per link in
             # HBM. Bit-identical (the row-bad scan the kernel runs in VMEM
-            # is the same reduction `badrow` carries).
+            # is the same reduction `badrow` carries). f64 inputs (the
+            # kernel's declared d->d type under x64) stay on the XLA route:
+            # the kernel compares in f32 and would flip crossings.
             from ._pallas import cascade_tp, pallas_available
 
             if pallas_available():

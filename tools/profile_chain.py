@@ -95,9 +95,15 @@ def _hlo_fusion_map(compiled_text: str):
                 src = re.sub(r"^jit\([^)]*\)/", "", om.group(1))
         cyc = int(cm.group(1)) if cm else None
         prev = info.get(name)
-        if prev is None or (src and not prev[0]) or (cyc and not prev[1]):
-            info[name] = (src or (prev[0] if prev else ""),
-                          cyc or (prev[1] if prev else None))
+        if (
+            prev is None
+            or (src and not prev[0])
+            or (cyc is not None and prev[1] is None)
+        ):
+            info[name] = (
+                src or (prev[0] if prev else ""),
+                cyc if cyc is not None else (prev[1] if prev else None),
+            )
     return info
 
 
