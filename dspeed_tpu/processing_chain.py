@@ -1104,6 +1104,10 @@ class ProcessingChain:
         # each helper substitutes one pattern instance per call: iterate to
         # a fixpoint so chains with several energy fronts / cascades fuse
         # them all (bounded by the step count)
+        # energy front first: a trapezoid with an amax belongs to it; the
+        # t0 front's atrap absorption (measured +1.7 ms from the extra
+        # in-kernel prefix sum at flagship shapes, r4) only claims traps
+        # the energy front left behind (chains without an amax'd trap)
         for fuse in (
             self._fuse_energy_front,
             self._fuse_tp_cascade,
@@ -1596,14 +1600,52 @@ class ProcessingChain:
                             w_step, a_step = ws, asx
                             break
                         break
-                    kern = fused_t0_front(k_spec.value, curr_spec=curr_spec)
+                    # optional pileup-trap absorption: a const-parameter
+                    # trapezoid of the SAME waveform whose only reader is a
+                    # backward time_point_thresh against the SAME threshold
+                    # and start (the flagship's tp_0_atrap) — both the trap
+                    # plane and the search's full re-read disappear
+                    atrap_spec = at_step = at_tp = None
+                    for st2 in steps:
+                        spec2 = self._trap_spec_of(st2, in_key)
+                        if spec2 is None or len(st2.out_specs) != 1:
+                            continue
+                        t_key = st2.out_specs[0].key
+                        if reads.get(t_key, 0) != 1:
+                            continue
+                        tp2 = next(
+                            (
+                                s2
+                                for s2 in steps
+                                if self._kname(s2) == "time_point_thresh"
+                                and len(s2.arg_specs) == 4
+                                and len(s2.out_specs) == 1
+                                and self._env_key(s2.arg_specs[0]) == t_key
+                                and self._env_key(s2.arg_specs[1]) == thr_key
+                                and self._env_key(s2.arg_specs[2])
+                                == tpstart_key
+                            ),
+                            None,
+                        )
+                        if tp2 is None:
+                            continue
+                        walk2 = self._const_scalar(tp2.arg_specs[3])
+                        if walk2 is None or int(walk2) != 0:
+                            continue
+                        atrap_spec, at_step, at_tp = spec2, st2, tp2
+                        break
+                    kern = fused_t0_front(
+                        k_spec.value, curr_spec=curr_spec,
+                        atrap_spec=atrap_spec,
+                    )
                     fused = KernelStep(
                         self,
                         kern,
                         [cv.params[0], thr_var]
                         + [s.var for s in mm.out_specs]
                         + [tp.out_specs[0].var]
-                        + ([a_step.out_specs[0].var] if curr_spec else []),
+                        + ([a_step.out_specs[0].var] if curr_spec else [])
+                        + ([at_tp.out_specs[0].var] if atrap_spec else []),
                         {},
                     )
                     for idx in sorted((i, j, k), reverse=True):
@@ -1612,6 +1654,9 @@ class ProcessingChain:
                     if curr_spec is not None:
                         steps.remove(w_step)
                         steps.remove(a_step)
+                    if atrap_spec is not None:
+                        steps.remove(at_step)
+                        steps.remove(at_tp)
                     return ["fused_t0_front"]
         return []
 

@@ -107,6 +107,75 @@ _EN_BLK = 128  # tuned on v5e: 128-wide HIGHEST tri matmuls beat 512 by ~20%
 _EN_PRECISION = jax.lax.Precision.HIGHEST
 
 
+def _blocked_prefix(x, tri, tri8x, tb, n):
+    """Inclusive prefix sum along rows: per-block triangular matmul (MXU)
+    plus matmul-computed carries — no sequential scan. ``tri`` is the
+    (BLK, BLK) inclusive lower-triangular ones (transposed), ``tri8x`` the
+    (nb, nb) strictly-upper ones for the exclusive block carry."""
+    nb = n // _EN_BLK
+    xb = x.reshape(tb * nb, _EN_BLK)
+    hp = _EN_PRECISION  # default (bf16) rounds the ~1e8 sums
+    local = jnp.dot(xb, tri, preferred_element_type=jnp.float32,
+                    precision=hp)
+    sums = local[:, _EN_BLK - 1].reshape(tb, nb)
+    carry = jnp.dot(sums, tri8x, preferred_element_type=jnp.float32,
+                    precision=hp)
+    return (local.reshape(tb, nb, _EN_BLK)
+            + carry[:, :, None]).reshape(tb, n)
+
+
+def _trap_windows(x, xsum, specs, tb, n):
+    """Trapezoids from a value plane ``x`` and its prefix plane ``xsum``
+    (both ``(tb, n)``), one per spec with spec-identical traps deduped —
+    the same short/long window policy as the fused energy front (short
+    windows add the samples directly: prefix differences of the
+    ~1e8-magnitude sums would leave eps*|sum| ~ O(1) absolute error that a
+    short normalization cannot hide; long windows amortize the rounding
+    and use the prefix difference)."""
+
+    def shifted(k):
+        # xsum[i-k] with zero fill for i < k
+        if k == 0:
+            return xsum
+        pad = jnp.zeros((tb, k), jnp.float32)
+        return jnp.concatenate([pad, xsum[:, : n - k]], axis=1)
+
+    def x_shift(k):
+        if k == 0:
+            return x
+        pad = jnp.zeros((tb, k), jnp.float32)
+        return jnp.concatenate([pad, x[:, : n - k]], axis=1)
+
+    def window_sum(length, off):
+        """Sum of x over ``[t-off-length+1, t-off]`` per output t."""
+        if length <= 32:
+            acc = x_shift(off)
+            for k in range(off + 1, off + length):
+                acc = acc + x_shift(k)
+            return acc
+        return shifted(off) - shifted(off + length)
+
+    done = {}
+    traps = []
+    for spec in specs:
+        if spec in done:
+            traps.append(done[spec])
+            continue
+        if spec[0] == "norm":
+            rise, flat = spec[1], spec[2]
+            trap = (
+                window_sum(rise, 0) - window_sum(rise, rise + flat)
+            ) * (1.0 / rise)
+        else:  # asym: per-section normalization
+            rise, flat, fall = spec[1], spec[2], spec[3]
+            trap = window_sum(rise, 0) * (1.0 / rise) - window_sum(
+                fall, rise + flat
+            ) * (1.0 / fall)
+        done[spec] = trap
+        traps.append(trap)
+    return traps
+
+
 def _fused_energy_kernel(w_ref, bl_ref, tri_ref, tri8_ref, omc_ref,
                          *refs, trap_specs: tuple, n: int,
                          emax_for: tuple = (0,), emit_blsub: bool = False,
@@ -154,77 +223,18 @@ def _fused_energy_kernel(w_ref, bl_ref, tri_ref, tri8_ref, omc_ref,
     def poison(x):
         return jnp.where(bad, nanv, x)
 
-    wb = w.reshape(_EN_TILE_B * nb, _EN_BLK)
     tri = tri_ref[:]  # (BLK, BLK) inclusive lower-triangular ones
-    hp = _EN_PRECISION  # default (bf16) rounds the ~1e8 sums
-    local = jnp.dot(wb, tri, preferred_element_type=jnp.float32,
-                    precision=hp)  # in-blk cumsum
-    sums = local[:, _EN_BLK - 1].reshape(_EN_TILE_B, nb)
     tri8x = tri8_ref[:]  # (nb, nb) strictly-lower ones: exclusive carry
-    carry = jnp.dot(sums, tri8x, preferred_element_type=jnp.float32,
-                    precision=hp)
-    S = (local.reshape(_EN_TILE_B, nb, _EN_BLK)
-         + carry[:, :, None]).reshape(_EN_TILE_B, n)
-
-    sb = S.reshape(_EN_TILE_B * nb, _EN_BLK)
-    local2 = jnp.dot(sb, tri, preferred_element_type=jnp.float32,
-                     precision=hp)
-    sums2 = local2[:, _EN_BLK - 1].reshape(_EN_TILE_B, nb)
-    carry2 = jnp.dot(sums2, tri8x, preferred_element_type=jnp.float32,
-                     precision=hp)
-    S2 = (local2.reshape(_EN_TILE_B, nb, _EN_BLK)
-          + carry2[:, :, None]).reshape(_EN_TILE_B, n)
+    S = _blocked_prefix(w, tri, tri8x, _EN_TILE_B, n)
+    S2 = _blocked_prefix(S, tri, tri8x, _EN_TILE_B, n)
 
     pz = w + omc * (S - w)
     pz_ref[:] = poison(pz)
     spz = (1.0 - omc) * S + omc * S2
 
-    def shifted(k):
-        # Spz[i-k] with zero fill for i < k
-        if k == 0:
-            return spz
-        pad = jnp.zeros((_EN_TILE_B, k), jnp.float32)
-        return jnp.concatenate([pad, spz[:, : n - k]], axis=1)
-
-    def pz_shift(k):
-        if k == 0:
-            return pz
-        pad = jnp.zeros((_EN_TILE_B, k), jnp.float32)
-        return jnp.concatenate([pad, pz[:, : n - k]], axis=1)
-
-    def window_sum(length, off):
-        """Sum of pz over ``[t-off-length+1, t-off]`` per output t.
-
-        Short windows add the samples directly (prefix differences of the
-        ~1e8-magnitude Spz would leave eps*|Spz| ~ O(1) absolute error,
-        which a /8 normalization cannot hide); long windows amortize that
-        rounding over the window length and use the Spz difference.
-        """
-        if length <= 32:
-            acc = pz_shift(off)
-            for k in range(off + 1, off + length):
-                acc = acc + pz_shift(k)
-            return acc
-        return shifted(off) - shifted(off + length)
-
-    done = {}
-    traps = []
-    for spec, t_ref in zip(trap_specs, trap_refs):
-        if spec in done:
-            trap = done[spec]
-        elif spec[0] == "norm":
-            rise, flat = spec[1], spec[2]
-            trap = (
-                window_sum(rise, 0) - window_sum(rise, rise + flat)
-            ) * (1.0 / rise)
-        else:  # asym: per-section normalization
-            rise, flat, fall = spec[1], spec[2], spec[3]
-            trap = window_sum(rise, 0) * (1.0 / rise) - window_sum(
-                fall, rise + flat
-            ) * (1.0 / fall)
-        done[spec] = trap
+    traps = _trap_windows(pz, spz, trap_specs, _EN_TILE_B, n)
+    for trap, t_ref in zip(traps, trap_refs):
         t_ref[:] = poison(trap)
-        traps.append(trap)
     emax_done = {}
     for ti, e_ref in zip(emax_for, emax_refs):
         if ti not in emax_done:
@@ -241,7 +251,7 @@ def _fused_energy_kernel(w_ref, bl_ref, tri_ref, tri8_ref, omc_ref,
         ).astype(jnp.float32)
         sum_y = jnp.sum(x, axis=1, keepdims=True)
         sum_xy = jnp.dot(x, icol, preferred_element_type=jnp.float32,
-                         precision=hp)
+                         precision=_EN_PRECISION)
         mean = sum_y / L
         if L > 1:
             var = jnp.sum((x - mean) ** 2, axis=1, keepdims=True) / (L - 1)
@@ -931,9 +941,11 @@ def banded_conv_multi(w, kerns, lo, p, n_in=None, interpret: bool = False):
 _T0_TILE_B = int(os.getenv("DSPEED_TPU_T0_TILE_B", "64"))
 
 
-def _fused_t0_kernel(w_ref, A_ref, std_ref, tmin_ref, tmax_ref, amin_ref,
-                     amax_ref, tp0_ref, *refs, tb, n, span, blk, nblk, base,
-                     pad_l, pad_r, curr_spec=None):
+def _fused_t0_kernel(w_ref, A_ref, std_ref, *refs, tb, n, span, blk, nblk,
+                     base, pad_l, pad_r, curr_spec=None, atrap_spec=None):
+    if atrap_spec is not None:
+        tri_ref, tri8_ref, *refs = refs
+    tmin_ref, tmax_ref, amin_ref, amax_ref, tp0_ref, *refs = refs
     w = w_ref[:]
     bad = jnp.max((w != w).astype(jnp.int32), axis=1, keepdims=True) > 0
     nanv = jnp.float32(jnp.nan)
@@ -974,6 +986,26 @@ def _fused_t0_kernel(w_ref, A_ref, std_ref, tmin_ref, tmax_ref, amin_ref,
     amax_ref[:] = poison(a_max)
     tp0_ref[:] = poison(tp0)
 
+    if atrap_spec is not None:
+        # absorbed trapezoid + backward threshold search off the SAME rows
+        # (the flagship's tp_0_atrap: asym_trap_filter(wf_pz) ->
+        # time_point_thresh(wf_atrap, bl_std, tp_start, 0)) — the trap
+        # plane never exists in HBM and the separate search fusion's full
+        # re-read disappears. Same prefix-sum trap formulation as the
+        # energy front; the search mirrors the conv search above.
+        tpa_ref = refs[-1]
+        S = _blocked_prefix(w, tri_ref[:], tri8_ref[:], tb, n)
+        (atr,) = _trap_windows(w, S, (atrap_spec,), tb, n)
+        at0 = atr[:, :-1]
+        at1 = atr[:, 1:]
+        cross_a = ((at0 < a) & (a <= at1)) | ((at0 > a) & (a >= at1))
+        valid_a = cross_a & (iota1 <= t_max)
+        idx_a = jnp.max(jnp.where(valid_a, iota1, -1), axis=1, keepdims=True)
+        tpa = jnp.where(
+            (idx_a >= 0) & ~jnp.isnan(a), idx_a.astype(jnp.float32), nanv
+        )
+        tpa_ref[:] = poison(tpa)
+
     if curr_spec is not None:
         # absorbed windower(w, tp0, win_m) -> avg_current(., avg_len): the
         # rows are resident and tp0 is in-register, so the A/E current
@@ -1010,10 +1042,12 @@ def _fused_t0_kernel(w_ref, A_ref, std_ref, tmin_ref, tmax_ref, amin_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("tb", "n", "span", "blk", "nblk", "base", "pad_l",
-                     "pad_r", "curr_spec", "interpret"),
+                     "pad_r", "curr_spec", "atrap_spec", "interpret"),
 )
 def _fused_t0_call(w2, A, std, tb, n, span, blk, nblk, base, pad_l, pad_r,
-                   curr_spec=None, interpret=False):
+                   curr_spec=None, atrap_spec=None, interpret=False):
+    import numpy as np
+
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -1021,6 +1055,7 @@ def _fused_t0_call(w2, A, std, tb, n, span, blk, nblk, base, pad_l, pad_r,
     kern = functools.partial(
         _fused_t0_kernel, tb=tb, n=n, span=span, blk=blk, nblk=nblk,
         base=base, pad_l=pad_l, pad_r=pad_r, curr_spec=curr_spec,
+        atrap_spec=atrap_spec,
     )
 
     def row_spec(width):
@@ -1028,6 +1063,26 @@ def _fused_t0_call(w2, A, std, tb, n, span, blk, nblk, base, pad_l, pad_r,
             (tb, width), lambda i: (i, 0), memory_space=pltpu.VMEM
         )
 
+    in_specs = [
+        row_spec(w2.shape[1]),
+        pl.BlockSpec((span, blk), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        row_spec(1),
+    ]
+    args = [w2, A, std]
+    if atrap_spec is not None:
+        nb = n // _EN_BLK
+        tri = jnp.asarray(
+            np.tril(np.ones((_EN_BLK, _EN_BLK), np.float32)).T
+        )
+        tri8 = jnp.asarray(np.triu(np.ones((nb, nb), np.float32), 1))
+        in_specs += [
+            pl.BlockSpec((_EN_BLK, _EN_BLK), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, nb), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        args += [tri, tri8]
     out_shape = [jax.ShapeDtypeStruct((b, 1), jnp.float32)] * 5
     out_specs = [row_spec(1)] * 5
     if curr_spec is not None:
@@ -1035,22 +1090,21 @@ def _fused_t0_call(w2, A, std, tb, n, span, blk, nblk, base, pad_l, pad_r,
             jax.ShapeDtypeStruct((b, curr_spec[2]), jnp.float32)
         )
         out_specs.append(row_spec(curr_spec[2]))
+    if atrap_spec is not None:
+        out_shape.append(jax.ShapeDtypeStruct((b, 1), jnp.float32))
+        out_specs.append(row_spec(1))
     return pl.pallas_call(
         kern,
         out_shape=tuple(out_shape),
         grid=(b // tb,),
-        in_specs=[
-            row_spec(w2.shape[1]),
-            pl.BlockSpec((span, blk), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            row_spec(1),
-        ],
+        in_specs=in_specs,
         out_specs=tuple(out_specs),
         interpret=interpret,
-    )(w2, A, std)
+    )(*args)
 
 
-def fused_t0(w, kern_arr, a_std, curr_spec=None, interpret: bool = False):
+def fused_t0(w, kern_arr, a_std, curr_spec=None, atrap_spec=None,
+             interpret: bool = False):
     """Fused ``convolve_wf(w, kern, 's') -> min_max -> time_point_thresh(
     ..., a_std, tp_start, 0)``: returns ``(t_min, t_max, a_min, a_max,
     tp_0)`` per row, with ``wf_t0_filter`` never leaving VMEM — or ``None``
@@ -1059,13 +1113,21 @@ def fused_t0(w, kern_arr, a_std, curr_spec=None, interpret: bool = False):
     With ``curr_spec = (win_m, avg_len, n_curr)`` the A/E current branch
     ``avg_current(windower(w, tp_0, win_m), avg_len)`` is absorbed too and
     a sixth ``(..., n_curr)`` output is appended — wf_pz is never re-read
-    for the window, and ``wf_le`` never exists in HBM."""
+    for the window, and ``wf_le`` never exists in HBM. With ``atrap_spec``
+    (a ``("norm", rise, flat)`` / ``("asym", rise, flat, fall)`` trap
+    tuple) the pileup trapezoid + its backward threshold search
+    ``time_point_thresh(trap(w), a_std, tp_start, 0)`` is absorbed as a
+    final scalar output — the trap plane never reaches HBM."""
     import numpy as np
 
     from .convolutions import _band_matrix
 
     *lead, n = w.shape
     m = int(kern_arr.shape[-1])
+    if atrap_spec is not None:
+        atrap_spec = tuple(atrap_spec)
+        if n % _EN_BLK != 0:
+            return None  # the absorbed trap's blocked prefix needs 128 | n
     lo = (m - 1) // 2  # numpy 'same' window
     blk = _BC_BLK
     nblk = -(-n // blk)
@@ -1081,13 +1143,15 @@ def fused_t0(w, kern_arr, a_std, curr_spec=None, interpret: bool = False):
     def vmem_bytes(tb):
         # input block + padded copy + band matrix + conv cols/result +
         # crossing masks/iota intermediates (~2 more row-width planes) +
-        # the windower's log-shift working set
+        # the windower's log-shift working set + the absorbed trap's
+        # prefix/trap/mask planes
         return 4 * (
             2 * tb * (n + pad_l + pad_r)
             + span * blk
             + tb * (nblk * blk + n)
             + 2 * tb * n
             + 3 * tb * (n + 2 * win_m)
+            + (4 * tb * n if atrap_spec is not None else 0)
         )
 
     tb = _T0_TILE_B
@@ -1099,8 +1163,8 @@ def fused_t0(w, kern_arr, a_std, curr_spec=None, interpret: bool = False):
     w2 = jnp.asarray(w, jnp.float32).reshape(-1, n)
     b = w2.shape[0]
     std = jnp.broadcast_to(
-        jnp.asarray(a_std, jnp.float32).reshape(-1)[:, None], (b, 1)
-    )
+        jnp.asarray(a_std, jnp.float32), tuple(lead)
+    ).reshape(-1)[:, None]
     pad_b = (-b) % tb
     if pad_b:
         w2 = jnp.pad(w2, ((0, pad_b), (0, 0)))
@@ -1108,11 +1172,16 @@ def fused_t0(w, kern_arr, a_std, curr_spec=None, interpret: bool = False):
     A = jnp.asarray(_band_matrix([kern_arr], blk).astype(np.float32))
     outs = _fused_t0_call(
         w2, A, std, tb=tb, n=n, span=span, blk=blk, nblk=nblk, base=base,
-        pad_l=pad_l, pad_r=pad_r, curr_spec=curr_spec, interpret=interpret,
+        pad_l=pad_l, pad_r=pad_r, curr_spec=curr_spec,
+        atrap_spec=atrap_spec, interpret=interpret,
     )
     res = [o[:b, 0].reshape(lead) for o in outs[:5]]
+    pos = 5
     if curr_spec is not None:
-        res.append(outs[5][:b].reshape(*lead, curr_spec[2]))
+        res.append(outs[pos][:b].reshape(*lead, curr_spec[2]))
+        pos += 1
+    if atrap_spec is not None:
+        res.append(outs[pos][:b, 0].reshape(lead))
     return tuple(res)
 
 

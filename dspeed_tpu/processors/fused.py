@@ -166,7 +166,7 @@ def fused_current_front(
     )
 
 
-def fused_t0_front(kernel_arr, curr_spec=None) -> Kernel:
+def fused_t0_front(kernel_arr, curr_spec=None, atrap_spec=None) -> Kernel:
     """Factory: the t0/pileup branch — ``convolve_wf(w, kern, 's')`` ->
     ``min_max`` -> ``time_point_thresh(conv, a_std, tp_start, 0)``
     (reference ``convolutions.py:24``, ``min_max.py:19``,
@@ -177,9 +177,15 @@ def fused_t0_front(kernel_arr, curr_spec=None) -> Kernel:
     ``curr_spec = (win_m, avg_len, n_curr)`` the A/E current
     ``avg_current(windower(w, tp_0, win_m), avg_len)`` (reference
     ``windower.py:17``, ``moving_windows.py:211``) is absorbed as a sixth
-    output, so ``wf_pz`` is not re-read and ``wf_le`` never exists. The
-    XLA fallback composes the original kernel bodies (bit-identical to the
-    unfused steps, which the fusion pass relies on)."""
+    output, so ``wf_pz`` is not re-read and ``wf_le`` never exists. With
+    ``atrap_spec`` (a ``("norm", rise, flat)`` / ``("asym", rise, flat,
+    fall)`` trap tuple) the pileup trapezoid + its backward threshold
+    search ``time_point_thresh(trap(w), a_std, tp_start, 0)`` (reference
+    ``trap_filters.py:160``, ``time_point_thresh.py:20``) is absorbed as a
+    final scalar output — the trap plane never reaches HBM and the
+    search's full-array re-read disappears. The XLA fallback composes the
+    original kernel bodies (bit-identical to the unfused steps, which the
+    fusion pass relies on)."""
     kern_arr = np.asarray(kernel_arr)
     if kern_arr.ndim != 1 or np.isnan(kern_arr).any():
         raise DSPFatal("fused_t0_front needs a 1-D NaN-free kernel")
@@ -187,6 +193,16 @@ def fused_t0_front(kernel_arr, curr_spec=None) -> Kernel:
         curr_spec = tuple(int(x) for x in curr_spec)
         if len(curr_spec) != 3 or curr_spec[1] <= 0:
             raise DSPFatal("curr_spec must be (win_m, avg_len, n_curr)")
+    if atrap_spec is not None:
+        if atrap_spec[0] == "norm":
+            atrap_spec = ("norm", int(atrap_spec[1]), int(atrap_spec[2]))
+        elif atrap_spec[0] == "asym":
+            atrap_spec = (
+                "asym", int(atrap_spec[1]), int(atrap_spec[2]),
+                int(atrap_spec[3]),
+            )
+        else:
+            raise DSPFatal(f"unknown trap spec kind {atrap_spec[0]!r}")
 
     def fn(w_in, a_std, badrow=None):
         from ._pallas import fused_t0
@@ -195,7 +211,10 @@ def fused_t0_front(kernel_arr, curr_spec=None) -> Kernel:
         if kern_arr.shape[-1] > n:
             raise DSPFatal("The filter is longer than the input waveform")
         if pallas_available():
-            outs = fused_t0(w_in, kern_arr, a_std, curr_spec=curr_spec)
+            outs = fused_t0(
+                w_in, kern_arr, a_std, curr_spec=curr_spec,
+                atrap_spec=atrap_spec,
+            )
             if outs is not None:  # None: geometry too big for VMEM
                 return tuple(o.astype(w_in.dtype) for o in outs)
         from .convolutions import convolve_wf
@@ -205,18 +224,34 @@ def fused_t0_front(kernel_arr, curr_spec=None) -> Kernel:
         (c,) = convolve_wf(w_in, kern_arr, np.int8(ord("s")), dims={"p": n})
         t_min, t_max, a_min, a_max = min_max(c)
         (tp0,) = time_point_thresh(c, a_std, t_max, 0)
-        if curr_spec is None:
-            return t_min, t_max, a_min, a_max, tp0
-        from .moving_windows import avg_current
-        from .windower import windower
+        res = [t_min, t_max, a_min, a_max, tp0]
+        if curr_spec is not None:
+            from .moving_windows import avg_current
+            from .windower import windower
 
-        win_m, avg_len, n_curr = curr_spec
-        (wle,) = windower(w_in, tp0, dims={"m": win_m})
-        (curr,) = avg_current(wle, float(avg_len), dims={"m": n_curr})
-        return t_min, t_max, a_min, a_max, tp0, curr
+            win_m, avg_len, n_curr = curr_spec
+            (wle,) = windower(w_in, tp0, dims={"m": win_m})
+            (curr,) = avg_current(wle, float(avg_len), dims={"m": n_curr})
+            res.append(curr)
+        if atrap_spec is not None:
+            from .trap_filters import asym_trap_filter, trap_norm
 
-    nout = 5 + (curr_spec is not None)
-    sig = "(n),()->(),(),(),(),()" + (",(p)" if curr_spec else "")
+            if atrap_spec[0] == "norm":
+                (atr,) = trap_norm(w_in, atrap_spec[1], atrap_spec[2])
+            else:
+                (atr,) = asym_trap_filter(
+                    w_in, atrap_spec[1], atrap_spec[2], atrap_spec[3]
+                )
+            (tpa,) = time_point_thresh(atr, a_std, t_max, 0)
+            res.append(tpa)
+        return tuple(res)
+
+    nout = 5 + (curr_spec is not None) + (atrap_spec is not None)
+    sig = (
+        "(n),()->(),(),(),(),()"
+        + (",(p)" if curr_spec else "")
+        + (",()" if atrap_spec else "")
+    )
     return Kernel(
         fn,
         sig,

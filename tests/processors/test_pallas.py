@@ -639,3 +639,143 @@ def test_cascade_tp_geometry_gates():
     w = np.ones((8, 512), "float32")
     assert cascade_tp(w, np.ones(8, "f4"), np.zeros(8, "f4"),
                       [0.1] * 16, [1] * 16, [-1] * 16) is None  # m > 15
+
+
+def test_fused_t0_atrap_absorption_interpret(rng):
+    """atrap_spec path: the absorbed trapezoid + backward threshold search
+    (the flagship's tp_0_atrap) must match the standalone asym_trap_filter
+    -> time_point_thresh driven by the fused tp_start, within the blocked
+    prefix-sum formulation's rounding (indices exact except near-ties)."""
+    from dspeed_tpu.processors._pallas import fused_t0
+    from dspeed_tpu.processors.min_max import min_max
+    from dspeed_tpu.processors.convolutions import convolve_wf
+    from dspeed_tpu.processors.time_point_thresh import time_point_thresh
+    from dspeed_tpu.processors.trap_filters import asym_trap_filter
+
+    n = 512
+    w = np.cumsum(rng.normal(0.2, 1.0, (12, n)), axis=1).astype("float32")
+    w[9, :] = np.nan
+    kern = rng.normal(0, 1, 33)
+    kern /= np.abs(kern).sum()
+    std = rng.uniform(0.5, 2.0, 12).astype("float32")
+    spec = ("asym", 8, 4, 32)
+    outs = fused_t0(w, kern, std, atrap_spec=spec, interpret=True)
+    assert len(outs) == 6
+    got = np.asarray(outs[5])
+    # reference composition off the same start (the conv's t_max)
+    (c,) = convolve_wf(w, kern, np.int8(ord("s")), dims={"p": n})
+    _, t_max, _, _ = min_max(np.asarray(c))
+    (atr,) = asym_trap_filter(w, spec[1], spec[2], spec[3])
+    (want,) = time_point_thresh(
+        np.asarray(atr), std, np.asarray(t_max), 0
+    )
+    want = np.asarray(want)
+    assert np.isnan(got[9]) and np.isnan(want[9])
+    neq = np.nan_to_num(got, nan=-1) != np.nan_to_num(want, nan=-1)
+    assert neq.sum() <= 1, (got, want)  # near-tie rounding at most
+
+
+def test_t0_front_claims_orphan_trap_search():
+    """In a chain with no amax'd trapezoid (no energy front), the t0 front
+    absorbs a pileup trap + backward search whose threshold and start it
+    already holds, and the fused outputs are bit-identical to the unfused
+    chain (CPU takes the XLA fallback composition). In the flagship chain
+    the energy front claims the trap first (measured faster on v5e, r4) —
+    that wiring is covered by the flagship fusion tests."""
+    import os as _os
+
+    import jax
+
+    from dspeed_tpu.processing_chain import build_processing_chain
+    from dspeed_tpu import lh5
+
+    rng = np.random.default_rng(7)
+    wf = np.cumsum(
+        rng.normal(0.2, 1.0, (16, 512)), axis=1
+    ).astype("float32")
+    thr = np.full(16, 1.5, "float32")
+    tb = lh5.Table(
+        {
+            "waveform": lh5.WaveformTable(
+                values=wf, t0=0.0, t0_units="ns", dt=16.0, dt_units="ns"
+            ),
+            "thr": lh5.Array(thr),
+        }
+    )
+    cfg = {
+        "outputs": ["tp_0_est", "tp_0_atrap"],
+        "processors": {
+            "t0_kernel": {
+                "function": "t0_filter",
+                "module": "dspeed_tpu.processors",
+                "args": [
+                    "8*ns/waveform.period", "128*ns/waveform.period",
+                    "t0_kernel(round((8*ns+128*ns)/waveform.period), 'f')",
+                ],
+            },
+            "wf_t0f": {
+                "function": "convolve_wf",
+                "module": "dspeed_tpu.processors",
+                "args": [
+                    "waveform", "t0_kernel", "'s'",
+                    "wf_t0f(len(waveform), 'f', grid=waveform.grid)",
+                ],
+            },
+            "conv_tmin, tp_start, conv_min, conv_max": {
+                "function": "min_max",
+                "module": "dspeed_tpu.processors",
+                "args": [
+                    "wf_t0f", "conv_tmin", "tp_start", "conv_min",
+                    "conv_max",
+                ],
+            },
+            "tp_0_est": {
+                "function": "time_point_thresh",
+                "module": "dspeed_tpu.processors",
+                "args": ["wf_t0f", "thr", "tp_start", 0, "tp_0_est"],
+            },
+            "wf_atr": {
+                "function": "asym_trap_filter",
+                "module": "dspeed_tpu.processors",
+                "args": ["waveform", "8", "4", "32", "wf_atr"],
+            },
+            "tp_0_atrap": {
+                "function": "time_point_thresh",
+                "module": "dspeed_tpu.processors",
+                "args": ["wf_atr", "thr", "tp_start", 0, "tp_0_atrap"],
+            },
+        },
+    }
+    prev = _os.environ.get("DSPEED_TPU_FUSE")
+    _os.environ["DSPEED_TPU_FUSE"] = "strict"
+    try:
+        chain, _, _ = build_processing_chain(cfg, tb)
+        tfront = next(
+            (
+                s
+                for s in chain._steps
+                if getattr(getattr(s, "kernel", None), "__name__", "")
+                == "fused_t0_front"
+            ),
+            None,
+        )
+        assert tfront is not None
+        assert any("tp_0_atrap" in o.key for o in tfront.out_specs)
+        inputs, _ = chain._gather_inputs(0, chain._buffer_len)
+        out = jax.jit(chain._build_fn())(inputs)
+
+        _os.environ["DSPEED_TPU_FUSE"] = "0"
+        uchain, _, _ = build_processing_chain(cfg, tb)
+        uinputs, _ = uchain._gather_inputs(0, uchain._buffer_len)
+        uout = jax.jit(uchain._build_fn())(uinputs)
+    finally:
+        if prev is None:
+            _os.environ.pop("DSPEED_TPU_FUSE", None)
+        else:
+            _os.environ["DSPEED_TPU_FUSE"] = prev
+    for name in ("tp_0_est", "tp_0_atrap"):
+        k1 = next(k for k in out if k.startswith(name))
+        k2 = next(k for k in uout if k.startswith(name))
+        np.testing.assert_array_equal(
+            np.asarray(out[k1]), np.asarray(uout[k2])
+        )
