@@ -60,25 +60,98 @@ def per_step(n_ev: int, fused: bool) -> None:
     print(f"{'TOTAL':70s} {1e3 * total:9.2f}")
 
 
+_SHAPE_RE = re.compile(
+    r"\b(pred|s8|u8|s16|u16|s32|u32|s64|u64|f16|bf16|f32|f64|c64|c128)"
+    r"\[([0-9,]*)\]"
+)
+_DT_BYTES = {
+    "pred": 1, "s8": 1, "u8": 1, "s16": 2, "u16": 2, "s32": 4, "u32": 4,
+    "s64": 8, "u64": 8, "f16": 2, "bf16": 2, "f32": 4, "f64": 8, "c64": 8,
+    "c128": 16,
+}
+
+
+def _shape_bytes(seg: str) -> int:
+    """Total bytes of every shape token in an HLO type segment."""
+    total = 0
+    for dt, dims in _SHAPE_RE.findall(seg):
+        n = 1
+        for d in dims.split(","):
+            if d:
+                n *= int(d)
+        total += n * _DT_BYTES[dt]
+    return total
+
+
+def _split_type_rest(rhs: str):
+    """(type segment, rest) of an HLO def right-hand side — the type is
+    either a balanced-paren tuple (layout annotations nest parens) or the
+    leading whitespace-free token."""
+    if rhs.startswith("("):
+        depth = 0
+        for i, ch in enumerate(rhs):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    return rhs[: i + 1], rhs[i + 1 :]
+        return rhs, ""
+    parts = rhs.split(" ", 1)
+    return parts[0], parts[1] if len(parts) > 1 else ""
+
+
 def _hlo_fusion_map(compiled_text: str):
-    """fusion name -> (source_file:line, estimated_cycles) from HLO.
+    """fusion name -> (source_file:line, estimated_cycles, hbm_bytes).
+
+    ``hbm_bytes`` = result bytes + the result bytes of every %operand
+    (resolved through a first-pass name -> result-size map): for Pallas
+    custom calls this is exactly the kernel's HBM traffic; for XLA fusions
+    it is the materialized traffic (an operand re-read inside the fusion
+    is not double-counted — XLA streams each input once per element).
 
     Parsed per line: a single lazy regex with every group optional matches
     zero-width before the fields it is meant to capture (the round-3 source
     column came out blank), so the name, the cycles annotation, and the
     metadata fields are extracted independently.
     """
-    info = {}
     name_re = re.compile(r"^\s*(?:ROOT )?%?([\w.-]+) = ")
     cyc_re = re.compile(r"\"estimated_cycles\":(\d+)")
     src_re = re.compile(r"source_file=\"([^\"]+)\"")
     line_re = re.compile(r"source_line=(\d+)")
     op_re = re.compile(r"op_name=\"([^\"]+)\"")
+    opnd_re = re.compile(r"%([\w.-]+)")
+    result_bytes: dict[str, int] = {}
+    defs = []  # (name, line, type segment, operand segment)
     for text_line in compiled_text.splitlines():
         nm = name_re.match(text_line)
         if nm is None:
             continue
         name = nm.group(1)
+        rhs = text_line[nm.end():]
+        typ, rest = _split_type_rest(rhs)
+        rb = _shape_bytes(typ)
+        # the operand list is the first top-level (...) after the opcode;
+        # cut at "), " kwargs to keep metadata %refs out
+        args_seg = ""
+        p = rest.find("(")
+        if p >= 0:
+            depth = 0
+            for i in range(p, len(rest)):
+                if rest[i] == "(":
+                    depth += 1
+                elif rest[i] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        args_seg = rest[p : i + 1]
+                        break
+        # inner fusion computations redefine parameter names; keep the
+        # LARGEST definition per name (the entry-computation arrays)
+        if rb > result_bytes.get(name, -1):
+            result_bytes[name] = rb
+            defs.append((name, text_line, typ, args_seg))
+    info = {}
+    for name, text_line, typ, args_seg in defs:
         cm, sm, lm = (
             cyc_re.search(text_line),
             src_re.search(text_line),
@@ -94,6 +167,9 @@ def _hlo_fusion_map(compiled_text: str):
             if om:
                 src = re.sub(r"^jit\([^)]*\)/", "", om.group(1))
         cyc = int(cm.group(1)) if cm else None
+        hbm = result_bytes.get(name, 0) + sum(
+            result_bytes.get(op, 0) for op in opnd_re.findall(args_seg)
+        )
         prev = info.get(name)
         if (
             prev is None
@@ -103,6 +179,7 @@ def _hlo_fusion_map(compiled_text: str):
             info[name] = (
                 src or (prev[0] if prev else ""),
                 cyc if cyc is not None else (prev[1] if prev else None),
+                hbm,
             )
     return info
 
@@ -137,8 +214,8 @@ def fusions(n_ev: int, fused: bool, iters: int = 3) -> None:
     if not traces:
         print("# no trace captured; estimated_cycles table only", file=sys.stderr)
         rows = [
-            (name, None, cyc, src)
-            for name, (src, cyc) in hlo_info.items()
+            (name, None, cyc, src, hbm)
+            for name, (src, cyc, hbm) in hlo_info.items()
             if cyc
         ]
         rows.sort(key=lambda r: -(r[2] or 0))
@@ -183,23 +260,37 @@ def fusions(n_ev: int, fused: bool, iters: int = 3) -> None:
 
     rows = []
     for name, dur_us in by_name.items():
-        src, cyc = hlo_info.get(name, ("", None))
-        rows.append((name, dur_us / 1e3, cyc, src))
+        src, cyc, hbm = hlo_info.get(name, ("", None, 0))
+        rows.append((name, dur_us / 1e3, cyc, src, hbm))
     rows.sort(key=lambda r: -(r[1] or 0))
     _print_rows(rows, iters)
 
 
 def _print_rows(rows, iters):
+    # roofline columns: hbm_MB from the HLO operand/result shapes, and the
+    # achieved GB/s at the measured device time — compare against the
+    # chip's spec HBM bandwidth (v5e ~819 GB/s) to see which fusions are
+    # bandwidth-bound (GB/s near spec) vs compute/serial-dependency-bound
+    # (GB/s far below; the big Pallas kernels land here, see
+    # docs/architecture.md's roofline table)
     print(
-        f"{'fusion':44s} {'ms/iter':>9s} {'est_Mcyc':>9s} {'source':40s}"
+        f"{'fusion':44s} {'ms/iter':>8s} {'hbm_MB':>8s} {'GB/s':>7s} "
+        f"{'est_Mcyc':>9s} {'source':36s}"
     )
     total = 0.0
-    for name, ms, cyc, src in rows[:40]:
+    total_mb = 0.0
+    for name, ms, cyc, src, hbm in rows[:40]:
         ms_i = (ms or 0.0) / max(iters, 1)
         total += ms_i
+        mb = (hbm or 0) / 1e6
+        total_mb += mb
+        gbps = f"{mb / ms_i:7.0f}" if ms_i > 0 and mb else f"{'':>7s}"
         cyc_s = f"{cyc / 1e6:9.2f}" if cyc else f"{'':>9s}"
-        print(f"{name[:44]:44s} {ms_i:9.3f} {cyc_s} {src[:40]:40s}")
-    print(f"{'TOTAL (top 40)':44s} {total:9.3f}")
+        print(
+            f"{name[:44]:44s} {ms_i:8.3f} {mb:8.1f} {gbps} {cyc_s} "
+            f"{src[:36]:36s}"
+        )
+    print(f"{'TOTAL (top 40)':44s} {total:8.3f} {total_mb:8.1f}")
 
 
 def main() -> None:
