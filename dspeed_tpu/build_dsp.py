@@ -211,6 +211,7 @@ def build_dsp(
     chan_config: str | Mapping[str, str] = None,
     distribute: bool = True,
     stats: MutableMapping | None = None,
+    checked: bool = False,
 ):
     """Run a DSP recipe over raw waveform data; see the reference docstring
     (``build_dsp.py:27-126``) for parameter semantics, which are preserved.
@@ -221,6 +222,21 @@ def build_dsp(
     LH5 writes on the writer thread), ``total_s`` and ``rows`` — summed over
     all processed tables. Compute, fetch and write overlap across chunks,
     so the components can legitimately sum past ``total_s``.
+
+    ``checked``: data-dependent ``DSPFatal`` parity with the reference.
+    Kernels whose reference bodies raise per event on bad data (``get``
+    index out of range, non-integral/out-of-range search starts,
+    non-integral pick-off indices) emit per-event flag columns; after each
+    chunk the flags are scanned host-side and production halts with the
+    reference's message, the processor string, and the exact entry in
+    ``wf_range`` (reference ``errors.py:10-40``). Off by default: those
+    events then follow the chain-wide convention and become NaN. Checks
+    apply to the steps as built: a search absorbed into a fused front has
+    a structurally valid start (the front computes it in-kernel as an
+    argmax/previous-link index, always integral and in range), so the
+    checkable conditions that remain after fusion are exactly the ones
+    that can still fire; ``DSPEED_TPU_FUSE=0`` checks the literal
+    per-processor layout.
 
     ``distribute`` (default on): under multi-host JAX
     (``jax.distributed.initialize``; ``jax.process_count() > 1``) each host
@@ -399,6 +415,8 @@ def build_dsp(
             proc_chain, field_mask, tb_out = cached
             # move-to-end: insertion order doubles as LRU recency
             _CHAIN_CACHE[cache_key] = _CHAIN_CACHE.pop(cache_key)
+            if proc_chain._checked != checked:  # cache is mode-agnostic
+                proc_chain.set_checked(checked)
             log.debug("reusing compiled chain for table %s", tb)
         else:
             proc_chain, field_mask, tb_out = build_processing_chain(
@@ -408,6 +426,8 @@ def build_dsp(
                 outputs=_outputs,
                 block_width=block_width,
             )
+            if checked:
+                proc_chain.set_checked(True)
             if cache_key is not None:
                 _CHAIN_CACHE[cache_key] = (proc_chain, field_mask, tb_out)
                 while len(_CHAIN_CACHE) > _CHAIN_CACHE_MAX:
@@ -499,7 +519,13 @@ def build_dsp(
             try:
                 drain_s, write_s = fut.result()
             except DSPFatal as e:
-                e.wf_range = wf_range
+                if e.wf_range is not None:  # checked mode: exact entry
+                    e.wf_range = (
+                        wf_range[0] + e.wf_range[0],
+                        wf_range[0] + e.wf_range[1],
+                    )
+                else:
+                    e.wf_range = wf_range
                 raise e
             processing_time += drain_s - write_s
             write_time += write_s
@@ -513,7 +539,13 @@ def build_dsp(
                 try:
                     pending, n = proc_chain.dispatch_chunk(tb_in, staged=staged)
                 except DSPFatal as e:
-                    e.wf_range = (i_entry, i_entry + len(tb_in))
+                    if e.wf_range is not None:
+                        e.wf_range = (
+                            i_entry + e.wf_range[0],
+                            i_entry + e.wf_range[1],
+                        )
+                    else:
+                        e.wf_range = (i_entry, i_entry + len(tb_in))
                     raise e
                 processing_time += time.time() - t_proc
                 if in_flight is not None:

@@ -71,6 +71,10 @@ def dspeed_cli(argv=None) -> None:
                         "the TPU build batches whole chunks)")
     parser.add_argument("--chunk", "-k", default=3200, type=int,
                         help="waveforms per disk read / device dispatch")
+    parser.add_argument("--checked", action="store_true",
+                        help="halt with DSPFatal + entry range on "
+                             "data-dependent kernel errors (reference "
+                             "semantics) instead of NaN outputs")
 
     group = parser.add_mutually_exclusive_group()
     group.add_argument("--overwrite", "-w", action="store_const", const="r",
@@ -124,6 +128,7 @@ def dspeed_cli(argv=None) -> None:
             write_mode=args.writemode,
             buffer_len=args.chunk,
             block_width=args.block,
+            checked=args.checked,
         )
 
 

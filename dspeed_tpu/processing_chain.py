@@ -798,6 +798,11 @@ class KernelStep(Step):
     def run(self, env: dict) -> None:
         args = [self._fetch(s, env) for s in self.arg_specs]
         kwargs = {k: self._fetch(s, env) for k, s in self.kwarg_specs.items()}
+        ck = getattr(self, "check_key", None)
+        if ck is not None:
+            # checked mode: the per-event DSPFatal-condition flag, computed
+            # from the same bound inputs and fetched with the outputs
+            env[ck] = self.kernel.checker(*args)
         if self.kernel.uses_dims:
             kwargs["dims"] = self.dims
         if self.badrow_key is not None:
@@ -1046,6 +1051,55 @@ class ProcessingChain:
         self.time_total = 0.0
         self._mesh = None
         self._batch_axes: tuple[str, ...] = ("data",)
+        # opt-in checked mode: kernels with data-dependent DSPFatal
+        # conditions in the reference emit per-event int32 flag columns,
+        # scanned host-side after every chunk (set_checked / build_dsp
+        # checked=True / DSPEED_TPU_CHECKED=1)
+        self._checked = os.getenv("DSPEED_TPU_CHECKED", "0") not in (
+            "0", "", "false"
+        )
+        self._check_steps: list[tuple[str, Step]] = []
+
+    def set_checked(self, checked: bool = True) -> None:
+        """Enable/disable checked mode (data-dependent ``DSPFatal`` parity).
+
+        The reference raises in-kernel on bad per-event *data* — ``get``
+        index out of range (``get.py:45-48``), non-integral/out-of-range
+        search starts (``time_point_thresh.py:66-74``), non-integral
+        pick-off indices — and production halts with the waveform range
+        (``errors.py:10-40``). A compiled TPU program cannot raise
+        per-event, so by default those events silently become NaN (the
+        chain-wide convention). With checked mode on, every kernel that
+        declares a ``checker`` emits an int32 per-event flag column,
+        fetched with the outputs and scanned by :meth:`raise_data_errors`
+        (called per chunk by :meth:`execute` / ``build_dsp``), which
+        raises ``DSPFatal`` with the reference's message, the processor
+        string, and the exact ``wf_range``.
+        """
+        self._checked = bool(checked)
+        self._invalidate()
+
+    def raise_data_errors(self, results: dict, offset: int = 0) -> None:
+        """Scan fetched check-flag columns; raise ``DSPFatal`` for the first
+        flagged event of the earliest flagged step (reference semantics:
+        the first failing processor aborts the block)."""
+        for key, step in self._check_steps:
+            flag = results.get(key)
+            if flag is None:
+                continue
+            flag = np.asarray(flag).reshape(-1)
+            nz = np.nonzero(flag)[0]
+            if nz.size == 0:
+                continue
+            idx = int(nz[0])
+            code = int(flag[idx])
+            msg = step.kernel.check_messages.get(
+                code, f"data-dependent error (code {code})"
+            )
+            err = DSPFatal(msg)
+            err.processor = str(step)
+            err.wf_range = (offset + idx, offset + idx)
+            raise err
 
     def set_sharding(self, mesh, batch_axes=("data",), sample_axis=None) -> None:
         """Shard execution over a :class:`jax.sharding.Mesh`.
@@ -2260,6 +2314,18 @@ class ProcessingChain:
         )
         steps = list(self._steps)
 
+        # checked mode: steps whose kernels declare a data-dependent checker
+        # write an int32 flag column; the keys ride the output fetch
+        self._check_steps = []
+        for i, step in enumerate(steps):
+            kern = getattr(step, "kernel", None)
+            if self._checked and getattr(kern, "checker", None) is not None:
+                step.check_key = f"__check__{i}"
+                self._check_steps.append((step.check_key, step))
+            elif hasattr(step, "check_key"):
+                step.check_key = None
+        check_keys = [k for k, _ in self._check_steps]
+
         const_env = {
             var.key: var.const_value
             for var in self._vars_dict.values()
@@ -2283,7 +2349,11 @@ class ProcessingChain:
                         raise
             finally:
                 _config.set_sample_sharding(None)
-            return {k: env[k] for k in out_keys}
+            out = {k: env[k] for k in out_keys}
+            for k in check_keys:
+                if k in env:
+                    out[k] = env[k]
+            return out
 
         return chain_fn
 
@@ -2369,6 +2439,8 @@ class ProcessingChain:
         if staged is not None:
             dev_inputs, n = staged
             results = self._run_device(dev_inputs, n, staged=True)
+            if self._checked:
+                self.raise_data_errors(results, 0)
             for man in self._output_managers.values():
                 man.write(results, 0, n)
             return
@@ -2381,6 +2453,8 @@ class ProcessingChain:
         if n <= 0:
             return
         results = self._run_device(inputs, n)
+        if self._checked:
+            self.raise_data_errors(results, start)
         for man in self._output_managers.values():
             man.write(results, start, start + n)
 
@@ -2508,6 +2582,8 @@ class ProcessingChain:
         into their currently-linked buffers."""
         t0 = time.time()
         results = self.fetch(pending)
+        if self._checked:
+            self.raise_data_errors(results, 0)
         for man in self._output_managers.values():
             man.write(results, 0, n)
         self.time_total += time.time() - t0

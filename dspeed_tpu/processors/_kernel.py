@@ -108,6 +108,14 @@ class Kernel:
         # poisoned input rows (plus NaN-free consts), so the mask flows on.
         self.badrow_arg = badrow_arg
         self.mask_preserving = mask_preserving
+        # opt-in checked mode (DSPFatal parity with the reference's
+        # data-dependent raises): `checker(*args) -> int32 per-event code`
+        # computed from the same bound inputs the kernel receives (0 = ok);
+        # `check_messages` maps codes to the reference's messages. Assigned
+        # post-hoc by the defining module; the engine only evaluates
+        # checkers when the chain runs with checked=True.
+        self.checker = None
+        self.check_messages: dict[int, str] = {}
         self.__doc__ = doc if doc is not None else getattr(fn, "__doc__", None)
 
     def __call__(self, *inputs, dims: dict | None = None):

@@ -92,3 +92,30 @@ def fixed_time_pickoff(w_in, t_in, mode_in, badrow=None):
     if not isinstance(bad_mode, bool):
         bad = bad | bad_mode
     return nanmask(bad, val.astype(w_in.dtype))
+
+
+def _ftp_checker(w_in, t_in, mode_in):
+    """Checked-mode flag: the reference raises only in mode 'i' on a
+    non-integral in-range index (``fixed_time_pickoff.py:70-85``); NaN and
+    out-of-range t_in silently yield NaN there too."""
+    import jax.numpy as jnp
+
+    from ._helpers import isnan_any, static_int
+
+    n = w_in.shape[-1]
+    mode = static_int(mode_in, "fixed_time_pickoff", "mode_in")
+    t = jnp.asarray(t_in)
+    lead_shape = jnp.broadcast_shapes(t.shape, w_in.shape[:-1])
+    if chr(mode) != "i" or not jnp.issubdtype(t.dtype, jnp.floating):
+        return jnp.zeros(lead_shape, jnp.int32)
+    skip = isnan_any(w_in, 1) | jnp.isnan(t) | (t < 0) | (t > n - 1)
+    code = jnp.where(
+        ~skip & (jnp.trunc(t) != t), jnp.int32(1), jnp.int32(0)
+    )
+    return jnp.broadcast_to(code, lead_shape)
+
+
+fixed_time_pickoff.checker = _ftp_checker
+fixed_time_pickoff.check_messages = {
+    1: "fixed_time_pickoff requires integer t_in when using mode 'i'",
+}

@@ -29,6 +29,24 @@ def get(a_in, i):
     return jnp.where(ok, val, jnp.iinfo(a_in.dtype).max)
 
 
+def _get_checker(a_in, i):
+    """Checked-mode flag: the reference raises ``DSPFatal("i is out of
+    range")`` per event (``get.py:45-48``); NaN indices are not possible
+    there (the index is typed int64) and are left to the NaN convention."""
+    n = a_in.shape[-1]
+    idx = jnp.asarray(i)
+    bad = (idx < -n) | (idx >= n)
+    if jnp.issubdtype(idx.dtype, jnp.floating):
+        bad = bad & ~jnp.isnan(idx)
+    code = bad.astype(jnp.int32)
+    lead = jnp.broadcast_shapes(code.shape, a_in.shape[:-1])
+    return jnp.broadcast_to(code, lead)
+
+
+get.checker = _get_checker
+get.check_messages = {1: "i is out of range"}
+
+
 @kernel("(n),(),()->()", [f"{t}l{t}->{t}" for t in _T])
 def get_default(a_in, i, default):
     """Value at position ``i``; ``default`` on out-of-range or NaN

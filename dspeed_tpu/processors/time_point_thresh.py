@@ -117,6 +117,38 @@ def time_point_thresh(w_in, a_threshold, t_start, walk_forward, badrow=None):
     return nanmask(bad, val)
 
 
+def _start_index_checker(w_in, a, t, nan_extra=None):
+    """Shared checked-mode flag for the reference's per-event start-index
+    fatals (``time_point_thresh.py:66-74``, NaN inputs short-circuit to NaN
+    outputs first): 1 = non-integral start, 2 = start out of range."""
+    n = w_in.shape[-1]
+    t = jnp.asarray(t)
+    skip = isnan_any(w_in, 1) | isnan_any(jnp.asarray(a)) | isnan_any(t)
+    if nan_extra is not None:
+        skip = skip | nan_extra
+    if jnp.issubdtype(t.dtype, jnp.floating):
+        nonint = jnp.floor(t) != t
+    else:
+        nonint = jnp.zeros(t.shape, bool)
+    ti = jnp.floor(t).astype(jnp.int32)
+    oor = (ti < 0) | (ti >= n)
+    code = jnp.where(nonint, 1, jnp.where(oor, 2, 0)).astype(jnp.int32)
+    code = jnp.where(skip, 0, code)
+    lead = jnp.broadcast_shapes(code.shape, w_in.shape[:-1])
+    return jnp.broadcast_to(code, lead)
+
+
+def _tpt_checker(w_in, a_threshold, t_start, walk_forward, badrow=None):
+    return _start_index_checker(w_in, a_threshold, t_start)
+
+
+time_point_thresh.checker = _tpt_checker
+time_point_thresh.check_messages = {
+    1: "The starting index must be an integer",
+    2: "The starting index is out of range",
+}
+
+
 @kernel("(n),(),(),(),()->()", ["fffib->f", "dddlb->d"], static=[4])
 def interpolated_time_point_thresh(w_in, a_threshold, t_start, walk_forward, mode_in):
     """Crossing time with sub-sample interpolation
@@ -477,3 +509,23 @@ def bi_level_zero_crossing_time_points(
     trig = nanmask(bad, trig)
     nc_out = jnp.where(bad, 0, nc).astype(jnp.uint32)
     return nc_out, pol, trig
+
+
+def _bilevel_checker(
+    w_in, a_pos_threshold_in, a_neg_threshold_in, gate_time_in, t_start_in,
+    dims=None,
+):
+    """Checked-mode flag mirroring the reference's per-event start-index
+    fatals (``time_point_thresh.py:478-483``); NaN thresholds/waveforms
+    short-circuit to NaN outputs first."""
+    nan_extra = isnan_any(jnp.asarray(a_neg_threshold_in))
+    return _start_index_checker(
+        w_in, a_pos_threshold_in, t_start_in, nan_extra=nan_extra
+    )
+
+
+bi_level_zero_crossing_time_points.checker = _bilevel_checker
+bi_level_zero_crossing_time_points.check_messages = {
+    1: "The starting index must be an integer",
+    2: "The starting index is out of range",
+}

@@ -138,3 +138,25 @@ def trap_pickoff(w_in, rise, flat, t_pickoff):
     non_integer = jnp.floor(t) != t
     bad = isnan_any(w_in, 1) | isnan_any(t) | ~in_range | non_integer
     return nanmask(bad, val)
+
+
+def _trap_pickoff_checker(w_in, rise, flat, t_pickoff):
+    """Checked-mode flag: the reference raises on a non-integral pick-off
+    index (``trap_filters.py:276-277``); NaN inputs short-circuit to NaN."""
+    import jax.numpy as jnp
+
+    from ._helpers import isnan_any
+
+    t = jnp.asarray(t_pickoff)
+    lead_shape = jnp.broadcast_shapes(t.shape, w_in.shape[:-1])
+    if not jnp.issubdtype(t.dtype, jnp.floating):
+        return jnp.zeros(lead_shape, jnp.int32)
+    skip = isnan_any(w_in, 1) | jnp.isnan(t)
+    code = jnp.where(
+        ~skip & (jnp.floor(t) != t), jnp.int32(1), jnp.int32(0)
+    )
+    return jnp.broadcast_to(code, lead_shape)
+
+
+trap_pickoff.checker = _trap_pickoff_checker
+trap_pickoff.check_messages = {1: "The pick-off index must be an integer"}
