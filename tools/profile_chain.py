@@ -41,7 +41,13 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _build(n_ev: int, fused: bool):
+def _build(n_ev: int, fused: bool, sipm: bool = False):
+    if sipm:
+        # BASELINE config 3: the scan-heavy SiPM pulse-finding chain
+        from bench import _build_sipm_chain
+
+        chain, inputs = _build_sipm_chain(n_ev)
+        return chain, inputs, None, None
     from __graft_entry__ import _build_chain
 
     return _build_chain(n_ev=n_ev, fused=fused)
@@ -184,10 +190,10 @@ def _hlo_fusion_map(compiled_text: str):
     return info
 
 
-def fusions(n_ev: int, fused: bool, iters: int = 3) -> None:
+def fusions(n_ev: int, fused: bool, iters: int = 3, sipm: bool = False) -> None:
     import jax
 
-    chain, inputs, _, _ = _build(n_ev, fused)
+    chain, inputs, _, _ = _build(n_ev, fused, sipm=sipm)
     fn = jax.jit(chain._build_fn())
     compiled = fn.lower(inputs).compile()
     hlo_info = _hlo_fusion_map(compiled.as_text())
@@ -300,6 +306,8 @@ def main() -> None:
     ap.add_argument("--per-step", action="store_true")
     ap.add_argument("--fusions", action="store_true")
     ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--sipm", action="store_true",
+                    help="profile the SiPM pulse-finding chain instead")
     args = ap.parse_args()
 
     import jax
@@ -309,7 +317,7 @@ def main() -> None:
     if args.per_step or (not args.fusions and not on_accel):
         per_step(n_ev, args.fused)
     else:
-        fusions(n_ev, args.fused, iters=args.iters)
+        fusions(n_ev, args.fused, iters=args.iters, sipm=args.sipm)
 
 
 if __name__ == "__main__":
