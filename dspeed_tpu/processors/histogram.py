@@ -16,20 +16,40 @@ from ._kernel import kernel
 __all__ = ["histogram", "histogram_around_mode"]
 
 
-def _scatter_hist(w, k, m, valid):
-    """Batched bincount: sum one-hot(k) over samples where ``valid``."""
+def _scatter_hist(w, k, m, valid, route=None):
+    """Batched bincount: sum one-hot(k) over samples where ``valid``.
+
+    ``route``: "matmul" (accelerators) or "scatter" (CPU); default by
+    backend. Exposed for cross-route equivalence tests on CPU."""
     lead = w.shape[:-1]
     kf = k.reshape(-1, k.shape[-1])
     vf = valid.reshape(-1, valid.shape[-1])
-    if jax.default_backend() != "cpu":
-        # scatter-add lowers to a sort/serialize loop on TPU; a broadcast
-        # compare fused into the sample reduction never materializes the
-        # (B, m, n) tensor and is exact-integer-identical
-        bins = jnp.arange(m, dtype=kf.dtype)[None, :, None]
-        out = jnp.sum(
-            ((kf[:, None, :] == bins) & vf[:, None, :]).astype(w.dtype),
-            axis=-1,
-        )
+    if route is None:
+        route = "scatter" if jax.default_backend() == "cpu" else "matmul"
+    if route == "matmul":
+        # scatter-add lowers to a sort/serialize loop on TPU, and a flat
+        # m-bin broadcast compare costs m VPU passes (the SiPM chain's
+        # 100-bin histogram measured 2.5 ms at 16384x1024). Factorize the
+        # bin index into coarse x fine digits and contract the two one-hot
+        # planes on the MXU: ~2*sqrt(m) compares + an exact-integer
+        # einsum (0/1 operands are exact in bf16; f32 accumulation is
+        # exact for counts < 2^24) — bit-identical counts, ~6x faster.
+        import numpy as np
+
+        m2 = int(np.ceil(np.sqrt(m)))
+        m1 = -(-m // m2)
+        kc = jnp.where(vf, kf, -1)  # -1: coarse digit -1 matches no bin
+        coarse = kc // m2
+        fine = kc % m2  # -1 % m2 wraps positive, but coarse -1 kills it
+        oc = (
+            coarse[:, None, :] == jnp.arange(m1, dtype=kc.dtype)[None, :, None]
+        ).astype(w.dtype)
+        of = (
+            fine[:, None, :] == jnp.arange(m2, dtype=kc.dtype)[None, :, None]
+        ).astype(w.dtype)
+        out = jnp.einsum("bcn,bfn->bcf", oc, of).reshape(
+            kf.shape[0], m1 * m2
+        )[:, :m]
     else:
         out = jnp.zeros((kf.shape[0], m), w.dtype)
         rows = jnp.arange(kf.shape[0])[:, None]

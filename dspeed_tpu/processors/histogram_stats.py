@@ -23,7 +23,15 @@ def _first_true(mask, axis=-1):
 
 
 def _take(edges, idx):
-    return jnp.take_along_axis(edges, idx[..., None], axis=-1)[..., 0]
+    import jax
+
+    if jax.default_backend() == "cpu":
+        return jnp.take_along_axis(edges, idx[..., None], axis=-1)[..., 0]
+    # accelerators: per-row gathers serialize (measured 1.2 ms of the
+    # 9.5 ms SiPM chain in this module's fusions); a one-hot masked sum
+    # is exact (single match; a NaN matched value still propagates)
+    pos = jnp.arange(edges.shape[-1])
+    return jnp.sum(jnp.where(pos == idx[..., None], edges, 0), axis=-1)
 
 
 @kernel(
