@@ -58,7 +58,9 @@ def test_hlo_fusion_map_labels():
         'stack_frame_id=310}'
     )
     info = tool._hlo_fusion_map(inline + "\n" + frame)
-    assert info["fusion.7"] == ("tp_chain.py:102", 123456)
+    src, cyc, hbm = info["fusion.7"]
+    assert (src, cyc) == ("tp_chain.py:102", 123456)
+    assert hbm == 16384 * 4  # result; the %p0 operand is undefined here
     assert info["and_or_fusion.9"][0] == "jit(_where)/and"
 
 
@@ -70,5 +72,9 @@ def test_hlo_fusion_map_on_real_lowering():
     chain, inputs, _, _ = tool._build(32, True)
     txt = jax.jit(chain._build_fn()).lower(inputs).compile().as_text()
     info = tool._hlo_fusion_map(txt)
-    labeled = sum(1 for src, _ in info.values() if src)
+    labeled = sum(1 for src, _, _ in info.values() if src)
     assert labeled > len(info) * 0.3, (labeled, len(info))
+    # the roofline column: every instruction carries result bytes; big
+    # fusions must see their operands' sizes too
+    assert all(hbm >= 0 for _, _, hbm in info.values())
+    assert max(hbm for _, _, hbm in info.values()) > 1e6
