@@ -373,9 +373,9 @@ def _bench_stacked(n_ev: int = 4096, n_chan: int = 4, trials: int = 2) -> float:
 
     Why stacking matches (not beats) single-channel production here: both
     are bound by the relay's upload bandwidth, not by device compute —
-    5.7k wf/s x 8 KB/wf ~ 47 MB/s, the top of the measured
-    ``transport_floor_curve`` envelope (~14-42 MB/s depending on chunk
-    size and relay load). Stacking multiplies the devices a dispatch can
+    5.7k wf/s x 8 KB/wf ~ 47 MB/s, right at the measured
+    ``transport_floor_curve`` envelope (~50 MB/s with the production
+    payload at every chunk size). Stacking multiplies the devices a dispatch can
     use, not the bytes/second one host link can move; on hardware where
     the host feeds devices over PCIe/DMA (not an HTTP relay) the same
     code path scales with channel count (CPU-mesh test
