@@ -455,9 +455,11 @@ def main() -> None:
             print(f"# {name} failed: {e}", file=sys.stderr)
             return None
 
-    # 16384 events/dispatch amortizes the fixed dispatch overhead: measured
-    # on v5e fused 398k (4096) -> 412k (8192) -> 433k (16384) -> 429k (32768)
-    n_ev = 16384 if on_accel else 1024
+    # 32768 events/dispatch amortizes the fixed dispatch overhead: in round
+    # 2 (24 ms/16384-dispatch chain) 16384 won (433k vs 429k), but the r4
+    # chain computes 16384 events in ~17 ms so the ~3 ms relay overhead per
+    # dispatch is 15% — doubling the batch measured fused 791k -> 827k
+    n_ev = 32768 if on_accel else 1024
     iters = 6 if on_accel else 3
     RESULT["events_per_dispatch"] = n_ev
 

@@ -1371,6 +1371,69 @@ class ProcessingChain:
                         slope_recs.append(
                             (sst, fit, (src_of[sst.src_key], a0, b0))
                         )
+                # a trapezoid with NO amax whose ONLY reader is a
+                # time_point_thresh against one of the absorbed slope
+                # outputs (the flagship's tp_0_atrap vs bl_std) emits a
+                # uint8 crossing BITMASK instead of its full f32 plane;
+                # the search finishes on the bitmask (tp_from_cross_mask,
+                # bit-identical) — a 4x smaller write and no full-array
+                # search fusion downstream
+                slope_out_pos = {}
+                for si2, (_, fit2, _) in enumerate(slope_recs):
+                    for oi2, sp2 in enumerate(fit2.out_specs):
+                        slope_out_pos[sp2.key] = (si2, oi2)
+                alias_n: dict = {}
+                for rec in traps:
+                    alias_n[rec[2]] = alias_n.get(rec[2], 0) + 1
+                mask_recs = []  # (uniq pos, tpt step, walk, (si, oi))
+                emax_pos = {rec[2] for rec in am_steps}
+                for ui, (t_idx, t_step, t_spec) in enumerate(uniq):
+                    if (
+                        not slope_out_pos
+                        or ui in emax_pos
+                        or alias_n.get(t_spec, 0) != 1
+                    ):
+                        continue
+                    t_key = t_step.out_specs[0].key
+                    if reads.get(t_key, 0) != 1:
+                        continue
+                    tpt = next(
+                        (
+                            s2
+                            for s2 in steps
+                            if self._kname(s2) == "time_point_thresh"
+                            and len(s2.arg_specs) == 4
+                            and len(s2.out_specs) == 1
+                            and self._env_key(s2.arg_specs[0]) == t_key
+                            and self._env_key(s2.arg_specs[1])
+                            in slope_out_pos
+                        ),
+                        None,
+                    )
+                    if tpt is None:
+                        continue
+                    walk = self._const_scalar(tpt.arg_specs[3])
+                    if walk is None or int(walk) not in (0, 1):
+                        continue
+                    mask_recs.append(
+                        (
+                            ui, tpt, int(walk),
+                            slope_out_pos[self._env_key(tpt.arg_specs[1])],
+                        )
+                    )
+                mask_claimed = {rec[0] for rec in mask_recs}
+                remap = {}
+                for ui in range(len(uniq)):
+                    if ui not in mask_claimed:
+                        remap[ui] = len(remap)
+                plane_uniq = [
+                    u for ui, u in enumerate(uniq) if ui not in mask_claimed
+                ]
+                mask_specs = [
+                    (uniq[ui][2], si2, oi2, walk == 1, walk == 0)
+                    for ui, _tpt, walk, (si2, oi2) in mask_recs
+                ]
+
                 # wf_blsub read by anything besides this pole_zero and the
                 # absorbed slope-fit slices (CUSP/ZAC slices, output
                 # managers): emit it from the fused kernel — it is already
@@ -1386,13 +1449,25 @@ class ProcessingChain:
                     and reads.get(x_key, 0) - 1 - absorbed_x > 0
                 )
                 kern = fused_energy_front(
-                    float(tau), specs, emax_for, emit_blsub=emit,
+                    float(tau), [u[2] for u in plane_uniq],
+                    [remap[rec[2]] for rec in am_steps], emit_blsub=emit,
                     emit_minmax=mm_step is not None,
                     slope_specs=[r[2] for r in slope_recs],
+                    mask_specs=mask_specs,
                 )
+                mask_vars = []
+                for ui, _tpt, _walk, _so in mask_recs:
+                    base = uniq[ui][1].out_specs[0].var
+                    mask_vars.append(
+                        self.add_variable(
+                            f"__crossmask_{len(self._vars_dict)}",
+                            dtype=np.dtype("uint8"),
+                            shape=tuple(base.shape),
+                        )
+                    )
                 params = (
                     [bls.params[0], bls.params[1], pz.out_specs[0].var]
-                    + [t[1].out_specs[0].var for t in uniq]
+                    + [u[1].out_specs[0].var for u in plane_uniq]
                     + [rec[1].out_specs[0].var for rec in am_steps]
                 )
                 for _, fit, _spec in slope_recs:
@@ -1401,6 +1476,7 @@ class ProcessingChain:
                     params += [s.var for s in mm_step.out_specs]
                 if emit:
                     params.append(bls.out_specs[0].var)
+                params += mask_vars
                 fused = KernelStep(self, kern, params, {})
                 dead = sorted(
                     {
@@ -1432,7 +1508,25 @@ class ProcessingChain:
                 for sst, fit, _spec in slope_recs:
                     steps.remove(sst)
                     steps.remove(fit)
-                return [f"fused_energy_front[{len(specs)}]"]
+                if mask_recs:
+                    from .processors.time_point_thresh import (
+                        tp_from_cross_mask,
+                    )
+
+                    for (ui, tpt, walk, _so), mv in zip(
+                        mask_recs, mask_vars
+                    ):
+                        pos_t = steps.index(tpt)
+                        steps[pos_t] = KernelStep(
+                            self,
+                            tp_from_cross_mask(walk),
+                            [mv, tpt.params[2], tpt.out_specs[0].var],
+                            {},
+                        )
+                return [
+                    f"fused_energy_front[{len(plane_uniq)}"
+                    + (f"+{len(mask_recs)}m]" if mask_recs else "]")
+                ]
         return []
 
     def _env_read_counts(self):
@@ -2024,11 +2118,17 @@ class ProcessingChain:
             ),
         )
         masked = {sp.key for sp in fes.out_specs}
+        n_mask = getattr(fes.kernel, "n_mask_outputs", 0)
+        if n_mask:
+            # trailing crossing-bitmask outputs are uint8 (never NaN)
+            masked -= {sp.key for sp in fes.out_specs[-n_mask:]}
         if getattr(fes.kernel, "emits_minmax", False):
             # the absorbed raw-waveform min_max quadruple carries a
             # waveform-only NaN mask (a NaN baseline does not poison it),
             # so it must not assert the full bad-row invariant
-            nmm = 5 if getattr(fes.kernel, "emits_blsub", False) else 4
+            nmm = (
+                5 if getattr(fes.kernel, "emits_blsub", False) else 4
+            ) + n_mask
             lo_mm = len(fes.out_specs) - nmm
             masked -= {sp.key for sp in fes.out_specs[lo_mm : lo_mm + 4]}
         fes_in = {sp.key for sp in fes.arg_specs if sp.kind == "env"}

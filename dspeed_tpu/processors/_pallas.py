@@ -180,7 +180,7 @@ def _fused_energy_kernel(w_ref, bl_ref, tri_ref, tri8_ref, omc_ref,
                          *refs, trap_specs: tuple, n: int,
                          emax_for: tuple = (0,), emit_blsub: bool = False,
                          emit_minmax: bool = False,
-                         slope_specs: tuple = ()):
+                         slope_specs: tuple = (), mask_specs: tuple = ()):
     pz_ref = refs[0]
     k = len(trap_specs)
     ke = len(emax_for)
@@ -188,6 +188,7 @@ def _fused_energy_kernel(w_ref, bl_ref, tri_ref, tri8_ref, omc_ref,
     trap_refs = refs[1 : 1 + k]
     emax_refs = refs[1 + k : 1 + k + ke]
     slope_refs = refs[1 + k + ke : 1 + k + ke + 4 * ns]
+    mask_refs = refs[len(refs) - len(mask_specs):] if mask_specs else ()
     nb = n // _EN_BLK
     raw = w_ref[:]
     w = raw - bl_ref[:]  # (TB, n) baseline-subtracted
@@ -240,6 +241,7 @@ def _fused_energy_kernel(w_ref, bl_ref, tri_ref, tri8_ref, omc_ref,
         if ti not in emax_done:
             emax_done[ti] = jnp.max(traps[ti], axis=1, keepdims=True)
         e_ref[:] = poison(emax_done[ti])
+    slope_vals = []
     for si, (src, a0, b0) in enumerate(slope_specs):
         # absorbed linear_slope_fit over a static slice of blsub (src 0)
         # or pz (src 1): closed-form mean/stdev/slope/intercept, the same
@@ -262,25 +264,55 @@ def _fused_energy_kernel(w_ref, bl_ref, tri_ref, tri8_ref, omc_ref,
         sum_x2 = (L - 1) * L * (2 * L - 1) / 6.0
         slope = (L * sum_xy - sum_x * sum_y) / (L * sum_x2 - sum_x * sum_x)
         intercept = (sum_y - sum_x * slope) / L
-        for oi, val in enumerate((mean, stdev, slope, intercept)):
+        quad = (mean, stdev, slope, intercept)
+        slope_vals.append(quad)
+        for oi, val in enumerate(quad):
             slope_refs[4 * si + oi][:] = poison(val)
     if emit_blsub:
         # the baseline-subtracted rows are already resident: emitting them
         # here deletes the separate bl_subtract step's full re-read of the
         # waveform when other processors (slope fit, CUSP/ZAC slices) read it
-        refs[-1][:] = poison(w)
+        blsub_ref = refs[1 + k + ke + 4 * ns + 4 * emit_minmax]
+        blsub_ref[:] = poison(w)
+    for (spec, si, oi, need_fwd, need_bwd), m_ref in zip(
+        mask_specs, mask_refs
+    ):
+        # absorbed trapezoid + its threshold-crossing BITMASK: the only
+        # reader is a time_point_thresh against one of the slope outputs
+        # (the flagship's tp_0_atrap vs bl_std), so instead of a 268 MB
+        # f32 plane + a full-array search fusion, emit one uint8 plane
+        # whose bits exactly encode _crossing_masks' fwd (bit 0, crossing
+        # between i and i+1 at i) / bwd (bit 1, at i+1) predicates —
+        # tp_from_cross_mask reproduces the search bit-for-bit. Bad rows
+        # zero out (not-found -> NaN downstream, same as the poisoned
+        # trap); a NaN threshold compares false everywhere, same as the
+        # float kernel.
+        (tr,) = _trap_windows(pz, spz, (spec,), _EN_TILE_B, n)
+        a = slope_vals[si][oi]  # (TB, 1)
+        tr0 = tr[:, :-1]
+        tr1 = tr[:, 1:]
+        zcol = jnp.zeros((_EN_TILE_B, 1), jnp.int32)
+        bits = None
+        if need_fwd:
+            fwd = ((tr0 <= a) & (a < tr1)) | ((tr0 >= a) & (a > tr1))
+            bits = jnp.concatenate([fwd.astype(jnp.int32), zcol], axis=1)
+        if need_bwd:
+            bwd = ((tr0 < a) & (a <= tr1)) | ((tr0 > a) & (a >= tr1))
+            b2 = jnp.concatenate([zcol, bwd.astype(jnp.int32) * 2], axis=1)
+            bits = b2 if bits is None else bits | b2
+        m_ref[:] = jnp.where(bad, 0, bits).astype(jnp.uint8)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "trap_specs", "emax_for", "emit_blsub", "emit_minmax", "slope_specs",
-        "interpret",
+        "mask_specs", "interpret",
     ),
 )
 def _fused_energy_call(w, bl, omc, trap_specs, emax_for=(0,),
                        emit_blsub=False, emit_minmax=False, slope_specs=(),
-                       interpret=False):
+                       mask_specs=(), interpret=False):
     import numpy as np
 
     from jax.experimental import pallas as pl
@@ -295,7 +327,7 @@ def _fused_energy_call(w, bl, omc, trap_specs, emax_for=(0,),
     kern = functools.partial(
         _fused_energy_kernel, trap_specs=trap_specs, n=n, emax_for=emax_for,
         emit_blsub=emit_blsub, emit_minmax=emit_minmax,
-        slope_specs=slope_specs,
+        slope_specs=slope_specs, mask_specs=mask_specs,
     )
     grid = (b // _EN_TILE_B,)
     k = len(trap_specs)
@@ -313,6 +345,7 @@ def _fused_energy_call(w, bl, omc, trap_specs, emax_for=(0,),
             [jax.ShapeDtypeStruct((b, n), jnp.float32)] * (1 + k)
             + [jax.ShapeDtypeStruct((b, 1), jnp.float32)] * n_scalar
             + [jax.ShapeDtypeStruct((b, n), jnp.float32)] * emit_blsub
+            + [jax.ShapeDtypeStruct((b, n), jnp.uint8)] * len(mask_specs)
         ),
         grid=grid,
         in_specs=[
@@ -324,7 +357,7 @@ def _fused_energy_call(w, bl, omc, trap_specs, emax_for=(0,),
         ],
         out_specs=tuple(
             [row_spec(n)] * (1 + k) + [row_spec(1)] * n_scalar
-            + [row_spec(n)] * emit_blsub
+            + [row_spec(n)] * (emit_blsub + len(mask_specs))
         ),
         interpret=interpret,
     )(w, bl, tri, tri8, omc)
@@ -1241,7 +1274,8 @@ def fused_current(
 def fused_energy(
     w, baseline, tau, rise: int | None = None, flat: int | None = None,
     trap_specs=None, emax_for=(0,), emit_blsub: bool = False,
-    emit_minmax: bool = False, slope_specs=(), interpret: bool = False,
+    emit_minmax: bool = False, slope_specs=(), mask_specs=(),
+    interpret: bool = False,
 ):
     """Fused bl_subtract -> pole_zero(tau) -> trapezoids -> amaxes.
 
@@ -1275,9 +1309,14 @@ def fused_energy(
         bl = jnp.pad(bl, ((0, pad_b), (0, 0)))
     omc = jnp.full((1, 1), -np.expm1(-1.0 / float(tau)), jnp.float32)
     slope_specs = tuple(tuple(int(v) for v in s) for s in slope_specs)
+    mask_specs = tuple(
+        (tuple(sp), int(si), int(oi), bool(ff), bool(bb))
+        for sp, si, oi, ff, bb in mask_specs
+    )
     outs = _fused_energy_call(
         w2, bl, omc, trap_specs, emax_for=emax_for, emit_blsub=emit_blsub,
-        emit_minmax=emit_minmax, slope_specs=slope_specs, interpret=interpret,
+        emit_minmax=emit_minmax, slope_specs=slope_specs,
+        mask_specs=mask_specs, interpret=interpret,
     )
     k = len(trap_specs)
     ke = len(emax_for)
@@ -1290,8 +1329,12 @@ def fused_energy(
     pos = 1 + k + ke
     for o in outs[pos : pos + 4 * len(slope_specs) + 4 * emit_minmax]:
         extras.append(o[:b, 0].reshape(lead))
+    pos += 4 * len(slope_specs) + 4 * emit_minmax
     if emit_blsub:
-        extras.append(outs[-1][:b].reshape(*lead, n))
+        extras.append(outs[pos][:b].reshape(*lead, n))
+        pos += 1
+    for o in outs[pos : pos + len(mask_specs)]:
+        extras.append(o[:b].reshape(*lead, n))
     if extras:
         return (pz, traps, emaxes, *extras)
     return pz, traps, emaxes

@@ -263,7 +263,7 @@ def fused_t0_front(kernel_arr, curr_spec=None, atrap_spec=None) -> Kernel:
 
 def fused_energy_front(
     tau, trap_specs, emax_for=(0,), emit_blsub=False, emit_minmax=False,
-    slope_specs=(),
+    slope_specs=(), mask_specs=(),
 ) -> Kernel:
     """Factory: one VMEM pass producing the pole-zero waveform, every
     trapezoid read off it, and the requested trapezoid maxima.
@@ -309,6 +309,25 @@ def fused_energy_front(
     )
     if any(src not in (0, 1) or b0 <= a0 for src, a0, b0 in slope_specs):
         raise DSPFatal("slope_specs entries must be (0|1, start, stop)")
+    # mask_specs: (trap spec, slope index, quadruple index, need_fwd,
+    # need_bwd) — a trapezoid whose ONLY reader is a time_point_thresh
+    # against one of the absorbed slope outputs emits a uint8
+    # crossing-bitmask plane (bit 0 = fwd crossing at i, bit 1 = bwd at
+    # i+1, exactly _crossing_masks' positions) instead of a full f32
+    # plane; tp_from_cross_mask finishes the search bit-identically.
+    norm_masks = []
+    for sp, si, oi, ff, bb in mask_specs:
+        sp = tuple(sp)
+        if sp[0] == "norm":
+            sp = ("norm", int(sp[1]), int(sp[2]))
+        elif sp[0] == "asym":
+            sp = ("asym", int(sp[1]), int(sp[2]), int(sp[3]))
+        else:
+            raise DSPFatal(f"unknown trap spec kind {sp[0]!r}")
+        if not (0 <= int(si) < len(slope_specs)) or not (0 <= int(oi) < 4):
+            raise DSPFatal("mask_specs must index a slope output")
+        norm_masks.append((sp, int(si), int(oi), bool(ff), bool(bb)))
+    mask_specs = tuple(norm_masks)
 
     def fn(w_in, a_baseline):
         n = w_in.shape[-1]
@@ -321,6 +340,7 @@ def fused_energy_front(
         blsub = None
         mm = ()
         slopes = ()
+        masks = ()
         if pallas_available() and n % _pallas._EN_BLK == 0:
             # the kernel NaN-poisons in VMEM (row scan + selects are free
             # there; an XLA-side nanmask re-reads and re-writes every (B, n)
@@ -329,7 +349,7 @@ def fused_energy_front(
             outs = fused_energy(
                 w_in, a_baseline, tau, trap_specs=specs, emax_for=emax_for,
                 emit_blsub=emit_blsub, emit_minmax=emit_minmax,
-                slope_specs=slope_specs,
+                slope_specs=slope_specs, mask_specs=mask_specs,
             )
             pz, traps, emaxes = outs[:3]
             rest = list(outs[3:])
@@ -339,7 +359,9 @@ def fused_energy_front(
             if emit_minmax:
                 mm, rest = tuple(rest[:4]), rest[4:]
             if emit_blsub:
-                blsub = rest[0]
+                blsub, rest = rest[0], rest[1:]
+            if mask_specs:
+                masks = tuple(rest[: len(mask_specs)])
         else:
             bad = isnan_any(w_in, 1) | isnan_any(jnp.asarray(a_baseline))
             from .bl_subtract import bl_subtract
@@ -366,17 +388,38 @@ def fused_energy_front(
                 mm = min_max(w_in)
             traps = []
             done = {}
-            for s in specs:
+
+            def one_trap(s):
                 if s in done:
-                    traps.append(done[s])
-                    continue
+                    return done[s]
                 if s[0] == "norm":
                     (t,) = trap_norm(pz, s[1], s[2])
                 else:
                     (t,) = asym_trap_filter(pz, s[1], s[2], s[3])
                 done[s] = t
-                traps.append(t)
+                return t
+
+            for s in specs:
+                traps.append(one_trap(s))
             emaxes = [jnp.max(traps[i], axis=-1) for i in emax_for]
+            if mask_specs:
+                from .time_point_thresh import _crossing_masks
+
+                mlist = []
+                for sp, si, oi, ff, bb in mask_specs:
+                    tr = one_trap(sp)
+                    a = slopes[4 * si + oi]
+                    fwd, bwd = _crossing_masks(tr, jnp.asarray(a, tr.dtype))
+                    bits = jnp.zeros(tr.shape, jnp.uint8)
+                    if ff:
+                        bits = bits | fwd.astype(jnp.uint8)
+                    if bb:
+                        bits = bits | (bwd.astype(jnp.uint8) << 1)
+                    badm = bad
+                    while getattr(badm, "ndim", 0) < bits.ndim:
+                        badm = badm[..., None]
+                    mlist.append(jnp.where(badm, jnp.uint8(0), bits))
+                masks = tuple(mlist)
         outs = [nanmask(bad, pz.astype(w_in.dtype))]
         outs += [nanmask(bad, t.astype(w_in.dtype)) for t in traps]
         outs += [nanmask(bad, e.astype(w_in.dtype)) for e in emaxes]
@@ -386,6 +429,8 @@ def fused_energy_front(
         outs += [m.astype(w_in.dtype) for m in mm]
         if emit_blsub:
             outs.append(nanmask(bad, blsub.astype(w_in.dtype)))
+        # crossing bitmasks are uint8 (bad rows already zeroed)
+        outs += list(masks)
         return tuple(outs)
 
     sig = (
@@ -395,19 +440,26 @@ def fused_energy_front(
         + ",(),(),(),()" * len(slope_specs)
         + (",(),(),(),()" if emit_minmax else "")
         + (",(n)" if emit_blsub else "")
+        + ",(n)" * len(mask_specs)
     )
     nouts = (
         k + 1 + len(emax_for) + 4 * len(slope_specs)
         + 4 * bool(emit_minmax) + bool(emit_blsub)
     )
-    types = ["ff->" + "f" * nouts, "dd->" + "d" * nouts]
+    nm = len(mask_specs)
+    types = [
+        "ff->" + "f" * nouts + "B" * nm,
+        "dd->" + "d" * nouts + "B" * nm,
+    ]
     kern = Kernel(fn, sig, types, name="fused_energy_front")
     # the fusion matcher chains a second energy front off this one's
     # emitted wf_blsub (the bl_subtract step it replaced is gone); the NaN
     # threading pass must NOT treat the absorbed min_max outputs as
-    # poisoned-on-bad-rows (they carry a waveform-only mask)
+    # poisoned-on-bad-rows (they carry a waveform-only mask), and the
+    # trailing crossing-bitmask outputs are uint8 (never NaN)
     kern.emits_blsub = bool(emit_blsub)
     kern.emits_minmax = bool(emit_minmax)
+    kern.n_mask_outputs = nm
     return kern
 
 

@@ -529,3 +529,36 @@ bi_level_zero_crossing_time_points.check_messages = {
     1: "The starting index must be an integer",
     2: "The starting index is out of range",
 }
+
+
+def tp_from_cross_mask(walk_forward: int) -> "Kernel":
+    """Factory: finish a ``time_point_thresh`` whose crossing predicates a
+    fused front emitted as a uint8 bitplane (bit 0 = forward crossing at
+    ``i``, bit 1 = backward crossing at ``i+1`` — exactly
+    :func:`_crossing_masks`' positions). Bit-identical to
+    ``time_point_thresh(trap, a, t_start, walk)``: a NaN-poisoned row or
+    NaN threshold arrives as an all-zero plane (not-found -> NaN), and the
+    start-index checks here mirror the original kernel. Substituted by the
+    engine's energy-front fusion for searches over traps the front holds
+    in VMEM (the flagship's ``tp_0_atrap``)."""
+    from ._kernel import Kernel
+
+    wf = int(walk_forward)
+
+    def fn(mask_in, t_start):
+        n = mask_in.shape[-1]
+        t = jnp.asarray(t_start)
+        ti = jnp.trunc(t).astype(jnp.int32)
+        if ti.ndim == 0:
+            ti = jnp.broadcast_to(ti, mask_in.shape[:-1])
+        bit = 1 if wf == 1 else 2
+        m = (mask_in & bit) != 0
+        idx, found = _first_true_from(m, ti, +1 if wf == 1 else -1)
+        in_range = (ti >= 0) & (ti < n)
+        integral = jnp.trunc(t) == t
+        bad = isnan_any(t) | ~in_range | ~integral | ~found
+        return nanmask(bad, idx.astype(jnp.float32))
+
+    return Kernel(
+        fn, "(n),()->()", ["Bf->f", "Bd->d"], name="tp_from_cross_mask"
+    )
