@@ -455,13 +455,15 @@ def main() -> None:
             print(f"# {name} failed: {e}", file=sys.stderr)
             return None
 
-    # 32768 events/dispatch amortizes the fixed dispatch overhead: in round
-    # 2 (24 ms/16384-dispatch chain) 16384 won (433k vs 429k), but the r4
-    # chain computes 16384 events in ~17 ms so the ~3 ms relay overhead per
-    # dispatch is 15% — doubling the batch measured fused 791k -> 827k
-    n_ev = 32768 if on_accel else 1024
+    # 16384 events/dispatch amortizes the fixed dispatch overhead for most
+    # phases; the FUSED chain computes 16384 events in ~17 ms so the ~3 ms
+    # relay overhead per dispatch is 15% and doubling its batch measured
+    # 791k -> 827k (fused keeps few live planes; the UNFUSED chain and the
+    # scan-heavy SiPM chain degrade badly at 32768 — memory pressure)
+    n_ev = 16384 if on_accel else 1024
+    n_ev_fused = 32768 if on_accel else 1024
     iters = 6 if on_accel else 3
-    RESULT["events_per_dispatch"] = n_ev
+    RESULT["events_per_dispatch"] = n_ev_fused
 
     # 1. CPU same-chain baseline: cheap, local, and the denominator of the
     #    headline ratio — never at the mercy of a cold TPU compile
@@ -487,7 +489,9 @@ def main() -> None:
     # 3. fused front-end variant
     RESULT["fused_wfps"] = phase(
         "fused",
-        lambda: _bench_backend(platform, n_ev, iters, fused=True, trials=1),
+        lambda: _bench_backend(
+            platform, n_ev_fused, iters, fused=True, trials=1
+        ),
         min_budget_s=30.0,
     )
 
@@ -557,7 +561,9 @@ def main() -> None:
     if remaining() > 60.0 and RESULT["fused_wfps"]:
         extra = phase(
             "fused_retrials",
-            lambda: _bench_backend(platform, n_ev, iters, fused=True, trials=3),
+            lambda: _bench_backend(
+                platform, n_ev_fused, iters, fused=True, trials=3
+            ),
         )
         if extra:
             RESULT["fused_wfps"] = max(RESULT["fused_wfps"], extra)
