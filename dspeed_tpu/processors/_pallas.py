@@ -594,7 +594,9 @@ def _fused_current_call(rep, half, n_up, L, num, mtype, interpret=False):
 # method owns, and falls back to the up-domain kernel when the geometry's
 # margins don't hold.
 
-_POLY_TILE_B = 64
+_POLY_TILE_B = 256  # r4 sweep on v5e: 64 -> 3.9 ms, 128 -> 3.2, 256 ->
+# 3.0 standalone at flagship shapes (512 exceeds VMEM); fewer grid steps
+# amortize the per-step latency of this tiny-input, compute-heavy kernel
 _POLY_W = 2 * _CUR_BLK  # edge-window width (samples, up-domain)
 _POLY_T = 32  # interior block width (samples, c-domain)
 
