@@ -779,3 +779,61 @@ def test_t0_front_claims_orphan_trap_search():
         np.testing.assert_array_equal(
             np.asarray(out[k1]), np.asarray(uout[k2])
         )
+
+
+def test_fused_energy_mask_specs_interpret(rng):
+    """mask_specs: the emitted uint8 crossing bitplane must encode exactly
+    _crossing_masks' predicates of the absorbed trapezoid vs the slope
+    output, with bad rows zeroed, and tp_from_cross_mask must reproduce
+    time_point_thresh on it bit-for-bit."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from test_build_dsp import make_hpge_waveforms
+
+    from dspeed_tpu.processors._pallas import fused_energy
+    from dspeed_tpu.processors.time_point_thresh import (
+        _crossing_masks,
+        tp_from_cross_mask,
+        time_point_thresh,
+    )
+    from dspeed_tpu.processors.trap_filters import asym_trap_filter
+    from dspeed_tpu.processors.linear_slope_fit import linear_slope_fit
+
+    wf, amp, t0, bl = make_hpge_waveforms(n=12, nsamp=1024)
+    wf = wf.copy()
+    wf[4, 100] = np.nan
+    spec = ("asym", 8, 4, 60)
+    outs = fused_energy(
+        wf, bl, 27460.5, trap_specs=(("norm", 64, 16),), emax_for=(0,),
+        slope_specs=((0, 0, 256),),
+        mask_specs=((spec, 0, 1, False, True),),  # thr = bl_std, bwd only
+        interpret=True,
+    )
+    mask = np.asarray(outs[-1])
+    assert mask.dtype == np.uint8 and mask.shape == wf.shape
+    assert (mask[4] == 0).all()  # bad row zeroed
+
+    # oracle masks from the composed kernels (fused pz is tolerance-level
+    # vs the composed pole_zero, so crossings can shift on near-ties; the
+    # mask layout itself must match exactly on the fused trap)
+    pz = np.asarray(outs[0])
+    bl_std = np.asarray(outs[3 + 1])  # [pz, trap, emax, mean, stdev, ...]
+    (atr,) = asym_trap_filter(pz, 8, 4, 60)
+    import jax.numpy as jnp
+
+    _, bwd = _crossing_masks(jnp.asarray(atr), jnp.asarray(bl_std))
+    want = (np.asarray(bwd).astype(np.uint8) << 1)
+    want[4] = 0
+    np.testing.assert_array_equal(mask[~np.isnan(pz).any(1)],
+                                  want[~np.isnan(pz).any(1)])
+
+    # the finishing kernel == time_point_thresh on the same trap/threshold
+    t_start = np.full(12, 900.0, "float32")
+    (got,) = tp_from_cross_mask(0)(jnp.asarray(mask), jnp.asarray(t_start))
+    (ref,) = time_point_thresh(
+        jnp.asarray(atr), jnp.asarray(bl_std), jnp.asarray(t_start), 0
+    )
+    np.testing.assert_array_equal(
+        np.nan_to_num(np.asarray(got), nan=-1),
+        np.nan_to_num(np.asarray(ref), nan=-1),
+    )
