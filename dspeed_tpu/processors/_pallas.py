@@ -101,10 +101,28 @@ def pallas_available() -> bool:
 _EN_TILE_B = 8
 _EN_BLK = 128  # tuned on v5e: 128-wide HIGHEST tri matmuls beat 512 by ~20%
 # Cumsum tri-matmul precision. Mosaic lowers only DEFAULT and HIGHEST;
-# HIGH (bf16x3, sufficient for ones-matrix cumsums) raises
-# NotImplementedError in the Mosaic dot lowering (checked jax 0.9, r4) —
-# revisit if Mosaic grows bf16x3 support, the MXU passes would halve.
+# HIGH (bf16x3) raises NotImplementedError in the Mosaic dot lowering
+# (checked jax 0.9, r4). _split3_k below hand-rolls something strictly
+# better than HIGH for the big prefix matmuls: their constant operand is
+# integer <= _EN_BLK (exact in bf16), so splitting only the data operand
+# into three bf16 components keeps every product exact, and stacking the
+# components along K makes it ONE DEFAULT MXU op (3 passes vs HIGHEST's
+# 6; separate dots + VPU adds measured slower than HIGHEST on v5e).
+# DSPEED_TPU_EN_SPLIT3=0 ablates back to HIGHEST.
 _EN_PRECISION = jax.lax.Precision.HIGHEST
+_EN_SPLIT3 = os.getenv("DSPEED_TPU_EN_SPLIT3", "1") not in ("0", "false")
+
+
+def _split3_k(x):
+    """f32 ``x`` as three bf16 components concatenated along the last
+    (contraction) axis: x == x1 + x2 + x3 to < eps_f32 * |x| per element
+    (x1/x2 leave <= 2^-16 |x|; the residual after x3 is < 2^-24 |x|).
+    NaN propagates through x1."""
+    x1 = x.astype(jnp.bfloat16)
+    r = x - x1.astype(jnp.float32)
+    x2 = r.astype(jnp.bfloat16)
+    x3 = (r - x2.astype(jnp.float32)).astype(jnp.bfloat16)
+    return jnp.concatenate([x1, x2, x3], axis=-1)
 
 
 def _blocked_prefix(x, tri, tri8x, tb, n):
@@ -114,9 +132,14 @@ def _blocked_prefix(x, tri, tri8x, tb, n):
     (nb, nb) strictly-upper ones for the exclusive block carry."""
     nb = n // _EN_BLK
     xb = x.reshape(tb * nb, _EN_BLK)
-    hp = _EN_PRECISION  # default (bf16) rounds the ~1e8 sums
-    local = jnp.dot(xb, tri, preferred_element_type=jnp.float32,
-                    precision=hp)
+    hp = _EN_PRECISION  # default (bf16) would round the ~1e8 sums
+    if _EN_SPLIT3:
+        local = jnp.dot(_split3_k(xb), jnp.concatenate(
+            [tri.astype(jnp.bfloat16)] * 3, axis=0),
+            preferred_element_type=jnp.float32)
+    else:
+        local = jnp.dot(xb, tri, preferred_element_type=jnp.float32,
+                        precision=hp)
     sums = local[:, _EN_BLK - 1].reshape(tb, nb)
     carry = jnp.dot(sums, tri8x, preferred_element_type=jnp.float32,
                     precision=hp)
@@ -186,10 +209,22 @@ def _blocked_prefix2(x, tri, tri2, tri8x, tb, n):
     nb = n // _EN_BLK
     xb = x.reshape(tb * nb, _EN_BLK)
     hp = _EN_PRECISION
-    local = jnp.dot(xb, tri, preferred_element_type=jnp.float32,
-                    precision=hp)
-    local2 = jnp.dot(xb, tri2, preferred_element_type=jnp.float32,
-                     precision=hp)
+    if _EN_SPLIT3:
+        # both locals in ONE bf16 dot: exact split stacked along K, tri
+        # and tri2 (integer entries <= BLK, exact in bf16) stacked along N
+        ab = jnp.concatenate(
+            [tri.astype(jnp.bfloat16), tri2.astype(jnp.bfloat16)], axis=1
+        )
+        both = jnp.dot(
+            _split3_k(xb), jnp.concatenate([ab, ab, ab], axis=0),
+            preferred_element_type=jnp.float32,
+        )
+        local, local2 = both[:, :_EN_BLK], both[:, _EN_BLK:]
+    else:
+        local = jnp.dot(xb, tri, preferred_element_type=jnp.float32,
+                        precision=hp)
+        local2 = jnp.dot(xb, tri2, preferred_element_type=jnp.float32,
+                         precision=hp)
     sums = local[:, _EN_BLK - 1].reshape(tb, nb)
     carry = jnp.dot(sums, tri8x, preferred_element_type=jnp.float32,
                     precision=hp)
