@@ -111,6 +111,12 @@ _EN_BLK = 128  # tuned on v5e: 128-wide HIGHEST tri matmuls beat 512 by ~20%
 # DSPEED_TPU_EN_SPLIT3=0 ablates back to HIGHEST.
 _EN_PRECISION = jax.lax.Precision.HIGHEST
 _EN_SPLIT3 = os.getenv("DSPEED_TPU_EN_SPLIT3", "1") not in ("0", "false")
+# Short trap windows (<= 32 taps, summed directly for accuracy — see
+# _trap_windows) built by binary doubling (D_2k = D_k + shift(D_k, k)):
+# ceil(log2 L) + popcount(L) - 1 shifted adds instead of L - 1. The
+# flagship's 8-sample atrap rise drops from 7 shifted adds to 3.
+# DSPEED_TPU_EN_WINLOG=0 ablates back to the sequential sum.
+_EN_WINLOG = os.getenv("DSPEED_TPU_EN_WINLOG", "1") not in ("0", "false")
 
 
 def _split3_k(x):
@@ -169,12 +175,40 @@ def _trap_windows(x, xsum, specs, tb, n):
         pad = jnp.zeros((tb, k), jnp.float32)
         return jnp.concatenate([pad, x[:, : n - k]], axis=1)
 
+    dbl = {1: x}  # doubling cache: dbl[p][:, i] = sum of x[i-p+1 .. i]
+
+    def doubling(p):
+        if p not in dbl:
+            h = doubling(p // 2)
+            pad = jnp.zeros((tb, p // 2), jnp.float32)
+            dbl[p] = h + jnp.concatenate(
+                [pad, h[:, : n - p // 2]], axis=1
+            )
+        return dbl[p]
+
     def window_sum(length, off):
         """Sum of x over ``[t-off-length+1, t-off]`` per output t."""
         if length <= 32:
-            acc = x_shift(off)
-            for k in range(off + 1, off + length):
-                acc = acc + x_shift(k)
+            if not _EN_WINLOG:
+                acc = x_shift(off)
+                for k in range(off + 1, off + length):
+                    acc = acc + x_shift(k)
+                return acc
+            # binary doubling: split the window into power-of-two runs
+            # (largest first), each a cached D_p plane shifted into place.
+            # Zero-fill boundary semantics match the sequential sum
+            # (x_shift zero-fills), only the f32 addition tree differs.
+            acc = None
+            pos, rem = off, length
+            while rem:
+                p = 1 << (rem.bit_length() - 1)
+                d = doubling(p)
+                if pos:
+                    pad = jnp.zeros((tb, pos), jnp.float32)
+                    d = jnp.concatenate([pad, d[:, : n - pos]], axis=1)
+                acc = d if acc is None else acc + d
+                pos += p
+                rem -= p
             return acc
         return shifted(off) - shifted(off + length)
 
