@@ -456,12 +456,13 @@ def main() -> None:
             return None
 
     # 16384 events/dispatch amortizes the fixed dispatch overhead for most
-    # phases; the FUSED chain computes 16384 events in ~17 ms so the ~3 ms
-    # relay overhead per dispatch is 15% and doubling its batch measured
-    # 791k -> 827k (fused keeps few live planes; the UNFUSED chain and the
-    # scan-heavy SiPM chain degrade badly at 32768 — memory pressure)
+    # phases; the FUSED chain computes 16384 events in ~16 ms so the ~3 ms
+    # relay overhead per dispatch is 15% and raising its batch measured
+    # 888k @32768 -> 927k @65536 -> flat @131072 (fused keeps few live
+    # planes; the UNFUSED chain and the scan-heavy SiPM chain degrade
+    # badly at 32768 — memory pressure)
     n_ev = 16384 if on_accel else 1024
-    n_ev_fused = 32768 if on_accel else 1024
+    n_ev_fused = 65536 if on_accel else 1024
     iters = 6 if on_accel else 3
     RESULT["events_per_dispatch"] = n_ev_fused
 
