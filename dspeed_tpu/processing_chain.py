@@ -1605,8 +1605,15 @@ class ProcessingChain:
                     # intermediates must feed only this pipeline
                     if reads.get(up_key, 0) != 1 or reads.get(av_key, 0) != 1:
                         continue
+                    # dead-output elision: min_max outputs with no readers
+                    # (not chain outputs, read by no step) skip their
+                    # reductions inside the Pallas kernel
+                    need = tuple(
+                        reads.get(s.key, 0) > 0 for s in mm.out_specs
+                    )
                     kern = fused_current_front(
-                        n_up, ratio, int(length), int(num), int(mtype)
+                        n_up, ratio, int(length), int(num), int(mtype),
+                        need=need,
                     )
                     fused = KernelStep(
                         self,
@@ -1782,9 +1789,17 @@ class ProcessingChain:
                             continue
                         atrap_spec, at_step, at_tp = spec2, st2, tp2
                         break
+                    # dead-output elision: min_max outputs with no other
+                    # readers skip their reductions in the Pallas kernel
+                    # (t_max/a_max are computed regardless — the absorbed
+                    # search needs them; read counts still include the
+                    # absorbed steps, which only makes `need` conservative)
+                    need = tuple(
+                        reads.get(s.key, 0) > 0 for s in mm.out_specs
+                    )
                     kern = fused_t0_front(
                         k_spec.value, curr_spec=curr_spec,
-                        atrap_spec=atrap_spec,
+                        atrap_spec=atrap_spec, need=need,
                     )
                     fused = KernelStep(
                         self,

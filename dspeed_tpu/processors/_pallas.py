@@ -565,8 +565,10 @@ def _mw_apply(x, tri, sup, triL, L, num, mtype, n_up, n_pad, tb):
 def _fused_current_kernel(
     rep_ref, tri_ref, sup_ref, triL_ref, *out_refs,
     half: int, n_up: int, L: int, num: int, mtype: int,
+    need: tuple = (True,) * 4,
 ):
     t_min_ref, t_max_ref, a_min_ref, a_max_ref = out_refs
+    need_tmin, need_tmax, need_amin, need_amax = need
     tb = _CUR_TILE_B
     blk = _CUR_BLK
     nb = -(-n_up // blk)
@@ -585,26 +587,48 @@ def _fused_current_kernel(
     )
 
     xv = x[:, :n_up]
-    iota = jax.lax.broadcasted_iota(jnp.int32, (tb, n_up), 1)
-    a_min = jnp.min(xv, axis=1, keepdims=True)
-    a_max = jnp.max(xv, axis=1, keepdims=True)
-    t_min = jnp.min(
-        jnp.where(xv == a_min, iota, n_up), axis=1, keepdims=True
+    zc = jnp.zeros((tb, 1), jnp.float32)
+    iota = (
+        jax.lax.broadcasted_iota(jnp.int32, (tb, n_up), 1)
+        if need_tmin or need_tmax else None
     )
-    t_max = jnp.min(
-        jnp.where(xv == a_max, iota, n_up), axis=1, keepdims=True
-    )
-    a_min_ref[:] = a_min
-    a_max_ref[:] = a_max
-    t_min_ref[:] = t_min.astype(jnp.float32)
-    t_max_ref[:] = t_max.astype(jnp.float32)
+    # dead-output elision (see the polyphase kernel): un-needed extrema
+    # skip their reductions entirely and write zeros
+    if need_tmin or need_amin:
+        a_min = jnp.min(xv, axis=1, keepdims=True)
+        a_min_ref[:] = a_min
+        if need_tmin:
+            t_min = jnp.min(
+                jnp.where(xv == a_min, iota, n_up), axis=1, keepdims=True
+            )
+            t_min_ref[:] = t_min.astype(jnp.float32)
+        else:
+            t_min_ref[:] = zc
+    else:
+        a_min_ref[:] = zc
+        t_min_ref[:] = zc
+    if need_tmax or need_amax:
+        a_max = jnp.max(xv, axis=1, keepdims=True)
+        a_max_ref[:] = a_max
+        if need_tmax:
+            t_max = jnp.min(
+                jnp.where(xv == a_max, iota, n_up), axis=1, keepdims=True
+            )
+            t_max_ref[:] = t_max.astype(jnp.float32)
+        else:
+            t_max_ref[:] = zc
+    else:
+        a_max_ref[:] = zc
+        t_max_ref[:] = zc
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("half", "n_up", "L", "num", "mtype", "interpret"),
+    static_argnames=("half", "n_up", "L", "num", "mtype", "need",
+                     "interpret"),
 )
-def _fused_current_call(rep, half, n_up, L, num, mtype, interpret=False):
+def _fused_current_call(rep, half, n_up, L, num, mtype, need=(True,) * 4,
+                        interpret=False):
     import numpy as np
 
     from jax.experimental import pallas as pl
@@ -618,7 +642,8 @@ def _fused_current_call(rep, half, n_up, L, num, mtype, interpret=False):
     sup = jnp.asarray(np.eye(nb, k=1, dtype=np.float32))
     triL = jnp.asarray(np.tril(np.ones((L, L), np.float32)).T)
     kern = functools.partial(
-        _fused_current_kernel, half=half, n_up=n_up, L=L, num=num, mtype=mtype
+        _fused_current_kernel, half=half, n_up=n_up, L=L, num=num,
+        mtype=mtype, need=need,
     )
     grid = (b // _CUR_TILE_B,)
 
@@ -773,7 +798,7 @@ def _fused_current_poly_kernel(
     c_ref, tri_ref, supW_ref, triL_ref, rl_ref, rr_ref, a_ref, alast_ref,
     *out_refs, n_curr: int, ratio: int, half: int, n_up: int, L: int,
     num: int, mtype: int, EL: int, ERW: int, nq: int, q_min: int,
-    t0_base: int, nblk: int, T_last: int,
+    t0_base: int, nblk: int, T_last: int, need: tuple = (True,) * 4,
 ):
     t_min_ref, t_max_ref, a_min_ref, a_max_ref = out_refs
     tb = _POLY_TILE_B
@@ -782,30 +807,50 @@ def _fused_current_poly_kernel(
     hp = jax.lax.Precision.HIGHEST
     c = c_ref[:]  # (TB, n_curr)
     big = jnp.int32(1 << 30)
+    # dead-output elision: the fusion pass clears `need` entries whose
+    # variables have no readers (not chain outputs, read by no step), and
+    # the per-region VPU reductions below are this kernel's dominant cost
+    # (the flagship reads only tp_aoe_max/A_max — the min side is skipped)
+    need_tmin, need_tmax, need_amin, need_amax = need
+    nmin = need_tmin or need_amin
+    nmax = need_tmax or need_amax
 
     def region(vals, j0, state):
         """Fold a region's (first-occurrence) extrema into the running
         state; regions arrive in ascending-j order, so strict comparisons
-        keep the earliest index on ties — global first-occurrence."""
+        keep the earliest index on ties — global first-occurrence.
+        Un-needed extrema stay ``None`` through the fold."""
         wdt = vals.shape[1]
-        iota = jax.lax.broadcasted_iota(jnp.int32, (tb, wdt), 1) + j0
-        v_mn = jnp.min(vals, axis=1, keepdims=True)
-        v_mx = jnp.max(vals, axis=1, keepdims=True)
-        i_mn = jnp.min(
-            jnp.where(vals == v_mn, iota, big), axis=1, keepdims=True
+        iota = (
+            jax.lax.broadcasted_iota(jnp.int32, (tb, wdt), 1) + j0
+            if need_tmin or need_tmax else None
         )
-        i_mx = jnp.min(
-            jnp.where(vals == v_mx, iota, big), axis=1, keepdims=True
+        v_mn = jnp.min(vals, axis=1, keepdims=True) if nmin else None
+        v_mx = jnp.max(vals, axis=1, keepdims=True) if nmax else None
+        i_mn = (
+            jnp.min(jnp.where(vals == v_mn, iota, big), axis=1,
+                    keepdims=True)
+            if need_tmin else None
+        )
+        i_mx = (
+            jnp.min(jnp.where(vals == v_mx, iota, big), axis=1,
+                    keepdims=True)
+            if need_tmax else None
         )
         if state is None:
             return v_mn, i_mn, v_mx, i_mx
         vmin, jmin, vmax, jmax = state
-        tk = v_mn < vmin
-        tx = v_mx > vmax
-        return (
-            jnp.where(tk, v_mn, vmin), jnp.where(tk, i_mn, jmin),
-            jnp.where(tx, v_mx, vmax), jnp.where(tx, i_mx, jmax),
-        )
+        if nmin:
+            tk = v_mn < vmin
+            vmin = jnp.where(tk, v_mn, vmin)
+            if need_tmin:
+                jmin = jnp.where(tk, i_mn, jmin)
+        if nmax:
+            tx = v_mx > vmax
+            vmax = jnp.where(tx, v_mx, vmax)
+            if need_tmax:
+                jmax = jnp.where(tx, i_mx, jmax)
+        return vmin, jmin, vmax, jmax
 
     # left edge: exact staged cascade on a W-wide window
     xl = jnp.dot(c, rl_ref[:], preferred_element_type=jnp.float32,
@@ -815,6 +860,8 @@ def _fused_current_poly_kernel(
     state = region(yl[:, :EL], 0, None)
 
     # interior: banded polyphase matmuls on the short waveform
+    # (concatenating the block outputs into ONE region() fold measured
+    # SLOWER — the concat copy exceeds the serial-fold savings)
     A = a_ref[:]
     span = T + nq - 1
     for i in range(nblk):
@@ -839,20 +886,23 @@ def _fused_current_poly_kernel(
         state = region(yr[:, W - ERW :], n_up - ERW, state)
 
     vmin, jmin, vmax, jmax = state
-    a_min_ref[:] = vmin
-    a_max_ref[:] = vmax
-    t_min_ref[:] = jmin.astype(jnp.float32)
-    t_max_ref[:] = jmax.astype(jnp.float32)
+    zc = jnp.zeros((tb, 1), jnp.float32)
+    a_min_ref[:] = vmin if vmin is not None else zc
+    a_max_ref[:] = vmax if vmax is not None else zc
+    t_min_ref[:] = jmin.astype(jnp.float32) if jmin is not None else zc
+    t_max_ref[:] = jmax.astype(jnp.float32) if jmax is not None else zc
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "n_curr", "ratio", "half", "n_up", "L", "num", "mtype", "interpret"
+        "n_curr", "ratio", "half", "n_up", "L", "num", "mtype", "need",
+        "interpret",
     ),
 )
 def _fused_current_poly_call(
-    c, n_curr, ratio, half, n_up, L, num, mtype, interpret=False
+    c, n_curr, ratio, half, n_up, L, num, mtype, need=(True,) * 4,
+    interpret=False,
 ):
     import numpy as np
 
@@ -871,6 +921,7 @@ def _fused_current_poly_call(
         n_up=n_up, L=L, num=num, mtype=mtype, EL=plan["EL"],
         ERW=plan["ERW"], nq=plan["nq"], q_min=plan["q_min"],
         t0_base=plan["t0_base"], nblk=plan["nblk"], T_last=plan["T_last"],
+        need=need,
     )
 
     def row_spec(width):
@@ -1080,7 +1131,8 @@ _T0_TILE_B = int(os.getenv("DSPEED_TPU_T0_TILE_B", "64"))
 
 
 def _fused_t0_kernel(w_ref, A_ref, std_ref, *refs, tb, n, span, blk, nblk,
-                     base, pad_l, pad_r, curr_spec=None, atrap_spec=None):
+                     base, pad_l, pad_r, curr_spec=None, atrap_spec=None,
+                     need=(True,) * 4):
     if atrap_spec is not None:
         tri_ref, tri8_ref, *refs = refs
     tmin_ref, tmax_ref, amin_ref, amax_ref, tp0_ref, *refs = refs
@@ -1096,11 +1148,20 @@ def _fused_t0_kernel(w_ref, A_ref, std_ref, *refs, tb, n, span, blk, nblk,
         pad_l=pad_l, pad_r=pad_r,
     )[:, :n]
 
+    # t_max/a_max are always computed — the absorbed search starts from
+    # t_max; the min side elides when the fusion pass found no readers
+    need_tmin, _nt, need_amin, _na = need
     iota = jax.lax.broadcasted_iota(jnp.int32, (tb, n), 1)
-    a_min = jnp.min(c, axis=1, keepdims=True)
+    a_min = (
+        jnp.min(c, axis=1, keepdims=True)
+        if need_tmin or need_amin else None
+    )
     a_max = jnp.max(c, axis=1, keepdims=True)
     # first occurrence, like argmin/argmax
-    t_min = jnp.min(jnp.where(c == a_min, iota, n), axis=1, keepdims=True)
+    t_min = (
+        jnp.min(jnp.where(c == a_min, iota, n), axis=1, keepdims=True)
+        if need_tmin else None
+    )
     t_max = jnp.min(jnp.where(c == a_max, iota, n), axis=1, keepdims=True)
 
     # time_point_thresh(c, std, t_max, walk=0): backward crossing search —
@@ -1118,9 +1179,10 @@ def _fused_t0_kernel(w_ref, A_ref, std_ref, *refs, tb, n, span, blk, nblk,
     found = idx >= 0
     tp0 = jnp.where(found & ~jnp.isnan(a), idx.astype(jnp.float32), nanv)
 
-    tmin_ref[:] = poison(t_min.astype(jnp.float32))
+    zc = jnp.zeros((tb, 1), jnp.float32)
+    tmin_ref[:] = poison(t_min.astype(jnp.float32)) if need_tmin else zc
     tmax_ref[:] = poison(t_max.astype(jnp.float32))
-    amin_ref[:] = poison(a_min)
+    amin_ref[:] = poison(a_min) if need_amin else zc
     amax_ref[:] = poison(a_max)
     tp0_ref[:] = poison(tp0)
 
@@ -1180,10 +1242,12 @@ def _fused_t0_kernel(w_ref, A_ref, std_ref, *refs, tb, n, span, blk, nblk,
 @functools.partial(
     jax.jit,
     static_argnames=("tb", "n", "span", "blk", "nblk", "base", "pad_l",
-                     "pad_r", "curr_spec", "atrap_spec", "interpret"),
+                     "pad_r", "curr_spec", "atrap_spec", "need",
+                     "interpret"),
 )
 def _fused_t0_call(w2, A, std, tb, n, span, blk, nblk, base, pad_l, pad_r,
-                   curr_spec=None, atrap_spec=None, interpret=False):
+                   curr_spec=None, atrap_spec=None, need=(True,) * 4,
+                   interpret=False):
     import numpy as np
 
     from jax.experimental import pallas as pl
@@ -1193,7 +1257,7 @@ def _fused_t0_call(w2, A, std, tb, n, span, blk, nblk, base, pad_l, pad_r,
     kern = functools.partial(
         _fused_t0_kernel, tb=tb, n=n, span=span, blk=blk, nblk=nblk,
         base=base, pad_l=pad_l, pad_r=pad_r, curr_spec=curr_spec,
-        atrap_spec=atrap_spec,
+        atrap_spec=atrap_spec, need=need,
     )
 
     def row_spec(width):
@@ -1242,7 +1306,7 @@ def _fused_t0_call(w2, A, std, tb, n, span, blk, nblk, base, pad_l, pad_r,
 
 
 def fused_t0(w, kern_arr, a_std, curr_spec=None, atrap_spec=None,
-             interpret: bool = False):
+             need: tuple = (True,) * 4, interpret: bool = False):
     """Fused ``convolve_wf(w, kern, 's') -> min_max -> time_point_thresh(
     ..., a_std, tp_start, 0)``: returns ``(t_min, t_max, a_min, a_max,
     tp_0)`` per row, with ``wf_t0_filter`` never leaving VMEM — or ``None``
@@ -1311,7 +1375,8 @@ def fused_t0(w, kern_arr, a_std, curr_spec=None, atrap_spec=None,
     outs = _fused_t0_call(
         w2, A, std, tb=tb, n=n, span=span, blk=blk, nblk=nblk, base=base,
         pad_l=pad_l, pad_r=pad_r, curr_spec=curr_spec,
-        atrap_spec=atrap_spec, interpret=interpret,
+        atrap_spec=atrap_spec, need=tuple(bool(x) for x in need),
+        interpret=interpret,
     )
     res = [o[:b, 0].reshape(lead) for o in outs[:5]]
     pos = 5
@@ -1325,7 +1390,7 @@ def fused_t0(w, kern_arr, a_std, curr_spec=None, atrap_spec=None,
 
 def fused_current(
     c, ratio: int, half: int, n_up: int, L: int, num: int, mtype: int,
-    interpret: bool = False,
+    need: tuple = (True,) * 4, interpret: bool = False,
 ):
     """Fused upsample(replicate, ``ratio``) -> ``num`` alternating
     ``L``-sample moving averages (``mtype`` as in ``moving_window_multi``)
@@ -1358,7 +1423,7 @@ def fused_current(
             c2 = jnp.pad(c2, ((0, pad_b), (0, 0)))
         outs = _fused_current_poly_call(
             c2, n_curr, ratio, half, n_up, L, num, mtype,
-            interpret=interpret,
+            need=tuple(bool(x) for x in need), interpret=interpret,
         )
         return tuple(o[:b, 0].reshape(lead) for o in outs)
     pad_b = (-b) % _CUR_TILE_B
@@ -1371,7 +1436,7 @@ def fused_current(
         rep = jnp.pad(rep, ((0, 0), (0, half + n_up - rep.shape[-1])))
     outs = _fused_current_call(
         rep, int(half), int(n_up), int(L), int(num), int(mtype),
-        interpret=interpret,
+        need=tuple(bool(x) for x in need), interpret=interpret,
     )
     return tuple(o[:b, 0].reshape(lead) for o in outs)
 

@@ -102,7 +102,8 @@ def fused_conv_bank(kernels, lo: int, p: int, n_in: int | None = None) -> Kernel
 
 
 def fused_current_front(
-    n_up: int, ratio: int, length: int, num_mw: int, mw_type: int
+    n_up: int, ratio: int, length: int, num_mw: int, mw_type: int,
+    need: tuple = (True,) * 4,
 ) -> Kernel:
     """Factory: the A/E current branch — ``upsampler(ratio)`` ->
     ``moving_window_multi(length, num_mw, mw_type)`` -> ``min_max`` — as one
@@ -126,6 +127,14 @@ def fused_current_front(
         raise DSPFatal("fused_current_front requires length <= 128")
     if mw_type not in (0, 1, 2):
         raise DSPFatal("Invalid mw_type")
+    # dead-output elision: the fusion pass clears entries of `need`
+    # (t_min, t_max, a_min, a_max) whose variables have no readers; the
+    # Pallas kernels skip those reductions and emit zeros. The XLA
+    # fallback always computes everything (bit-identity with the unfused
+    # steps for any output that IS read).
+    need = tuple(bool(x) for x in need)
+    if len(need) != 4:
+        raise DSPFatal("need must have four entries")
 
     def fn(c_in):
         n = c_in.shape[-1]
@@ -138,7 +147,7 @@ def fused_current_front(
         bad = isnan_any(c_in, 1)
         if pallas_available():
             t_min, t_max, a_min, a_max = fused_current(
-                c_in, ratio, half, n_up, length, num_mw, mw_type
+                c_in, ratio, half, n_up, length, num_mw, mw_type, need=need
             )
         else:
             from .min_max import min_max
@@ -166,7 +175,9 @@ def fused_current_front(
     )
 
 
-def fused_t0_front(kernel_arr, curr_spec=None, atrap_spec=None) -> Kernel:
+def fused_t0_front(
+    kernel_arr, curr_spec=None, atrap_spec=None, need: tuple = (True,) * 4
+) -> Kernel:
     """Factory: the t0/pileup branch — ``convolve_wf(w, kern, 's')`` ->
     ``min_max`` -> ``time_point_thresh(conv, a_std, tp_start, 0)``
     (reference ``convolutions.py:24``, ``min_max.py:19``,
@@ -203,6 +214,11 @@ def fused_t0_front(kernel_arr, curr_spec=None, atrap_spec=None) -> Kernel:
             )
         else:
             raise DSPFatal(f"unknown trap spec kind {atrap_spec[0]!r}")
+    # dead-output elision for (t_min, t_max, a_min, a_max) — see
+    # fused_current_front; the XLA fallback always computes everything
+    need = tuple(bool(x) for x in need)
+    if len(need) != 4:
+        raise DSPFatal("need must have four entries")
 
     def fn(w_in, a_std, badrow=None):
         from ._pallas import fused_t0
@@ -213,7 +229,7 @@ def fused_t0_front(kernel_arr, curr_spec=None, atrap_spec=None) -> Kernel:
         if pallas_available():
             outs = fused_t0(
                 w_in, kern_arr, a_std, curr_spec=curr_spec,
-                atrap_spec=atrap_spec,
+                atrap_spec=atrap_spec, need=need,
             )
             if outs is not None:  # None: geometry too big for VMEM
                 return tuple(o.astype(w_in.dtype) for o in outs)

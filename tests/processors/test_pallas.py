@@ -194,6 +194,66 @@ def test_fused_current_interpret_matches_oracle(rng):
     np.testing.assert_array_equal(t_min, x.argmin(-1))
 
 
+def test_fused_current_need_elision_interpret(rng):
+    """Dead-output elision: every `need` combination leaves the needed
+    outputs bitwise identical to the all-True kernel (the skipped outputs
+    come back as zeros) on BOTH the polyphase and up-domain routes, and
+    fused_t0's elision matches its all-True outputs too."""
+    import jax.numpy as jnp
+
+    from dspeed_tpu.processors import _pallas as P
+
+    c = np.abs(rng.normal(0, 10, (16, 300))).astype("float32")
+    n_up, ratio, L = 4784, 16, 48
+    full = [
+        np.asarray(o)
+        for o in P.fused_current(c, ratio, ratio // 2, n_up, L, 3, 0,
+                                 interpret=True)
+    ]
+    rep = jnp.repeat(jnp.asarray(c), ratio, axis=-1)
+    full_up = [
+        np.asarray(o[:, 0])
+        for o in P._fused_current_call(rep, ratio // 2, n_up, L, 3, 0,
+                                       interpret=True)
+    ]
+    for need in [(False, True, False, True), (True, False, False, False),
+                 (False, False, True, True)]:
+        outs = [
+            np.asarray(o)
+            for o in P.fused_current(c, ratio, ratio // 2, n_up, L, 3, 0,
+                                     need=need, interpret=True)
+        ]
+        outs_up = [
+            np.asarray(o[:, 0])
+            for o in P._fused_current_call(rep, ratio // 2, n_up, L, 3, 0,
+                                           need=need, interpret=True)
+        ]
+        for k in range(4):
+            # needed outputs are bitwise identical; un-needed outputs are
+            # unspecified (zeros, or real values when computed anyway as
+            # an internal dependency) — nothing reads them by construction
+            if need[k]:
+                np.testing.assert_array_equal(outs[k], full[k])
+                np.testing.assert_array_equal(outs_up[k], full_up[k])
+
+    w = rng.normal(0, 5, (16, 256)).astype("float32")
+    kern_arr = np.hanning(33)
+    std = np.full(16, 3.0, "float32")
+    t_full = [np.asarray(o)
+              for o in P.fused_t0(w, kern_arr, std, interpret=True)]
+    t_el = [
+        np.asarray(o)
+        for o in P.fused_t0(w, kern_arr, std,
+                            need=(False, True, False, True),
+                            interpret=True)
+    ]
+    np.testing.assert_array_equal(t_el[1], t_full[1])  # t_max
+    np.testing.assert_array_equal(t_el[3], t_full[3])  # a_max
+    np.testing.assert_array_equal(t_el[4], t_full[4])  # tp_0
+    # neither t_min nor a_min needed: both reductions skipped -> zeros
+    assert (t_el[0] == 0).all() and (t_el[2] == 0).all()
+
+
 @pytest.mark.parametrize("mtype,num", [(0, 3), (1, 2), (2, 2), (0, 0)])
 def test_fused_current_front_fallback_matches_unfused(rng, mtype, num):
     """The XLA fallback composes the original kernel bodies — bit-identical
