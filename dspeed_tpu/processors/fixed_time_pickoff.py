@@ -6,7 +6,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..errors import DSPFatal
-from ._helpers import isnan_any, nanmask, static_int, take_last
+from ._helpers import isnan_any, nanmask, static_int, take_per_row
 from ._kernel import kernel
 from ._spline import natural_spline_w2
 
@@ -41,10 +41,21 @@ def fixed_time_pickoff(w_in, t_in, mode_in, badrow=None):
     t0 = frac
     t1 = 1.0 - t0
 
-    w_i = take_last(w_in, i0)
-    w_i1 = take_last(w_in, i0 + 1)
-
     ch = chr(mode)
+    # one compare-reduce pass for every sample the mode needs: separate
+    # take_last calls each re-read the full plane from HBM (two 268 MB
+    # fusions per 'l' pickoff at flagship shapes, ~0.22 ms each on v5e);
+    # a stacked take_per_row picks all of them in a single multi-output
+    # reduction over one read. Bit-identical (each row-sum still has
+    # exactly one selected element).
+    if ch == "h":
+        picks = take_per_row(
+            w_in, jnp.stack([i0 - 1, i0, i0 + 1, i0 + 2], axis=-1)
+        )
+        w_im1, w_i, w_i1, w_i2 = (picks[..., j] for j in range(4))
+    else:
+        picks = take_per_row(w_in, jnp.stack([i0, i0 + 1], axis=-1))
+        w_i, w_i1 = picks[..., 0], picks[..., 1]
     if ch == "i":
         val = w_i
         bad_mode = ~exact
@@ -61,8 +72,6 @@ def fixed_time_pickoff(w_in, t_in, mode_in, badrow=None):
         val = jnp.where(exact, w_i, t1 * w_i + t0 * w_i1)
         bad_mode = False
     elif ch == "h":
-        w_im1 = take_last(w_in, i0 - 1)
-        w_i2 = take_last(w_in, i0 + 2)
         m0 = jnp.where(i0 == 0, w_in[..., 1] - w_in[..., 0], (w_i1 - w_im1) / 2.0)
         m1 = jnp.where(
             i0 == n - 2, w_in[..., -1] - w_in[..., -2], (w_i2 - w_i) / 2.0
@@ -77,11 +86,11 @@ def fixed_time_pickoff(w_in, t_in, mode_in, badrow=None):
         bad_mode = False
     else:  # 's'
         w2 = natural_spline_w2(w_in)
+        p2 = take_per_row(w2, jnp.stack([i0, i0 + 1], axis=-1))
         s = (
             t1 * w_i
             + t0 * w_i1
-            + ((t1**3 - t1) * take_last(w2, i0) + (t0**3 - t0) * take_last(w2, i0 + 1))
-            / 6.0
+            + ((t1**3 - t1) * p2[..., 0] + (t0**3 - t0) * p2[..., 1]) / 6.0
         )
         val = jnp.where(exact, w_i, s)
         bad_mode = False
