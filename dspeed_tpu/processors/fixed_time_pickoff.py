@@ -4,6 +4,7 @@
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..errors import DSPFatal
 from ._helpers import isnan_any, nanmask, static_int, take_per_row
@@ -47,15 +48,25 @@ def fixed_time_pickoff(w_in, t_in, mode_in, badrow=None):
     # fusions per 'l' pickoff at flagship shapes, ~0.22 ms each on v5e);
     # a stacked take_per_row picks all of them in a single multi-output
     # reduction over one read. Bit-identical (each row-sum still has
-    # exactly one selected element).
+    # exactly one selected element). Config-constant pickoff times skip
+    # the reduction entirely: a static column slice reads nothing but the
+    # picked column (take_per_row clips, so the slices clip identically).
+    static_t = isinstance(t_in, (int, float, np.integer, np.floating))
+
+    def pick(w, offs):
+        if static_t and np.isfinite(t_in):
+            j0 = int(np.floor(float(t_in)))
+            nn = w.shape[-1]
+            return tuple(
+                w[..., min(max(j0 + o, 0), nn - 1)] for o in offs
+            )
+        p = take_per_row(w, jnp.stack([i0 + o for o in offs], axis=-1))
+        return tuple(p[..., k] for k in range(len(offs)))
+
     if ch == "h":
-        picks = take_per_row(
-            w_in, jnp.stack([i0 - 1, i0, i0 + 1, i0 + 2], axis=-1)
-        )
-        w_im1, w_i, w_i1, w_i2 = (picks[..., j] for j in range(4))
+        w_im1, w_i, w_i1, w_i2 = pick(w_in, (-1, 0, 1, 2))
     else:
-        picks = take_per_row(w_in, jnp.stack([i0, i0 + 1], axis=-1))
-        w_i, w_i1 = picks[..., 0], picks[..., 1]
+        w_i, w_i1 = pick(w_in, (0, 1))
     if ch == "i":
         val = w_i
         bad_mode = ~exact
@@ -86,11 +97,11 @@ def fixed_time_pickoff(w_in, t_in, mode_in, badrow=None):
         bad_mode = False
     else:  # 's'
         w2 = natural_spline_w2(w_in)
-        p2 = take_per_row(w2, jnp.stack([i0, i0 + 1], axis=-1))
+        p2a, p2b = pick(w2, (0, 1))
         s = (
             t1 * w_i
             + t0 * w_i1
-            + ((t1**3 - t1) * p2[..., 0] + (t0**3 - t0) * p2[..., 1]) / 6.0
+            + ((t1**3 - t1) * p2a + (t0**3 - t0) * p2b) / 6.0
         )
         val = jnp.where(exact, w_i, s)
         bad_mode = False
