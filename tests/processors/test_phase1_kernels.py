@@ -178,6 +178,21 @@ class TestFixedTimePickoff:
         (voob,) = dp.fixed_time_pickoff(w, 1000.0, ord("l"))
         assert np.isnan(np.asarray(voob)[0])
 
+    def test_static_t_matches_array_t(self):
+        # the static-index fast path (config-constant pickoff time ->
+        # direct column slices, no compare-reduce) must be bit-identical
+        # to the per-event array route, including clip/OOR/NaN edges
+        rng = np.random.default_rng(7)
+        w = rng.normal(size=(8, 64)).astype("float64")
+        for t in (10.4, 10.0, 0.0, 0.3, 62.6, 63.0, -1.0, 64.0, np.nan):
+            tarr = np.full((8,), t, dtype="float64")
+            for m in "infclhs":
+                (vs,) = dp.fixed_time_pickoff(w, t, ord(m))
+                (va,) = dp.fixed_time_pickoff(w, tarr, ord(m))
+                np.testing.assert_array_equal(
+                    np.asarray(vs), np.asarray(va), err_msg=f"{m} t={t}"
+                )
+
 
 class TestMovingWindows:
     def test_moving_window_left_oracle(self, wf):
