@@ -47,15 +47,20 @@ def fixed_time_pickoff(w_in, t_in, mode_in, badrow=None):
     # take_last calls each re-read the full plane from HBM (two 268 MB
     # fusions per 'l' pickoff at flagship shapes, ~0.22 ms each on v5e);
     # a stacked take_per_row picks all of them in a single multi-output
-    # reduction over one read. Bit-identical (each row-sum still has
-    # exactly one selected element). Config-constant pickoff times skip
-    # the reduction entirely: a static column slice reads nothing but the
-    # picked column (take_per_row clips, so the slices clip identically).
+    # reduction over one read. Bit-identical under x64; within ~1 ulp in
+    # f32 (the two compiled graphs fuse/FMA differently). Config-constant
+    # pickoff times skip the reduction entirely: a static column slice
+    # reads nothing but the picked column (take_per_row clips, so the
+    # slices clip identically).
     static_t = isinstance(t_in, (int, float, np.integer, np.floating))
 
     def pick(w, offs):
         if static_t and np.isfinite(t_in):
-            j0 = int(np.floor(float(t_in)))
+            # floor AFTER casting to the dtype the array path actually
+            # floors (t.dtype — jnp.asarray truncates f64->f32 when x64 is
+            # off), so e.g. 10.99999999999 in f32 mode is 11.0 on both
+            # routes, not 10 here and 11 there.
+            j0 = int(np.floor(np.dtype(t.dtype).type(t_in)))
             nn = w.shape[-1]
             return tuple(
                 w[..., min(max(j0 + o, 0), nn - 1)] for o in offs
