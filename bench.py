@@ -109,14 +109,17 @@ def _build_sipm_chain(n_ev: int):
 
 def _bench_backend(
     backend: str, n_ev: int, iters: int, fused: bool = False, trials: int = 3,
-    builder=None,
+    builder=None, reduce: str = "best",
 ) -> float:
     """Sustained waveforms/sec of a chain on one device.
 
     Each iteration is serialized with a real data dependency (feed
     ``0*out[k]`` back into an input) and the loop ends with a host fetch —
     on remote/async backends ``block_until_ready`` acknowledges dispatch,
-    not completion. Best of ``trials`` to shed tunnel jitter.
+    not completion. ``reduce="best"`` of ``trials`` sheds tunnel jitter
+    (right for the remote numerator); ``reduce="median"`` is for local
+    baselines whose value anchors a ratio — best-of drifts with trial
+    count and machine load (the r4 denominator moved ±35% round-over-round).
     """
     import jax
 
@@ -127,7 +130,7 @@ def _bench_backend(
         chain, inputs = builder(n_ev)
     else:
         chain, inputs, _, _ = _build_chain(n_ev=n_ev, fused=fused)
-    best = 0.0
+    rates = []
     with jax.default_device(device):
         fn = jax.jit(chain._build_fn())
         inputs = {k: jax.device_put(v, device) for k, v in inputs.items()}
@@ -150,8 +153,8 @@ def _bench_backend(
                 cur = {**inputs, blk: inputs[blk] + feed}
             _ = np.asarray(out[key].reshape(-1)[:1])
             dt = time.perf_counter() - t0
-            best = max(best, n_ev * iters / dt)
-    return best
+            rates.append(n_ev * iters / dt)
+    return float(np.median(rates)) if reduce == "median" else max(rates)
 
 
 def _oracle_constants() -> tuple[float, int, int]:
@@ -240,8 +243,12 @@ def _write_bench_raw(n_ev: int, n_chan: int = 1) -> tuple[str, str, dict]:
     return tmp, raw, db
 
 
-PROD_CHUNK = 4096  # build_dsp buffer_len in the production phases; the
-# transport-floor phase measures the relay at this same chunk size
+PROD_CHUNK = 2048  # build_dsp buffer_len in the production phases; the
+# transport-floor phase measures the relay at this same chunk size.
+# Pinned to the measured transport-floor optimum (r4 curve: 6137 wf/s at
+# 2048 vs 5778 at the old 4096; VERDICT r4 item 5) — re-measured r5 on
+# axon/v5e: production 5983 wf/s at 2048 vs 4913 at 4096 (1024 is a
+# statistical tie with 2048 at 5993), landing within 2.5% of the floor.
 
 
 def _bench_production(
@@ -467,11 +474,14 @@ def main() -> None:
     RESULT["events_per_dispatch"] = n_ev_fused
 
     # 1. CPU same-chain baseline: cheap, local, and the denominator of the
-    #    headline ratio — never at the mercy of a cold TPU compile
+    #    headline ratio — never at the mercy of a cold TPU compile.
+    #    Fixed workload (1024 events x 2 iters), MEDIAN of 5 trials: the
+    #    r3->r4 best-of-2 @256 events drifted +35% on the same machine,
+    #    making the advertised multiplier soft (VERDICT r4 weak #5).
     def cpu_run():
         os.environ["DSPEED_TPU_PALLAS"] = "0"
         try:
-            return _bench_backend("cpu", 256, 2, trials=2)
+            return _bench_backend("cpu", 1024, 2, trials=5, reduce="median")
         finally:
             os.environ.pop("DSPEED_TPU_PALLAS", None)
 
