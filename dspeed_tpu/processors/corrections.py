@@ -134,3 +134,67 @@ def get_wf_centroid(w_in, shift):
     centroid = jnp.round((c_a + c_b) / 2.0)
     bad = isnan_any(w_in, 1) | isnan_any(sh) | ~found
     return nanmask(bad, centroid.astype(w_in.dtype))
+
+
+def _float_isnan(x):
+    x = jnp.asarray(x)
+    if jnp.issubdtype(x.dtype, jnp.floating):
+        return jnp.isnan(x)
+    return jnp.zeros(x.shape, bool)
+
+
+def _centroid_checker(w_in, shift):
+    """Checked-mode flags for the reference's shift fatals
+    (``get_wf_centroid.py:54-60``; NaN waveforms short-circuit to NaN
+    first): 1 = shift nan, 2 = shift negative, 3 = shift out of range."""
+    n = w_in.shape[-1]
+    sh = jnp.asarray(shift)
+    skip = isnan_any(w_in, 1)
+    code = jnp.where(
+        _float_isnan(sh),
+        1,
+        jnp.where(sh < 0, 2, jnp.where(sh > n - 1, 3, 0)),
+    ).astype(jnp.int32)
+    code = jnp.where(skip, 0, code)
+    lead = jnp.broadcast_shapes(code.shape, w_in.shape[:-1])
+    return jnp.broadcast_to(code, lead)
+
+
+get_wf_centroid.checker = _centroid_checker
+get_wf_centroid.check_messages = {
+    1: "shift is nan",
+    2: "shift must be positive",
+    3: "shift must be shorter than input waveform size",
+}
+
+
+def _alignment_checker(w_in, centroid, shift, size):
+    """Checked-mode flags for the reference's centroid/shift fatals
+    (``wf_alignment.py:63-71``; NaN waveforms short-circuit first; the
+    size checks are static here and raise at trace time): 1 = centroid
+    nan, 2 = shift nan, 3 = shift negative, 4 = shift out of range."""
+    n = w_in.shape[-1]
+    c = jnp.asarray(centroid)
+    sh = jnp.asarray(shift)
+    skip = isnan_any(w_in, 1)
+    code = jnp.where(
+        _float_isnan(c),
+        1,
+        jnp.where(
+            _float_isnan(sh),
+            2,
+            jnp.where(sh < 0, 3, jnp.where(sh > n, 4, 0)),
+        ),
+    ).astype(jnp.int32)
+    code = jnp.where(skip, 0, code)
+    lead = jnp.broadcast_shapes(code.shape, w_in.shape[:-1])
+    return jnp.broadcast_to(code, lead)
+
+
+wf_alignment.checker = _alignment_checker
+wf_alignment.check_messages = {
+    1: "centroid is nan",
+    2: "shift is nan",
+    3: "shift must be positive",
+    4: "shift must be shorter than input waveform size",
+}

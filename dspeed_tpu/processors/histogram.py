@@ -139,3 +139,17 @@ def _lift(bad, like):
         while bad.ndim < like.ndim:
             bad = bad[..., None]
     return bad
+
+
+def _ham_checker(w_in, center, bin_width):
+    """Checked-mode flag: the reference raises on ANY NaN input sample
+    with no NaN short-circuit (``histogram.py:158-159``; plain ``histogram``
+    silently zero-fills instead, ``histogram.py:66-67`` — excluded)."""
+    lead = w_in.shape[:-1]
+    return jnp.broadcast_to(
+        jnp.asarray(isnan_any(w_in, 1), jnp.int32), lead
+    )
+
+
+histogram_around_mode.checker = _ham_checker
+histogram_around_mode.check_messages = {1: "input data contains nan"}

@@ -163,3 +163,17 @@ def histogram_peakstats(weights_in, edges_in, max_in, skip_zeroes, width_type):
 
     bad = isnan_any(weights_in, 1)
     return nanmask(bad, mode), nanmask(bad, width)
+
+
+def _peakstats_checker(weights_in, edges_in, max_in, skip_zeroes, width_type):
+    """Checked-mode flag: the reference raises on NaN weights with no NaN
+    short-circuit (``histogram_stats.py:87-88``; ``histogram_stats`` at
+    ``:224`` silently NaNs instead — excluded)."""
+    lead = weights_in.shape[:-1]
+    return jnp.broadcast_to(
+        jnp.asarray(isnan_any(weights_in, 1), jnp.int32), lead
+    )
+
+
+histogram_peakstats.checker = _peakstats_checker
+histogram_peakstats.check_messages = {1: "nan in input weights"}

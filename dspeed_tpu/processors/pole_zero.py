@@ -169,3 +169,21 @@ def inject_damped_oscillation(w_in, tau, omega, phase, frac):
         jnp.broadcast_arrays(one, -2.0 * rc * cw, rc * rc), axis=-1
     )
     return recursive_filter_impl(w_in, a, b, w_in[..., 0], 0.0)
+
+
+def _pz_checker(w_in, t_tau):
+    """Checked-mode flag for the reference's output-NaN fatal
+    (``pole_zero.py:76-77``): NaN inputs short-circuit to NaN outputs
+    first (``:57-58``), so the raise fires only when FINITE inputs
+    overflow the recursion into NaN (e.g. a tiny negative tau). The
+    kernel output is recomputed here with the same traced ops — XLA CSE
+    dedupes it against the real kernel call in the same program."""
+    skip = isnan_any(w_in, 1) | isnan_any(t_tau)
+    out = pole_zero.fn(w_in, t_tau)
+    code = jnp.where(isnan_any(out, 1) & ~skip, 1, 0).astype(jnp.int32)
+    lead = jnp.broadcast_shapes(code.shape, w_in.shape[:-1])
+    return jnp.broadcast_to(code, lead)
+
+
+pole_zero.checker = _pz_checker
+pole_zero.check_messages = {1: "Pole-zero filter produced nans in output."}

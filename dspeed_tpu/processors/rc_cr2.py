@@ -95,3 +95,20 @@ def rc_cr2(w_in, t_tau):
     y = one_pole(s2, y2)
     out = jnp.concatenate([w[..., :3], y], axis=-1).astype(w_in.dtype)
     return nanmask(isnan_any(w_in, 1) | bad_tau, out)
+
+
+def _rc_cr2_checker(w_in, t_tau):
+    """Checked-mode flag for the reference's output-NaN fatal
+    (``rc_cr2.py:93-94``): NaN inputs short-circuit to NaN outputs first
+    (``:47-48``), so the raise fires only when FINITE inputs overflow the
+    recursion into NaN. The kernel output is recomputed with the same
+    traced ops — XLA CSE dedupes it against the real kernel call."""
+    skip = isnan_any(w_in, 1) | isnan_any(t_tau)
+    out = rc_cr2.fn(w_in, t_tau)
+    code = jnp.where(isnan_any(out, 1) & ~skip, 1, 0).astype(jnp.int32)
+    lead = jnp.broadcast_shapes(code.shape, w_in.shape[:-1])
+    return jnp.broadcast_to(code, lead)
+
+
+rc_cr2.checker = _rc_cr2_checker
+rc_cr2.check_messages = {1: "RC-CR^2 filter produced nans in output."}

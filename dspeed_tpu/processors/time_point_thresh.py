@@ -562,3 +562,23 @@ def tp_from_cross_mask(walk_forward: int) -> "Kernel":
     return Kernel(
         fn, "(n),()->()", ["Bf->f", "Bd->d"], name="tp_from_cross_mask"
     )
+
+
+def _mtpt_checker(w_in, a_threshold, t_start, polarity, mode_in):
+    """Checked-mode flag for the reference's polarity fatal
+    (``time_point_thresh.py:313-314``): 1 = polarity is 0. NaN inputs and
+    an out-of-range ``t_start`` short-circuit to NaN outputs first
+    (``:302-307``), so they must not flag."""
+    n = w_in.shape[-1]
+    a = jnp.asarray(a_threshold)
+    t = jnp.asarray(t_start)
+    skip = isnan_any(w_in, 1) | isnan_any(a, 1) | isnan_any(t)
+    skip = skip | (t < 0) | (t >= n)
+    pol = jnp.asarray(polarity)
+    code = jnp.where(~skip & (pol == 0), 1, 0).astype(jnp.int32)
+    lead = jnp.broadcast_shapes(code.shape, w_in.shape[:-1])
+    return jnp.broadcast_to(code, lead)
+
+
+multi_time_point_thresh.checker = _mtpt_checker
+multi_time_point_thresh.check_messages = {1: "polarity cannot be 0"}

@@ -230,3 +230,164 @@ class TestChainChecked:
         with h5py.File(out) as f:
             picked = f["ch000/dsp/picked"][:]
         assert np.isnan(picked[27]) and np.isfinite(picked[0])
+
+
+class TestRaiseParityRound5:
+    """Round-5 checker coverage (VERDICT r4 item 4): every remaining
+    per-event-data raise site in the reference."""
+
+    def test_histogram_around_mode_nan_input(self, rng):
+        from dspeed_tpu.processors import histogram_around_mode
+
+        w = rng.normal(0, 1, (3, 64))
+        w[1, 10] = np.nan
+        _ref_raises(
+            "histogram_around_mode", w, np.nan, 2.0,
+            match="input data contains nan",
+            dims={"m": 8, "p": 9}, out_args=2,
+        )
+        flag = np.asarray(
+            histogram_around_mode.checker(jnp.asarray(w), np.nan, 2.0)
+        )
+        assert flag.tolist() == [0, 1, 0]
+        assert (
+            histogram_around_mode.check_messages[1]
+            == "input data contains nan"
+        )
+
+    def test_histogram_peakstats_nan_weights(self, rng):
+        from dspeed_tpu.processors import histogram_peakstats
+
+        nb = 16
+        e = np.broadcast_to(np.linspace(-8, 8, nb + 1), (2, nb + 1)).copy()
+        w = rng.uniform(0, 10, (2, nb))
+        w[0, 3] = np.nan
+        _ref_raises(
+            "histogram_peakstats", w, e, np.nan, 0, 0,
+            match="nan in input weights",
+        )
+        flag = np.asarray(
+            histogram_peakstats.checker(
+                jnp.asarray(w), jnp.asarray(e), np.nan, 0, 0
+            )
+        )
+        assert flag.tolist() == [1, 0]
+
+    def test_get_wf_centroid_shift_checks(self, rng):
+        from dspeed_tpu.processors import get_wf_centroid
+
+        n = 128
+        t = np.arange(n, dtype="f8")
+        base = np.where(t < 50, -1.0, np.where(t < 78, (t - 64) / 14.0, 1.0))
+        w = base[None, :].repeat(5, 0) + rng.normal(0, 0.01, (5, n))
+        _ref_raises("get_wf_centroid", w, np.nan, match="shift is nan")
+        _ref_raises("get_wf_centroid", w, -1.0, match="shift must be positive")
+        _ref_raises(
+            "get_wf_centroid", w, 500.0,
+            match="shift must be shorter than input waveform size",
+        )
+        sh = np.array([np.nan, 5.0, -1.0, 500.0, 5.0])
+        w[4] = np.nan  # NaN waveform short-circuits BEFORE the shift fatals
+        flag = np.asarray(
+            get_wf_centroid.checker(jnp.asarray(w), jnp.asarray(sh))
+        )
+        assert flag.tolist() == [1, 0, 2, 3, 0]
+        assert get_wf_centroid.check_messages[3] == (
+            "shift must be shorter than input waveform size"
+        )
+
+    def test_wf_alignment_centroid_shift_checks(self, rng):
+        from dspeed_tpu.processors import wf_alignment
+
+        w = rng.normal(0, 1, (5, 128))
+        kw = dict(dims={"m": 40}, out_args=1, int_args=(3,))
+        _ref_raises(
+            "wf_alignment", w, np.nan, 5.0, 40.0,
+            match="centroid is nan", **kw,
+        )
+        _ref_raises(
+            "wf_alignment", w, 60.0, np.nan, 40.0,
+            match="shift is nan", **kw,
+        )
+        _ref_raises(
+            "wf_alignment", w, 60.0, -2.0, 40.0,
+            match="shift must be positive", **kw,
+        )
+        _ref_raises(
+            "wf_alignment", w, 60.0, 300.0, 40.0,
+            match="shift must be shorter than input waveform size", **kw,
+        )
+        c = np.array([np.nan, 60.0, 60.0, 60.0, 60.0])
+        sh = np.array([5.0, np.nan, -2.0, 300.0, 5.0])
+        w[4] = np.nan  # NaN waveform short-circuits first
+        flag = np.asarray(
+            wf_alignment.checker(
+                jnp.asarray(w), jnp.asarray(c), jnp.asarray(sh), 40
+            )
+        )
+        assert flag.tolist() == [1, 2, 3, 4, 0]
+
+    def test_multi_time_point_thresh_polarity(self, rng):
+        from dspeed_tpu.processors import multi_time_point_thresh
+
+        w = np.linspace(0, 200, 64)[None, :].repeat(4, 0)
+        thr = np.broadcast_to(
+            np.array([50.0, 100.0, 150.0]), (4, 3)
+        ).copy()
+        _ref_raises(
+            "multi_time_point_thresh", w, thr, 32.0, 0.0, ord("i"),
+            match="polarity cannot be 0",
+        )
+        pol = np.array([0.0, 1.0, 0.0, 0.0])
+        thr[2, 1] = np.nan  # NaN threshold short-circuits
+        t = np.full(4, 32.0)
+        t[3] = 99999.0  # out-of-range start silently NaNs (no raise)
+        flag = np.asarray(
+            multi_time_point_thresh.checker(
+                jnp.asarray(w), jnp.asarray(thr), jnp.asarray(t),
+                jnp.asarray(pol), ord("i"),
+            )
+        )
+        assert flag.tolist() == [1, 0, 0, 0]
+        assert multi_time_point_thresh.check_messages[1] == (
+            "polarity cannot be 0"
+        )
+
+    def test_pole_zero_overflow_nan_output(self):
+        from dspeed_tpu.processors import pole_zero
+
+        # finite inputs that overflow the recursion into NaN: tau=-1e-3
+        # makes exp(-1/tau)=exp(1000)=inf, and a zero sample turns
+        # 0*inf into NaN (the reference's only reachable output-NaN path —
+        # NaN inputs short-circuit at pole_zero.py:57-58 before the raise)
+        w = np.ones((3, 32))
+        w[1, 4] = 0.0
+        tau = np.array([27000.0, -1e-3, -1e-3])
+        _ref_raises(
+            "pole_zero", w[1:2], -1e-3,
+            match="Pole-zero filter produced nans in output",
+        )
+        flag = np.asarray(
+            pole_zero.checker(jnp.asarray(w), jnp.asarray(tau))
+        )
+        assert flag[0] == 0 and flag[1] == 1
+        # NaN input must NOT flag (reference short-circuits silently)
+        w_nan = w.copy()
+        w_nan[0, 0] = np.nan
+        flag = np.asarray(
+            pole_zero.checker(jnp.asarray(w_nan), jnp.asarray(tau))
+        )
+        assert flag[0] == 0
+
+    def test_rc_cr2_checker_no_false_flags(self, rng):
+        from dspeed_tpu.processors import rc_cr2
+
+        w = np.cumsum(rng.normal(0, 1, (3, 64)), axis=1)
+        w[2] = np.nan
+        flag = np.asarray(
+            rc_cr2.checker(jnp.asarray(w), 30.0)
+        )
+        assert flag.tolist() == [0, 0, 0]
+        assert rc_cr2.check_messages[1] == (
+            "RC-CR^2 filter produced nans in output."
+        )
