@@ -490,9 +490,17 @@ def main() -> None:
 
     # 2. standard chain — the headline number (two trials: the first
     #    measurement through a cold tunnel under-reported 4x in round 2;
-    #    extra trials still come out of leftover budget at the end)
+    #    extra trials still come out of leftover budget at the end).
+    #    fused="generic": hand patterns OFF, pattern-free row-tile fusion ON
+    #    — what any user config that matches no hand pattern gets on the
+    #    default path (r5; the pure-XLA chain was flat at 268k for three
+    #    rounds). On CPU the generic groups fall back to the identical XLA
+    #    composition, so the cpu_same_chain denominator is the same graph.
     RESULT["standard_wfps"] = phase(
-        "standard", lambda: _bench_backend(platform, n_ev, iters, trials=2)
+        "standard",
+        lambda: _bench_backend(
+            platform, n_ev, iters, trials=2, fused="generic"
+        ),
     )
     if not on_accel:
         RESULT["cpu_same_chain_wfps"] = RESULT["standard_wfps"]
@@ -565,7 +573,9 @@ def main() -> None:
     if remaining() > 60.0 and RESULT["standard_wfps"]:
         extra = phase(
             "standard_retrials",
-            lambda: _bench_backend(platform, n_ev, iters, trials=3),
+            lambda: _bench_backend(
+                platform, n_ev, iters, trials=3, fused="generic"
+            ),
         )
         if extra:
             RESULT["standard_wfps"] = max(RESULT["standard_wfps"], extra)

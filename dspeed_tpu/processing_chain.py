@@ -994,6 +994,64 @@ class FuncStep(Step):
                 out = out.astype(want)
         env[self.out_key] = out
 
+class GroupStep(Step):
+    """A contiguous run of tile-safe steps executed as ONE Pallas row-tile
+    program (the generic, pattern-free fusion pass — VERDICT r4 item 1).
+
+    On TPU the group's external plane inputs are read from HBM once per row
+    tile, every member-to-member intermediate plane lives in VMEM, and only
+    escaping outputs are written back. Anywhere the geometry or backend
+    doesn't fit, the members run unchanged in sequence — the traced graph is
+    then *identical* to the unfused chain, so results are bit-identical by
+    construction. Reference semantics preserved: the member bodies are the
+    member kernels (``/root/reference/src/dspeed/processing_chain.py:1144-1163``'s
+    per-processor interpretation, re-ordered only in memory placement).
+    """
+
+    def __init__(self, proc_chain, members, ext_in, escapes, core_nd,
+                 name: str = "") -> None:
+        self.proc_chain = proc_chain
+        self.members = list(members)
+        self.ext_in = list(ext_in)
+        self.escapes = list(escapes)
+        self.core_nd = dict(core_nd)
+        self.time_total = 0.0
+        self.name = name or (
+            "fusion_group["
+            + ",".join(str(getattr(m, "name", m)).split("(")[0]
+                       for m in self.members)
+            + "]"
+        )
+
+    def _body(self, vals: dict) -> dict:
+        local = dict(vals)
+        for m in self.members:
+            m.run(local)
+        return {k: local[k] for k in self.escapes}
+
+    def run(self, env: dict) -> None:
+        vals = {k: env[k] for k in self.ext_in if k in env}
+        outs = None
+        chain = self.proc_chain
+        interp = os.getenv("DSPEED_TPU_GENERIC_INTERPRET", "0") == "1"
+        if len(vals) == len(self.ext_in) and chain._mesh is None:
+            from .processors import _pallas
+
+            try:
+                outs = _pallas.generic_rows(
+                    self._body, vals, self.core_nd, interpret=interp
+                )
+            except Exception as e:  # never let the fast path break a chain
+                log.warning("generic fusion fell back to XLA: %s", e)
+                outs = None
+        if outs is None:
+            outs = self._body({k: env[k] for k in self.ext_in})
+        env.update(outs)
+
+    def __str__(self) -> str:
+        return self.name
+
+
 # ---------------------------------------------------------------------------
 # ProcessingChain
 # ---------------------------------------------------------------------------
@@ -1125,7 +1183,7 @@ class ProcessingChain:
 
     # -- fusion pass -------------------------------------------------------
 
-    def optimize_fusions(self) -> list[str]:
+    def optimize_fusions(self, generic_only: bool = False) -> list[str]:
         """Substitute TPU fused kernels for their canonical step patterns.
 
         Patterns are matched on the *built* step list so any config spelling
@@ -1162,13 +1220,19 @@ class ProcessingChain:
         # t0 front's atrap absorption (measured +1.7 ms from the extra
         # in-kernel prefix sum at flagship shapes, r4) only claims traps
         # the energy front left behind (chains without an amax'd trap)
-        for fuse in (
+        fuses = (
             self._fuse_energy_front,
             self._fuse_tp_cascade,
             self._fuse_current_front,
             self._fuse_t0_front,
             self._fuse_conv_bank,
-        ):
+            # last: the pattern-free row-tile pass groups whatever the hand
+            # patterns left behind (generic fusion, VERDICT r4 item 1)
+            self._fuse_generic,
+        )
+        if generic_only:
+            fuses = (self._fuse_generic,)
+        for fuse in fuses:
             for _ in range(len(self._steps)):
                 try:
                     got = fuse()
@@ -2023,6 +2087,170 @@ class ProcessingChain:
             return [f"chained_time_point_thresh[{len(grp)}]"]
         return []
 
+    # names of expression-parser ufunc kernels that lower inside a Pallas
+    # row tile (elementwise / axis-static reductions)
+    _GENERIC_UFUNC_SAFE = frozenset(
+        "add subtract multiply divide true_divide floor_divide negative "
+        "less less_equal greater greater_equal equal not_equal logical_and "
+        "logical_or logical_not maximum minimum where abs absolute fabs "
+        "sqrt exp expm1 log log1p log10 square sign isnan isfinite rint "
+        "floor ceil trunc amax amin max min sum mean nanmax nanmin "
+        "nansum nanmean power mod remainder".split()
+    )
+
+    def _groupable_step(self, step) -> bool:
+        """True when a step's body is safe inside a Pallas row tile: pure
+        per-event jnp ops with static shapes (no scatters, sorts, FFTs,
+        scans, or host callbacks)."""
+        if isinstance(step, (AliasStep, SliceStep, ConvertStep)):
+            return True
+        if isinstance(step, FuncStep):
+            mod = getattr(step.fn, "__module__", "") or ""
+            return mod.startswith("jax.")
+        if isinstance(step, KernelStep):
+            k = step.kernel
+            safe = getattr(k, "tile_safe", False)
+            if callable(safe):
+                try:
+                    return bool(safe(step))
+                except Exception:
+                    return False
+            if safe:
+                return True
+            return k.__name__ in self._GENERIC_UFUNC_SAFE
+        return False
+
+    def _key_core_ndims(self) -> dict:
+        """env key -> core rank (0 scalar, 1 plane, ...); None = chain
+        constant (safe to close over); absent = unknown."""
+        m: dict = {}
+        for var in self._vars_dict.values():
+            if not isinstance(var, ProcChainVar):
+                continue
+            if var.is_const and var.const_value is not None:
+                m[var.key] = None
+            elif var.shape is not auto:
+                m[var.key] = len(var.shape)
+        for step in self._steps:
+            if isinstance(step, KernelStep):
+                for sp in step.out_specs:
+                    if isinstance(sp.shape, tuple):
+                        m[sp.key] = len(sp.shape)
+            elif isinstance(step, ConvertStep):
+                if step.out_key not in m and step.in_key in m:
+                    m[step.out_key] = m[step.in_key]
+            elif isinstance(step, AliasStep):
+                if step.dst_key not in m and step.src_key in m:
+                    m[step.dst_key] = m[step.src_key]
+            elif isinstance(step, SliceStep):
+                # a plain slice keeps the core rank
+                if (
+                    step.out_key not in m
+                    and step.src_key in m
+                    and isinstance(step.sl, slice)
+                ):
+                    m[step.out_key] = m[step.src_key]
+        return m
+
+    def _fuse_generic(self) -> list[str]:
+        """Pattern-free fusion: group maximal contiguous runs of tile-safe
+        steps into :class:`GroupStep`\\ s (one Pallas row-tile program each
+        on TPU; plain XLA composition elsewhere — identical graph). Applied
+        after the hand patterns so it only claims their leftovers."""
+        if os.getenv("DSPEED_TPU_FUSE_GENERIC", "1") in ("0", "false"):
+            return []
+        if not self._output_managers:
+            # liveness is seeded from the output managers; without them
+            # every written key may be read externally — nothing can be
+            # safely elided (same guard as _prune_dead_steps)
+            return []
+        steps = self._steps
+        core_of = self._key_core_ndims()
+        needed = set()
+        for man in self._output_managers.values():
+            needed.update(man.out_keys())
+        reads_fn = self._step_env_reads
+
+        def writes_of(s):
+            if isinstance(s, KernelStep):
+                return {sp.key for sp in s.out_specs}
+            if isinstance(s, (ConvertStep, FuncStep, SliceStep)):
+                return {s.out_key}
+            if isinstance(s, AliasStep):
+                return {s.dst_key}
+            if isinstance(s, GroupStep):
+                return set(s.escapes)
+            return None
+
+        def make_group(members, later_steps):
+            written: set = set()
+            ext: set = set()
+            consumed: set = set()  # keys read by a member AFTER their writer
+            for mstep in members:
+                r = reads_fn(mstep)
+                w = writes_of(mstep)
+                if r is None or w is None:
+                    return None
+                ext |= r - written
+                consumed |= r & written
+                written |= w
+            later = set(needed)
+            unknown_later = False
+            for ls in later_steps:
+                lr = reads_fn(ls)
+                if lr is None:
+                    unknown_later = True
+                    break
+                later |= lr
+            escapes = sorted(written) if unknown_later else sorted(
+                written & later
+            )
+            # benefit: at least one LIVE internal plane must be elided — a
+            # plane produced by one member and consumed by a later one,
+            # never reaching HBM. Dead writes don't count (a dead slice
+            # made post-pattern leftovers form groups that re-streamed
+            # five untouched planes through Pallas: fused 968k -> 875k
+            # wf/s, measured r5), and without any elision this is work XLA
+            # already fuses.
+            elided = [
+                k
+                for k in written
+                if k not in escapes
+                and k in consumed
+                and (core_of.get(k) or 0) >= 1
+            ]
+            if not elided:
+                return None
+            # keys with unknown core rank are inferred at trace time from
+            # the known planes' leading batch shape (generic_rows)
+            core_nd = {k: core_of[k] for k in ext if k in core_of}
+            if not any(v == 1 for v in core_nd.values()):
+                return None  # no known plane input: nothing to anchor tiles
+            return GroupStep(self, members, sorted(ext), escapes, core_nd)
+
+        applied: list[str] = []
+        # maximal runs of groupable steps, spliced back-to-front so the
+        # indices of earlier runs stay valid
+        runs = []
+        start = None
+        for i, step in enumerate(steps):
+            if self._groupable_step(step) and not isinstance(step, GroupStep):
+                if start is None:
+                    start = i
+            else:
+                if start is not None and i - start >= 2:
+                    runs.append((start, i))
+                start = None
+        if start is not None and len(steps) - start >= 2:
+            runs.append((start, len(steps)))
+        for a, b in reversed(runs):
+            grp = make_group(steps[a:b], steps[b:])
+            if grp is None:
+                continue
+            steps[a:b] = [grp]
+            applied.append(f"fusion_group[{len(grp.members)}]")
+        return applied
+
     def _prune_dead_steps(self) -> None:
         """Remove steps whose outputs nothing reads (e.g. the ``0.99*base``
         multiplies absorbed into a fused cascade). Conservative: a step of
@@ -2048,6 +2276,8 @@ class ProcessingChain:
                 return {step.out_key}
             if isinstance(step, AliasStep):
                 return {step.dst_key}
+            if isinstance(step, GroupStep):
+                return set(step.escapes)
             if isinstance(step, SliceStep):
                 return {step.out_key}
             return None
@@ -2093,6 +2323,8 @@ class ProcessingChain:
             return {step.src_key}
         if isinstance(step, FuncStep):
             return {k for k in step.in_keys if isinstance(k, str)}
+        if isinstance(step, GroupStep):
+            return set(step.ext_in)
         return None
 
     def _thread_nan_masks(self) -> list[str]:
@@ -2428,6 +2660,14 @@ class ProcessingChain:
             {k for man in self._output_managers.values() for k in man.out_keys()}
         )
         steps = list(self._steps)
+        if self._checked:
+            # generic fusion groups are pure memory-placement optimizations;
+            # expand them so every member's checker emits its flag column
+            steps = [
+                m
+                for s in steps
+                for m in (s.members if isinstance(s, GroupStep) else [s])
+            ]
 
         # checked mode: steps whose kernels declare a data-dependent checker
         # write an int32 flag column; the keys ride the output fetch
@@ -4161,6 +4401,11 @@ def build_processing_chain(
             ) from e
 
     field_mask = input_par_list + copy_par_list
-    if os.getenv("DSPEED_TPU_FUSE", "1") not in ("0", "false"):
-        proc_chain.optimize_fusions()
+    fuse_mode = os.getenv("DSPEED_TPU_FUSE", "1")
+    if fuse_mode not in ("0", "false"):
+        # "generic" skips the hand patterns and runs only the pattern-free
+        # row-tile pass — what an arbitrary (non-flagship-shaped) config
+        # gets; the default runs both (patterns claim their structures
+        # first, the generic pass groups the leftovers)
+        proc_chain.optimize_fusions(generic_only=fuse_mode == "generic")
     return proc_chain, field_mask, tb_out

@@ -41,12 +41,28 @@ def isnan_any(x, core_ndim: int = 0):
         return np.isnan(x)
     if not jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating):
         return False
+    # trace-local memo (generic row-tile fusion): a dozen group members
+    # reading the same plane would each re-reduce isnan over it inside the
+    # Mosaic kernel — XLA CSEs these in the unfused graph, Mosaic doesn't.
+    # Identical values either way; this is sharing, not a semantic change.
+    from ._numerics import _TRACE_MEMO
+
+    memo = _TRACE_MEMO
+    if memo is not None:
+        key = ("isnan", id(x), core_ndim)
+        hit = memo.get(key)
+        if hit is not None and hit[0] is x:
+            return hit[1]
     if core_ndim:
         m = x
         for _ in range(core_ndim):
             m = jnp.min(m, axis=-1)
-        return jnp.isnan(m)
-    return jnp.isnan(x)
+        out = jnp.isnan(m)
+    else:
+        out = jnp.isnan(x)
+    if memo is not None:
+        memo[key] = (x, out)
+    return out
 
 
 def nanmask(bad, out):
@@ -117,3 +133,4 @@ def static_int(x, name: str, what: str) -> int:
 
     require_static(x, name, what)
     return int(x)
+

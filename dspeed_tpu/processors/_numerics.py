@@ -94,6 +94,23 @@ def _ds_combine(x, y):
     return s, e + e1 + e2
 
 
+def _ds_scan(sums):
+    """Inclusive compensated (two-float) scan along the last axis.
+
+    Hillis-Steele with static pad/slice shifts: the same error behavior as
+    ``associative_scan(_ds_combine, ...)`` (any combine tree yields a valid
+    compensated sum; shifted-in zeros are an exact identity for
+    ``_two_sum``), but with no zero-sized recursion slices or dynamic
+    slices — it lowers inside a Mosaic row tile (generic fusion)."""
+    hi, lo = sums, jnp.zeros_like(sums)
+    nb = sums.shape[-1]
+    d = 1
+    while d < nb:
+        hi, lo = _ds_combine((shift_right(hi, d), shift_right(lo, d)), (hi, lo))
+        d *= 2
+    return hi, lo
+
+
 class PrefixSum:
     """An inclusive prefix sum held at accumulation precision.
 
@@ -169,6 +186,22 @@ class PrefixSum:
         return jnp.where(idx >= self.shift, v, 0.0)
 
 
+# trace-local cumsum memo, installed by generic fusion while tracing a row
+# tile (processors._pallas.generic_rows): members sharing a source plane
+# then share ONE prefix sum in the tile jaxpr — the dedup XLA's CSE does
+# for free in the unfused graph, which Mosaic does not perform. Keys hold
+# a strong ref to the traced operand so id() cannot be recycled; the memo
+# only exists for the duration of one trace (never cached across traces).
+_TRACE_MEMO: dict | None = None
+
+
+def set_cumsum_memo(memo):
+    global _TRACE_MEMO
+    prev = _TRACE_MEMO
+    _TRACE_MEMO = memo
+    return prev
+
+
 def hp_cumsum(x, mode: str | None = None) -> PrefixSum:
     """Inclusive prefix sum over the last axis at accumulation precision.
 
@@ -177,6 +210,18 @@ def hp_cumsum(x, mode: str | None = None) -> PrefixSum:
     """
     if mode is None:
         mode = config.accum_mode()
+    if _TRACE_MEMO is not None:
+        key = (id(x), mode)
+        hit = _TRACE_MEMO.get(key)
+        if hit is not None and hit[0] is x:
+            return hit[1]
+        ps = _hp_cumsum_impl(x, mode)
+        _TRACE_MEMO[key] = (x, ps)
+        return ps
+    return _hp_cumsum_impl(x, mode)
+
+
+def _hp_cumsum_impl(x, mode: str) -> PrefixSum:
     if mode == "f64":
         return PrefixSum(jnp.cumsum(x.astype(jnp.float64), axis=-1))
     if mode == "f32":
@@ -239,7 +284,7 @@ def iir_first_order(x, p: float, y_init=0.0, block: int = 128):
 
     # carry c_b = y value at end of block b: c_b = p^block * c_{b-1} + y_in[b, -1]
     mults = jnp.full(xb.shape[:-1], p**block, dtype=dtype)
-    vals = y_in[..., -1]
+    vals = y_in[..., y_in.shape[-1] - 1]  # positive index: Mosaic-static slice
     m_acc, c_in = jax.lax.associative_scan(_affine_combine, (mults, vals), axis=-1)
     # previous-block carry (exclusive over blocks), seeded with y[-1] = y_init:
     # c_prev[b] = c_in[b-1] + (p^block)^b * y_init   (m_acc[b] = (p^block)^(b+1))
@@ -298,10 +343,8 @@ def blocked_cumsum(x, block: int = 128) -> PrefixSum:
     )  # (..., nb, block): in-block inclusive cumsum
 
     # compensated (two-float) exclusive scan over block sums: nb elements
-    sums = local[..., -1]
-    hi, lo = jax.lax.associative_scan(
-        _ds_combine, (sums, jnp.zeros_like(sums)), axis=-1
-    )
+    sums = local[..., local.shape[-1] - 1]  # positive index: Mosaic-static slice
+    hi, lo = _ds_scan(sums)
     carry_hi = shift_right(hi, 1)
     carry_lo = shift_right(lo, 1)
 

@@ -19,10 +19,13 @@ was removed.)
 from __future__ import annotations
 
 import functools
+import logging
 import os
 
 import jax
 import jax.numpy as jnp
+
+log = logging.getLogger(__name__)
 
 __all__ = [
     "pallas_available", "fused_energy", "fused_current", "banded_conv_multi",
@@ -1683,3 +1686,338 @@ def cascade_tp(w, a_base, t_start, factors, dirs, starts,
         starts=tuple(starts), interpret=interpret,
     )
     return tuple(o[:b, 0].reshape(lead) for o in outs)
+
+
+# ---------------------------------------------------------------------------
+# generic row-tile fusion: run an arbitrary composition of tile-safe step
+# bodies over VMEM-resident row tiles (the pattern-free fusion pass,
+# processing_chain._fuse_generic). No reference analogue — the reference
+# interprets one processor at a time over numpy buffers
+# (/root/reference/src/dspeed/processing_chain.py:1144-1163); here the whole
+# group's intermediate planes never touch HBM.
+
+_GEN_TILE_B = int(os.getenv("DSPEED_TPU_GENERIC_TILE_B", "32"))  # r5 sweep on v5e: 8 -> 303k, 16 -> 343k, 32 -> 367k, 64 -> 270k wf/s
+_GEN_VMEM_BYTES = int(os.getenv("DSPEED_TPU_GENERIC_VMEM", str(10 * 2**20)))
+
+# True while generic_rows traces a group body: kernels with standalone
+# Pallas fast paths (banded conv, rank-plane cascade) must route to their
+# XLA form instead — a pallas_call cannot nest inside another kernel
+_IN_TILE = False
+
+
+def in_tile() -> bool:
+    """True when the caller is being traced inside a generic row tile."""
+    return _IN_TILE
+
+
+_GEN_COMPILE_OK: dict = {}
+
+
+def _gen_probe_compile(
+    kern, in_specs, out_specs, out_info, ops, tb, closed, n_tiled
+):
+    """One-time single-tile Mosaic compile of a group body.
+
+    ``tile_safe`` predicates are necessarily approximate — Mosaic's op
+    support can't be fully predicted from the traced jaxpr. The real
+    ``pallas_call`` lowers inside the chain's outer jit, where a
+    ``NotImplementedError`` (or a scoped-VMEM OOM) would escape
+    ``generic_rows``' fallback and kill the whole chain compile; probing a
+    two-tile clone here (memoized per body structure) turns that into a
+    clean XLA fallback instead. Grid must be ≥2: a single-step grid skips
+    Mosaic's double buffering, under-reporting scoped VMEM by ~2x (a
+    grid-(1,) probe passed a group the real 512-step grid OOM'd on, r5).
+    """
+    import hashlib
+
+    import numpy as np
+
+    from jax.experimental import pallas as pl
+
+    key = hashlib.sha1(
+        (
+            str(closed.jaxpr)
+            + repr(
+                [(tuple(int(d) for d in o.shape), str(o.dtype)) for o in ops]
+            )
+            + str(tb)
+        ).encode()
+    ).hexdigest()
+    ok = _GEN_COMPILE_OK.get(key)
+    if ok is not None:
+        return ok
+    probe_args = []
+    for i, o in enumerate(ops):
+        shp = (2 * tb, *o.shape[1:]) if i < n_tiled else o.shape
+        probe_args.append(jax.ShapeDtypeStruct(shp, o.dtype))
+    probe_outs = [
+        jax.ShapeDtypeStruct(
+            (2 * tb, *(cs or (1,))),
+            np.dtype("uint8") if dt == np.dtype(bool) else dt,
+        )
+        for _, cs, dt in out_info
+    ]
+    try:
+        jax.jit(
+            lambda *a: pl.pallas_call(
+                kern,
+                grid=(2,),
+                in_specs=in_specs,
+                out_specs=out_specs,
+                out_shape=probe_outs,
+            )(*a)
+        ).lower(*probe_args).compile()
+        ok = True
+    except Exception as e:
+        log.info("generic tile body does not lower, using XLA: %s", e)
+        ok = False
+    _GEN_COMPILE_OK[key] = ok
+    return ok
+
+
+def generic_rows(body, vals, core_nd, tile_b: int | None = None,
+                 interpret: bool = False):
+    """Run ``body`` (dict of batched arrays -> dict of batched arrays) as
+    ONE Pallas kernel over row tiles.
+
+    ``vals`` maps env keys to operands; ``core_nd`` maps each key to its
+    core rank (0 = per-event scalar, 1 = plane, ...) — keys mapped to
+    ``None`` (config constants, shared coefficient vectors) are closed
+    over / passed as broadcast operands instead of tiled. Returns the
+    output dict with the operands' leading batch shape restored, or
+    ``None`` when the geometry doesn't fit — the caller then runs ``body``
+    as plain XLA, which is the *same traced graph* the unfused chain runs.
+    """
+    import numpy as np
+
+    from jax.experimental import pallas as pl
+
+    if not (interpret or pallas_available()):
+        return None
+    tb = int(tile_b or _GEN_TILE_B)
+
+    per_event: dict = {}
+    consts: dict = {}
+    lead = None
+    deferred = []  # keys with unknown core rank: infer from lead below
+    for k, v in vals.items():
+        if k not in core_nd:
+            deferred.append(k)
+            continue
+        cnd = core_nd[k]
+        if cnd is None or not hasattr(v, "shape"):
+            consts[k] = v
+            continue
+        v = jnp.asarray(v)
+        if v.ndim < cnd + 1:
+            consts[k] = v  # broadcast-shared value (no batch dim)
+            continue
+        l = v.shape[: v.ndim - cnd]
+        if lead is None:
+            lead = l
+        elif l != lead:
+            return None
+        per_event[k] = v
+    if not per_event or not lead or any(d == 0 for d in lead):
+        return None
+    core_nd = dict(core_nd)
+    for k in deferred:
+        v = vals[k]
+        shp = tuple(getattr(v, "shape", ()))
+        if shp[: len(lead)] == lead:
+            per_event[k] = jnp.asarray(v)
+            core_nd[k] = len(shp) - len(lead)
+        else:
+            consts[k] = v  # no batch prefix: shared value
+    b = int(np.prod(lead))
+
+    # flatten lead dims; scalars carried as (B, 1) columns
+    flat = {}
+    for k, v in per_event.items():
+        core = v.shape[v.ndim - core_nd[k]:]
+        flat[k] = v.reshape(b, *core) if core else v.reshape(b, 1)
+    in_keys = sorted(flat)
+
+    # array consts ride as broadcast operands (Mosaic constants are for
+    # scalars); python/0-d consts close over into the trace
+    bcast_keys = []
+    bcast_vals = []
+    baked = {}
+    for k, v in consts.items():
+        if hasattr(v, "shape") and getattr(v, "ndim", 0) >= 1:
+            a = jnp.asarray(v)
+            bcast_keys.append(k)
+            bcast_vals.append(a.reshape(1, *a.shape) if a.ndim == 1 else a)
+        else:
+            baked[k] = v
+
+    def tile_body(tile_ins: dict):
+        local = dict(baked)
+        for k, x in tile_ins.items():
+            if k in flat and core_nd[k] == 0:
+                x = x[..., 0]
+            elif k in bcast_set and consts_ndim[k] == 1:
+                x = x[0]
+            local[k] = x
+        return body(local)
+
+    bcast_set = set(bcast_keys)
+    consts_ndim = {k: int(np.asarray(consts[k]).ndim) for k in bcast_keys}
+
+    # abstract tile evaluation: output core shapes/dtypes + a VMEM estimate
+    tile_shapes = {
+        k: jax.ShapeDtypeStruct((tb, *flat[k].shape[1:]), flat[k].dtype)
+        for k in in_keys
+    }
+    for k, v in zip(bcast_keys, bcast_vals):
+        tile_shapes[k] = jax.ShapeDtypeStruct(v.shape, v.dtype)
+    global _IN_TILE
+    try:
+        _IN_TILE = True
+        out_abs = jax.eval_shape(tile_body, tile_shapes)
+    except Exception:
+        return None
+    finally:
+        _IN_TILE = False
+    out_keys = sorted(out_abs)
+    out_info = []
+    for k in out_keys:
+        oa = out_abs[k]
+        if oa.ndim == 0 or oa.shape[0] != tb:
+            return None  # not batched per-row: cannot tile
+        out_info.append((k, tuple(oa.shape[1:]), oa.dtype))
+
+    # VMEM budget: boundary blocks only (internals are Mosaic's to
+    # schedule; the budget is deliberately conservative via the 3x factor)
+    blk_bytes = sum(
+        tb * int(np.prod(s.shape[1:] or (1,))) * s.dtype.itemsize
+        for s in tile_shapes.values()
+    ) + sum(
+        tb * int(np.prod(cs or (1,))) * dt.itemsize for _, cs, dt in out_info
+    )
+    if 3 * blk_bytes > _GEN_VMEM_BYTES:
+        return None
+
+    # hoist the body's captured array constants (triangular cumsum
+    # matrices, gather maps, filter taps created at trace time) into
+    # explicit operands: Pallas rejects non-scalar jaxpr constants.
+    # jax.closure_convert only hoists *tracer* consts, so trace to a
+    # jaxpr ourselves and feed its constvars back as inputs.
+    flat_keys = in_keys + bcast_keys
+
+    def tile_flat(*arrs):
+        res = tile_body(dict(zip(flat_keys, arrs)))
+        return [res[k] for k in out_keys]
+
+    from ._numerics import set_cumsum_memo
+
+    prev_memo = set_cumsum_memo({})
+    try:
+        _IN_TILE = True
+        closed = jax.make_jaxpr(tile_flat)(
+            *[tile_shapes[k] for k in flat_keys]
+        )
+    except Exception:
+        return None
+    finally:
+        _IN_TILE = False
+        set_cumsum_memo(prev_memo)
+    kconsts = [jnp.asarray(c) for c in closed.consts]
+    kc_shapes = [c.shape for c in kconsts]
+    kc_dtypes = [c.dtype for c in kconsts]
+    kc_ops = []
+    for c in kconsts:
+        if c.dtype == jnp.bool_:
+            c = c.astype(jnp.uint8)  # Mosaic-friendly storage
+        kc_ops.append(c.reshape(1, -1) if c.ndim < 2 else c)
+    kc_bytes = sum(
+        int(np.prod(c.shape or (1,))) * c.dtype.itemsize for c in kconsts
+    )
+    if 3 * blk_bytes + kc_bytes > _GEN_VMEM_BYTES:
+        return None
+
+    def conv_fn(*args_and_consts):
+        args = args_and_consts[: len(flat_keys)]
+        cs = args_and_consts[len(flat_keys):]
+        return jax.core.eval_jaxpr(closed.jaxpr, cs, *args)
+
+    pad_b = (-b) % tb
+    ops = (
+        [
+            jnp.pad(flat[k], ((0, pad_b),) + ((0, 0),) * (flat[k].ndim - 1))
+            if pad_b
+            else flat[k]
+            for k in in_keys
+        ]
+        + bcast_vals
+        + kc_ops
+    )
+    bp = b + pad_b
+
+    def kern(*refs):
+        n_in = len(flat_keys)
+        ins = refs[:n_in]
+        kcs = refs[n_in : n_in + len(kc_ops)]
+        outs = refs[n_in + len(kc_ops):]
+        tile_args = [r[:] for r in ins]
+        kc_vals = [
+            r[:].reshape(s).astype(dt)
+            for r, s, dt in zip(kcs, kc_shapes, kc_dtypes)
+        ]
+        res = conv_fn(*tile_args, *kc_vals)  # ordered by out_keys
+        for (k, cs, dt), r, v in zip(out_info, outs, res):
+            if not cs:
+                v = v[:, None]
+            if v.dtype == jnp.bool_:
+                v = v.astype(jnp.uint8)
+            r[:] = v.astype(r.dtype)
+
+    def spec_of(arr, tiled: bool):
+        if tiled:
+            zeros = (0,) * (arr.ndim - 1)
+            return pl.BlockSpec(
+                (tb, *arr.shape[1:]), lambda i, _z=zeros: (i, *_z)
+            )
+        return pl.BlockSpec(arr.shape, lambda i, _n=arr.ndim: (0,) * _n)
+
+    in_specs = (
+        [spec_of(o, True) for o in ops[: len(in_keys)]]
+        + [spec_of(o, False) for o in bcast_vals]
+        + [spec_of(o, False) for o in kc_ops]
+    )
+    out_shapes = []
+    out_specs = []
+    for k, cs, dt in out_info:
+        store = np.dtype("uint8") if dt == np.dtype(bool) else dt
+        shp = (bp, *(cs or (1,)))
+        out_shapes.append(jax.ShapeDtypeStruct(shp, store))
+        zeros = (0,) * len(cs or (1,))
+        out_specs.append(
+            pl.BlockSpec((tb, *(cs or (1,))), lambda i, _z=zeros: (i, *_z))
+        )
+
+    if not interpret and not _gen_probe_compile(
+        kern, in_specs, out_specs, out_info, ops, tb, closed, len(in_keys)
+    ):
+        return None
+
+    try:
+        outs = pl.pallas_call(
+            kern,
+            grid=(bp // tb,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shapes,
+            interpret=interpret,
+        )(*ops)
+    except Exception:
+        return None
+
+    result = {}
+    for (k, cs, dt), o in zip(out_info, outs):
+        o = o[:b]
+        o = o.reshape(*lead, *cs) if cs else o[:, 0].reshape(lead)
+        if dt == np.dtype(bool):
+            o = o.astype(jnp.bool_)
+        result[k] = o
+    return result

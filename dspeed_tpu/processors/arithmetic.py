@@ -20,3 +20,5 @@ def mean_below_threshold(w_in, a_threshold):
     tot = jnp.sum(jnp.where(sel, w_in, 0.0), axis=-1)
     out = jnp.where(cnt > 0, tot / jnp.maximum(cnt, 1), jnp.nan).astype(w_in.dtype)
     return nanmask(isnan_any(w_in, 1) | isnan_any(a_threshold), out)
+
+mean_below_threshold.tile_safe = True  # generic row-tile fusion: masked mean

@@ -19,3 +19,5 @@ def bl_subtract(w_in, a_baseline, badrow=None):
     out = w_in - cdim(a_baseline)
     row = isnan_any(w_in, 1) if badrow is None else badrow
     return nanmask(row | isnan_any(a_baseline), out)
+
+bl_subtract.tile_safe = True  # elementwise subtract (generic row-tile fusion)

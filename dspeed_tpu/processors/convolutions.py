@@ -67,9 +67,8 @@ def _conv_full_direct_only(w, kern):
         kc = kern.astype(w.dtype)
         out = kc[m - 1] * wp[..., :nf]
         for k in range(m - 2, -1, -1):
-            out = out + kc[k] * jax.lax.dynamic_slice_in_dim(
-                wp, m - 1 - k, nf, axis=-1
-            )
+            s = m - 1 - k  # static slice: Mosaic has no dynamic_slice
+            out = out + kc[k] * wp[..., s : s + nf]
         return out
     lhs = w.reshape(-1, 1, n)
     # conv_general_dilated computes correlation; flip for convolution
@@ -279,9 +278,11 @@ def _convolve_mode(w, kern, ch, n, m, name):
         if concrete:
             kn = np.asarray(kern)
             if not np.isnan(kn).any():
-                from ._pallas import banded_conv_multi, pallas_available
+                from ._pallas import banded_conv_multi, in_tile, pallas_available
 
-                if pallas_available():
+                # inside a generic row tile the XLA banded matmul lowers
+                # straight onto the MXU; a nested pallas_call cannot
+                if pallas_available() and not in_tile():
                     out = banded_conv_multi(w, [kn], lo, p)
                     if out is not None:
                         return out[0], True
@@ -393,6 +394,60 @@ def fft_convolve_wf(w_in, kernel_in, mode_in, dims, badrow=None):
     return nanmask(bad | _kernel_has_nan(kern), out)
 
 
+def _conv_step_taps(step, ik: int):
+    """The concrete taps array of a conv step's kernel operand, or None
+    (tracer/per-event kernels can't pick a Mosaic-lowerable route)."""
+    p = step.params[ik] if len(step.params) > ik else None
+    if isinstance(p, np.ndarray):
+        return p
+    v = getattr(p, "const_value", None)
+    if v is not None and getattr(p, "is_const", False):
+        return np.asarray(v)
+    return None
+
+
+def _conv_tile_safe(step):
+    """Tile-safe when the routed form is shifted adds or a banded einsum
+    (both lower in Mosaic); FFT routes and per-event kernels stay out."""
+    route = os.getenv("DSPEED_TPU_CONV", "auto")
+    if route == "fft":
+        return False
+    kern = _conv_step_taps(step, 1)
+    if kern is None or kern.ndim != 1 or np.isnan(kern).any():
+        return False
+    m = kern.shape[-1]
+    if m <= 32:
+        return True  # direct shifted-adds route
+    wvar = step.params[0]
+    shape = getattr(wvar, "shape", None)
+    if not shape or not isinstance(shape[-1], (int, np.integer)):
+        return False
+    n = int(shape[-1])
+    mode = step.params[2] if len(step.params) > 2 else ord("s")
+    if isinstance(mode, str):
+        ch = mode.strip("'\"")
+    else:
+        try:
+            ch = chr(int(mode))
+        except (TypeError, ValueError):
+            return False
+    if ch not in ("f", "v", "s"):
+        return False
+    _, p = _mode_window(ch, n, m)
+    if p * m > _MATMUL_MAC_LIMIT:
+        return False  # would route to FFT
+    # banded-matmul route: the (blk+m-1, blk) band matrix becomes a VMEM-
+    # resident tile constant. Long-tap filters (CUSP/ZAC: 2.4 MB each)
+    # blow the group's scoped-VMEM budget AND already have a tuned
+    # standalone Pallas bank kernel — keep them out of row-tile groups.
+    blk = min(512, p)
+    return (blk + m - 1) * blk * 4 <= 1_200_000
+
+
+convolve_wf.tile_safe = _conv_tile_safe
+fft_convolve_wf.tile_safe = _conv_tile_safe
+
+
 @kernel(
     "(n),(m),(p)", ["fff", "ddd"], nout=1, uses_dims=True,
     badrow_arg=0, mask_preserving=True,
@@ -402,8 +457,42 @@ def reflected_convolve_wf(w_in, kernel_in, dims, badrow=None):
     kern = _as_kernel_array(kernel_in)
     n, m = _conv_kernel_checks(w_in, kern, "reflected_convolve_wf")
     ext = int(m / 2) + 1
-    wpad = jnp.pad(w_in, [(0, 0)] * (w_in.ndim - 1) + [(ext, ext)], mode="reflect")
+    from ._pallas import in_tile
+
+    if in_tile():
+        # Mosaic has no `rev`: reverse the edge windows with an exchange-
+        # matrix dot instead (a permutation matmul is exact — each output
+        # lane is 1.0*x + zeros), then concat. Same values as the reflect
+        # pad below, just a flip-free lowering.
+        J = jnp.asarray(np.eye(ext, dtype=w_in.dtype)[::-1])
+        hp = jax.lax.Precision.HIGHEST
+        left = jnp.einsum(
+            "...i,ij->...j", w_in[..., 1 : ext + 1], J, precision=hp
+        )
+        right = jnp.einsum(
+            "...i,ij->...j", w_in[..., -ext - 1 : -1], J, precision=hp
+        )
+        wpad = jnp.concatenate([left, w_in, right], axis=-1)
+    else:
+        wpad = jnp.pad(
+            w_in, [(0, 0)] * (w_in.ndim - 1) + [(ext, ext)], mode="reflect"
+        )
     full = _conv_full_direct(wpad, kern)
     same = _slice_mode(full, n + 2 * ext, m, "s")
     out = same[..., ext:-ext].astype(w_in.dtype)
     return nanmask(isnan_any(w_in, 1) if badrow is None else badrow, out)
+
+
+def _reflected_tile_safe(step):
+    """Only the short-tap shifted-adds route lowers in a row tile (the
+    long-tap fallback is the FFT)."""
+    kern = _conv_step_taps(step, 1)
+    return (
+        kern is not None
+        and kern.ndim == 1
+        and kern.shape[-1] <= 32
+        and not np.isnan(kern).any()
+    )
+
+
+reflected_convolve_wf.tile_safe = _reflected_tile_safe

@@ -144,3 +144,15 @@ fixed_time_pickoff.checker = _ftp_checker
 fixed_time_pickoff.check_messages = {
     1: "fixed_time_pickoff requires integer t_in when using mode 'i'",
 }
+
+
+def _ftp_tile_safe(step):
+    """Mode 's' runs the associative-scan spline solver — keep it out of
+    row-tile groups; every other mode is selects + compare-reduce picks."""
+    m = step.params[2] if len(step.params) > 2 else None
+    if isinstance(m, str):
+        return m.strip("'\"") != "s"
+    return isinstance(m, (int, np.integer)) and int(m) != ord("s")
+
+
+fixed_time_pickoff.tile_safe = _ftp_tile_safe

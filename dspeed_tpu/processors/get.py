@@ -62,3 +62,7 @@ def get_default(a_in, i, default):
         ok = ok & ~jnp.isnan(val)
     d = jnp.asarray(default, a_in.dtype)
     return jnp.where(ok, val, d)
+
+# generic row-tile fusion: compare-reduce pick
+get.tile_safe = True
+get_default.tile_safe = True

@@ -29,7 +29,7 @@ def _sums(w):
     """Return (sum_y, sum_xy) with high-precision accumulation."""
     acc = _acc_dtype(w.dtype)
     n = w.shape[-1]
-    i = jnp.arange(n, dtype=acc)
+    i = jnp.arange(n).astype(acc)  # int iota + convert: Mosaic rejects float iota
     wacc = w.astype(acc)
     sum_y = jnp.sum(wacc, axis=-1)
     sum_xy = jnp.einsum(
@@ -85,7 +85,7 @@ def linear_slope_diff(w_in, slope, intercept):
     """
     n = w_in.shape[-1]
     acc = _acc_dtype(w_in.dtype)
-    i = jnp.arange(n, dtype=acc)
+    i = jnp.arange(n).astype(acc)  # int iota + convert: Mosaic rejects float iota
     resid = w_in.astype(acc) - (cdim(jnp.asarray(slope, acc)) * i + cdim(jnp.asarray(intercept, acc)))
     mean = jnp.einsum(
         "...n,n->...", resid, 1.0 / (i + 1.0), precision=jax.lax.Precision.HIGHEST
@@ -94,3 +94,7 @@ def linear_slope_diff(w_in, slope, intercept):
     dtype = w_in.dtype
     bad = isnan_any(w_in, 1) | isnan_any(slope) | isnan_any(intercept)
     return nanmask(bad, mean.astype(dtype)), nanmask(bad, rms.astype(dtype))
+
+# generic row-tile fusion: closed-form sums + one small dot
+linear_slope_fit.tile_safe = True
+linear_slope_diff.tile_safe = True

@@ -45,3 +45,7 @@ def min_max_norm(w_in, a_min, a_max):
         w_in / cdim(jnp.where(denom == 0, 1.0, denom).astype(w_in.dtype)),
     )
     return nanmask(isnan_any(w_in, 1), out)
+
+# generic row-tile fusion: reductions + masked iota picks
+min_max.tile_safe = True
+min_max_norm.tile_safe = True

@@ -120,3 +120,9 @@ def sort(w_in):
     """Per-event ascending sort."""
     out = jnp.sort(w_in, axis=-1)
     return nanmask(isnan_any(w_in, 1), out)
+
+# generic row-tile fusion: reductions / reshape block sums (sort and pad
+# gather per row — excluded)
+time_over_threshold.tile_safe = True
+saturation.tile_safe = True
+presum.tile_safe = True

@@ -352,3 +352,7 @@ def multi_a_filter(w_in, vt_max_in):
     vals = take_per_row(w_in, idx)
     out = jnp.where(valid, vals, jnp.nan).astype(w_in.dtype)
     return nanmask(isnan_any(w_in, 1), out)
+
+# generic row-tile fusion: compare-reduce picks (the extrema scan and the
+# take_along_axis-based peak_snr_threshold stay out of groups)
+multi_a_filter.tile_safe = True

@@ -187,3 +187,7 @@ def _pz_checker(w_in, t_tau):
 
 pole_zero.checker = _pz_checker
 pole_zero.check_messages = {1: "Pole-zero filter produced nans in output."}
+
+# generic row-tile fusion: MXU blocked-cumsum telescoped recursions
+pole_zero.tile_safe = True
+double_pole_zero.tile_safe = True

@@ -67,12 +67,21 @@ def _crossing_masks(w_in, a):
     a = a[..., None] if hasattr(a, "ndim") and a.ndim else a
     w0 = w_in[..., :-1]
     w1 = w_in[..., 1:]
+
+    def pad_mask(m, side):
+        # pad in int32, not bool: Mosaic cannot bitcast padded i1 vregs
+        # (generic row-tile fusion) — the int round-trip is free in XLA
+        mi = jnp.pad(
+            m.astype(jnp.int32), [(0, 0)] * (w_in.ndim - 1) + [side]
+        )
+        return mi != 0
+
     up = (w0 <= a) & (a < w1)
     dn = (w0 >= a) & (a > w1)
-    fwd = jnp.pad(up | dn, [(0, 0)] * (w_in.ndim - 1) + [(0, 1)], constant_values=False)
+    fwd = pad_mask(up | dn, (0, 1))
     upb = (w0 < a) & (a <= w1)
     dnb = (w0 > a) & (a >= w1)
-    bwd = jnp.pad(upb | dnb, [(0, 0)] * (w_in.ndim - 1) + [(1, 0)], constant_values=False)
+    bwd = pad_mask(upb | dnb, (1, 0))
     return fwd, bwd
 
 
@@ -582,3 +591,8 @@ def _mtpt_checker(w_in, a_threshold, t_start, polarity, mode_in):
 
 multi_time_point_thresh.checker = _mtpt_checker
 multi_time_point_thresh.check_messages = {1: "polarity cannot be 0"}
+
+# generic row-tile fusion: masked-iota min/max searches (the multi/bi_level
+# variants run lax.scan + argsort — excluded)
+time_point_thresh.tile_safe = True
+interpolated_time_point_thresh.tile_safe = True

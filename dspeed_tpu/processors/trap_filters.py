@@ -160,3 +160,10 @@ def _trap_pickoff_checker(w_in, rise, flat, t_pickoff):
 
 trap_pickoff.checker = _trap_pickoff_checker
 trap_pickoff.check_messages = {1: "The pick-off index must be an integer"}
+
+# generic row-tile fusion: windowed prefix-sum differences (MXU blocked
+# cumsum + static shifts) lower inside a Mosaic row tile
+trap_filter.tile_safe = True
+trap_norm.tile_safe = True
+asym_trap_filter.tile_safe = True
+trap_pickoff.tile_safe = True

@@ -173,3 +173,9 @@ def interpolating_upsampler(w_in, mode_in, dims):
             + ((t1j**3 - t1j) * w2[..., i0] + (t0j**3 - t0j) * w2[..., i1]) / 6.0
         )
     return nanmask(isnan_any(w_in, 1), out.astype(w_in.dtype))
+
+
+# NOT tile_safe: the integer-ratio repeat lowers to a (n, r) -> (n*r)
+# shape cast whose minor dim (r, e.g. 16) is not a lane multiple — Mosaic
+# rejects it ("infer-vector-layout: unsupported shape cast"). Groups split
+# around the upsampler; the window chains on either side still fuse.

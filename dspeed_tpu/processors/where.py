@@ -16,3 +16,5 @@ def where(condition, a, b):
     """Return ``a`` where ``condition`` else ``b``; backs the parser's
     ``where()`` builtin and ``a if b else c`` ternary."""
     return jnp.where(condition, a, b)
+
+where.tile_safe = True  # generic row-tile fusion: elementwise select

@@ -67,3 +67,6 @@ def windower(w_in, t0_in, dims, badrow=None):
     # input mask calls clean
     row = isnan_any(w_in, 1) if badrow is None else badrow
     return nanmask(row | isnan_any(t0), out)
+
+# generic row-tile fusion: log-shift static-slice selects
+windower.tile_safe = True

@@ -220,7 +220,19 @@ def test_sipm_chain_vs_reference_kernels():
             )
         }
     )
-    chain, _, _ = build_processing_chain(SIPM_CONFIG, tb)
+    # keep the unfused per-kernel steps: since r5 the generic row-tile pass
+    # groups [reflected_convolve_wf, avg_current] here by default, which
+    # would hide them from the per-step oracle substitution (the fusion
+    # pass's own bit-identity is covered by tests/test_fusion.py)
+    prev = os.environ.get("DSPEED_TPU_FUSE")
+    os.environ["DSPEED_TPU_FUSE"] = "0"
+    try:
+        chain, _, _ = build_processing_chain(SIPM_CONFIG, tb)
+    finally:
+        if prev is None:
+            os.environ.pop("DSPEED_TPU_FUSE", None)
+        else:
+            os.environ["DSPEED_TPU_FUSE"] = prev
     env_mine, env_ref = _run_both_passes(chain, min_substituted=7)
 
     for k in _out_keys(chain):

@@ -412,3 +412,177 @@ def test_conv_bank_skips_direct_regime_kernels():
     names = [str(s) for s in chain_f._steps]
     assert not any("fused_conv_bank" in s for s in names), names
     _assert_bit_identical(out_f, out_u)
+
+
+# ---------------------------------------------------------------------------
+# generic (pattern-free) row-tile fusion — VERDICT r4 item 1
+
+
+def _outputs_mode(config, db, mode, n=12, interpret=False):
+    """Like _outputs but with a DSPEED_TPU_FUSE mode string ("generic")."""
+    from test_build_dsp import make_hpge_waveforms
+
+    from dspeed_tpu import lh5
+    from dspeed_tpu.processing_chain import build_processing_chain
+
+    wf, amp, t0, bl = make_hpge_waveforms(n=n)
+    tb = lh5.Table(
+        {
+            "waveform": lh5.WaveformTable(
+                values=wf, t0=0.0, t0_units="ns", dt=16.0, dt_units="ns"
+            ),
+            "baseline": lh5.Array(bl.astype("float32")),
+        }
+    )
+    prev = os.environ.get("DSPEED_TPU_FUSE")
+    prev_i = os.environ.get("DSPEED_TPU_GENERIC_INTERPRET")
+    os.environ["DSPEED_TPU_FUSE"] = mode
+    if interpret:
+        os.environ["DSPEED_TPU_GENERIC_INTERPRET"] = "1"
+    try:
+        chain, _, _ = build_processing_chain(config, tb, db_dict=db)
+        inputs, _ = chain._gather_inputs(0, chain._buffer_len)
+        out = jax.jit(chain._build_fn())(inputs)
+    finally:
+        if prev is None:
+            os.environ.pop("DSPEED_TPU_FUSE", None)
+        else:
+            os.environ["DSPEED_TPU_FUSE"] = prev
+        if prev_i is None:
+            os.environ.pop("DSPEED_TPU_GENERIC_INTERPRET", None)
+        else:
+            os.environ["DSPEED_TPU_GENERIC_INTERPRET"] = prev_i
+    named = {k.split("#")[0]: np.asarray(v) for k, v in out.items()}
+    return chain, named
+
+
+def _flagship_config():
+    return (
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "configs", "hpge-energy-timing.yaml",
+        ),
+        {"pz": {"tau": 27460.5}},
+    )
+
+
+def test_generic_groups_form_on_flagship():
+    from dspeed_tpu.processing_chain import GroupStep
+
+    config, db = _flagship_config()
+    chain, _ = _outputs_mode(config, db, "generic")
+    groups = [s for s in chain._steps if isinstance(s, GroupStep)]
+    assert len(groups) >= 2, [str(s) for s in chain._steps]
+    assert sum(len(g.members) for g in groups) >= 30
+
+
+def test_generic_mode_bit_identical_to_unfused():
+    """The XLA fallback composition is the *same traced graph* as the
+    unfused chain — bit-identical even in f32."""
+    config, db = _flagship_config()
+    _, out_g = _outputs_mode(config, db, "generic")
+    _, out_u = _outputs(config, db, fuse=False)
+    _assert_bit_identical(out_g, out_u)
+
+
+def test_generic_interpret_matches_unfused():
+    """The Pallas row-tile path (interpret mode on CPU) reproduces the
+    unfused chain within f32 tolerance on every output."""
+    config, db = _flagship_config()
+    _, out_g = _outputs_mode(config, db, "generic", n=8, interpret=True)
+    _, out_u = _outputs(config, db, fuse=False, n=8)
+    assert set(out_g) == set(out_u)
+    x64 = jax.config.jax_enable_x64
+    tol = dict(rtol=1e-9, atol=1e-9) if x64 else dict(rtol=5e-5, atol=5e-5)
+    for k in out_u:
+        np.testing.assert_allclose(
+            np.nan_to_num(out_g[k], nan=-12345.0),
+            np.nan_to_num(out_u[k], nan=-12345.0),
+            err_msg=k, **tol,
+        )
+
+
+def test_generic_runs_after_patterns_by_default():
+    """DSPEED_TPU_FUSE=1 runs hand patterns first, then groups leftovers;
+    outputs stay bit-identical to the unfused chain."""
+    config, db = _flagship_config()
+    chain, out_f = _outputs(config, db, fuse=True)
+    _, out_u = _outputs(config, db, fuse=False)
+    _assert_bit_identical(out_f, out_u)
+
+
+@pytest.mark.skipif(
+    not os.path.isfile(
+        "/root/reference/tests/configs/sipm-dplms-config.json"
+    ),
+    reason="reference tree not available",
+)
+def test_generic_sipm_dplms_bit_identical():
+    """The reference's sipm-dplms config (matches NO hand pattern) under
+    generic fusion: groups form and outputs stay bit-identical."""
+    import json
+
+    from dspeed_tpu import lh5
+    from dspeed_tpu.processing_chain import (
+        GroupStep, build_processing_chain,
+    )
+
+    with open("/root/reference/tests/configs/sipm-dplms-config.json") as f:
+        cfg = json.load(f)
+    cfg = json.loads(json.dumps(cfg).replace("dspeed.processors", "dspeed_tpu.processors"))
+    # the reference config's second get_multi_local_extrema node is stale —
+    # 8 args against the reference's own 10-arg gufunc signature (the
+    # reference never builds this config in its tests); fill the two
+    # missing search params the way the first node spells them
+    gmle_d = cfg["processors"][
+        "vt_max_candidate_out_d, vt_min_out_d, n_max_out_d, n_min_out_d"
+    ]
+    gmle_d["args"] = (
+        gmle_d["args"][:2] + [0.1, 1] + gmle_d["args"][2:]
+    )
+    # ...and its wf_dplms conv declares mode 's' with a 'valid'-sized
+    # output (len(wf_diff)-49): the reference's own kernel would raise
+    # "Output waveform has length 974; expect 1023" — the intended mode
+    # is 'v'
+    cfg["processors"]["wf_dplms"]["args"][2] = "'v'"
+    rng = np.random.default_rng(5)
+    wf = rng.normal(0, 1, (8, 1024)).astype("float32")
+    for i in range(8):
+        for t0 in rng.uniform(100, 900, 3):
+            t = np.arange(1024)
+            wf[i] += rng.uniform(20, 80) * np.exp(
+                -np.abs(t - t0) / np.where(t > t0, 60, 3)
+            )
+    db = {
+        "dplms": {
+            "noise_matrix": (np.eye(50) * 2.0).tolist(),
+            "reference": np.exp(-((np.arange(50) - 25.0) ** 2) / 18.0).tolist(),
+        }
+    }
+
+    def run(mode):
+        tb = lh5.Table(
+            {
+                "waveform": lh5.WaveformTable(
+                    values=wf, t0=0.0, t0_units="ns", dt=16.0, dt_units="ns"
+                )
+            }
+        )
+        prev = os.environ.get("DSPEED_TPU_FUSE")
+        os.environ["DSPEED_TPU_FUSE"] = mode
+        try:
+            chain, _, _ = build_processing_chain(cfg, tb, db_dict=db)
+        finally:
+            if prev is None:
+                os.environ.pop("DSPEED_TPU_FUSE", None)
+            else:
+                os.environ["DSPEED_TPU_FUSE"] = prev
+        inputs, _ = chain._gather_inputs(0, 8)
+        out = jax.jit(chain._build_fn())(inputs)
+        return chain, {k.split("#")[0]: np.asarray(v) for k, v in out.items()}
+
+    chain_g, out_g = run("generic")
+    _, out_u = run("0")
+    groups = [s for s in chain_g._steps if isinstance(s, GroupStep)]
+    assert groups, [str(s) for s in chain_g._steps]
+    _assert_bit_identical(out_g, out_u)
