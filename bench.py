@@ -466,10 +466,13 @@ def main() -> None:
     # phases; the FUSED chain computes 16384 events in ~16 ms so the ~3 ms
     # relay overhead per dispatch is 15% and raising its batch measured
     # 888k @32768 -> 927k @65536 -> flat @131072 (fused keeps few live
-    # planes; the UNFUSED chain and the scan-heavy SiPM chain degrade
-    # badly at 32768 — memory pressure)
-    n_ev = 16384 if on_accel else 1024
+    # planes). r5: the r4-era ≥32768 degradation of the standard and SiPM
+    # chains is GONE (generic row-tile groups + the (m1,16)-split bf16
+    # histogram freed the live planes): standard(generic) 407k @16384 ->
+    # 422k @32768; sipm 1.91M @16384 -> 2.47M @32768 -> 2.52M @65536.
+    n_ev = 32768 if on_accel else 1024
     n_ev_fused = 65536 if on_accel else 1024
+    n_ev_sipm = 65536 if on_accel else 1024
     iters = 6 if on_accel else 3
     RESULT["events_per_dispatch"] = n_ev_fused
 
@@ -545,7 +548,7 @@ def main() -> None:
     RESULT["sipm_wfps"] = phase(
         "sipm",
         lambda: _bench_backend(
-            platform, n_ev, iters, trials=2, builder=_build_sipm_chain
+            platform, n_ev_sipm, iters, trials=2, builder=_build_sipm_chain
         ),
         min_budget_s=120.0,
     )
@@ -553,7 +556,9 @@ def main() -> None:
     # 6. stacked multi-channel production (BASELINE config 5)
     RESULT["stacked_wfps"] = phase(
         "stacked",
-        lambda: _bench_stacked(n_ev // 2, n_chan=4, trials=2),
+        # pinned to the r4-validated size (8192 x 4 channels): the r5 n_ev
+        # bump to 32768 is for the per-chain phases, not this stacked grid
+        lambda: _bench_stacked(8192 if on_accel else 512, n_chan=4, trials=2),
         min_budget_s=90.0,
     )
 
@@ -602,7 +607,7 @@ def main() -> None:
         extra = phase(
             "sipm_retrials",
             lambda: _bench_backend(
-                platform, n_ev, iters, trials=2, builder=_build_sipm_chain
+                platform, n_ev_sipm, iters, trials=2, builder=_build_sipm_chain
             ),
         )
         if extra:

@@ -165,6 +165,10 @@ def _trap_windows(x, xsum, specs, tb, n):
     short normalization cannot hide; long windows amortize the rounding
     and use the prefix difference)."""
 
+    # (r5 measured negative: collapsing the per-offset pad+concat copies
+    # into one zero-extended plane + static slices was FLAT — 18.07 vs
+    # 18.10 ms/iter whole-chain — Mosaic already folds these moves into
+    # the consuming adds. Kept in the simpler per-offset form.)
     def shifted(k):
         # xsum[i-k] with zero fill for i < k
         if k == 0:

@@ -36,20 +36,28 @@ def _scatter_hist(w, k, m, valid, route=None):
         # exact for counts < 2^24) — bit-identical counts, ~6x faster.
         import numpy as np
 
-        m2 = int(np.ceil(np.sqrt(m)))
+        # fine digit 16 keeps the one-hot pass count low and the (m1, 16)
+        # output tile layout-friendly; r5 sweep at (16384, 1019)x100 bins:
+        # sqrt-split (10,10) f32 2.05 ms -> (8,16) bf16 1.39 ms for the
+        # histogram+stats pair. Fall back to the sqrt split for very wide
+        # histograms where a 16-wide fine digit would blow up the coarse
+        # one-hot pass count.
+        m2 = 16 if m <= 256 else int(np.ceil(np.sqrt(m)))
         m1 = -(-m // m2)
         kc = jnp.where(vf, kf, -1)  # -1: coarse digit -1 matches no bin
         coarse = kc // m2
         fine = kc % m2  # -1 % m2 wraps positive, but coarse -1 kills it
+        # bf16 one-hots are exact (0/1) and halve the MXU operand bytes;
+        # the f32 accumulation keeps integer counts exact below 2^24
         oc = (
             coarse[:, None, :] == jnp.arange(m1, dtype=kc.dtype)[None, :, None]
-        ).astype(w.dtype)
+        ).astype(jnp.bfloat16)
         of = (
             fine[:, None, :] == jnp.arange(m2, dtype=kc.dtype)[None, :, None]
-        ).astype(w.dtype)
-        out = jnp.einsum("bcn,bfn->bcf", oc, of).reshape(
-            kf.shape[0], m1 * m2
-        )[:, :m]
+        ).astype(jnp.bfloat16)
+        out = jnp.einsum(
+            "bcn,bfn->bcf", oc, of, preferred_element_type=jnp.float32
+        ).reshape(kf.shape[0], m1 * m2)[:, :m].astype(w.dtype)
     else:
         out = jnp.zeros((kf.shape[0], m), w.dtype)
         rows = jnp.arange(kf.shape[0])[:, None]

@@ -16,10 +16,36 @@ __all__ = ["histogram_stats", "histogram_peakstats"]
 
 
 def _first_true(mask, axis=-1):
-    """(index, found) of the first true along ``axis``."""
-    idx = jnp.argmax(mask, axis=axis)
-    found = jnp.any(mask, axis=axis)
-    return idx, found
+    """(index, found) of the first true along ``axis``.
+
+    Masked-iota min instead of argmax+any: one int reduce replaces the
+    variadic argmax reduce plus the bool any (the pair measured 1.16 ms
+    at 6 GB/s in the SiPM chain's (16384, 100) stats fusions, r5; same
+    first-occurrence tie semantics, argmax's all-false -> 0 included)."""
+    nb = mask.shape[axis]
+    pos = jnp.arange(nb)
+    idx = jnp.min(jnp.where(mask, pos, nb), axis=axis)
+    found = idx < nb
+    return jnp.where(found, idx, 0), found
+
+
+def _first_max(w, axis=-1):
+    """First index of the row maximum (``argmax`` tie semantics) as a
+    max reduce + masked-iota min — no variadic argmax reduce. All-NaN
+    rows give index 0 (compares false everywhere), and every caller
+    NaN-masks those rows anyway."""
+    nb = w.shape[axis]
+    mx = jnp.max(w, axis=axis, keepdims=True)
+    idx = jnp.min(jnp.where(w == mx, jnp.arange(nb), nb), axis=axis)
+    return jnp.where(idx >= nb, 0, idx)
+
+
+def _first_min(w, axis=-1):
+    """First index of the row minimum (``argmin`` tie semantics)."""
+    nb = w.shape[axis]
+    mn = jnp.min(w, axis=axis, keepdims=True)
+    idx = jnp.min(jnp.where(w == mn, jnp.arange(nb), nb), axis=axis)
+    return jnp.where(idx >= nb, 0, idx)
 
 
 def _take(edges, idx):
@@ -55,10 +81,10 @@ def histogram_stats(weights_in, edges_in, max_in):
     if mx.ndim == 0:
         mx = jnp.broadcast_to(mx, w.shape[:-1])
 
-    auto_idx = jnp.argmax(w, axis=-1)
+    auto_idx = _first_max(w)
     # user-specified: closest left edge (first minimal distance); clamp right
     dist = jnp.abs(mx[..., None] - e[..., :nb])
-    close_idx = jnp.argmin(dist, axis=-1)
+    close_idx = _first_min(dist)
     over = mx > e[..., -2]
     user_idx = jnp.where(over, nb - 1, close_idx)
     max_index = jnp.where(jnp.isnan(mx), auto_idx, user_idx)
@@ -115,7 +141,7 @@ def histogram_peakstats(weights_in, edges_in, max_in, skip_zeroes, width_type):
         skip = jnp.broadcast_to(skip, w.shape[:-1])
     skip = skip.astype(bool)
 
-    auto_idx = jnp.argmax(w, axis=-1)
+    auto_idx = _first_max(w)
     # user-specified: bin containing max_in, clamped at the ends
     pos = jnp.arange(nb)
     contains = (e[..., :nb] <= mx[..., None]) & (mx[..., None] < e[..., 1:])
@@ -140,10 +166,11 @@ def histogram_peakstats(weights_in, edges_in, max_in, skip_zeroes, width_type):
         jnp.abs(mode - e[..., -1]),
     )
     left_mask = (pos <= max_index[..., None]) & considered & (w <= half[..., None])
-    # first from the right within [0, max_index]: use reversed argmax
-    lmask_rev = left_mask[..., ::-1]
-    lidx_rev, lfound = _first_true(lmask_rev)
-    lidx = nb - 1 - lidx_rev
+    # first from the right within [0, max_index]: masked-iota MAX — no
+    # reversed copy of the mask plane
+    lidx = jnp.max(jnp.where(left_mask, pos, -1), axis=-1)
+    lfound = lidx >= 0
+    lidx = jnp.where(lfound, lidx, 0)
     hwhm_left = jnp.where(
         lfound,
         jnp.abs(mode - _take(e, lidx + 1)),

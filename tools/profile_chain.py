@@ -270,6 +270,9 @@ def fusions(n_ev: int, fused: bool, iters: int = 3, sipm: bool = False) -> None:
         rows.append((name, dur_us / 1e3, cyc, src, hbm))
     rows.sort(key=lambda r: -(r[1] or 0))
     _print_rows(rows, iters)
+    return {
+        name: (ms or 0.0) / max(iters, 1) for name, ms, _c, _s, _h in rows
+    }
 
 
 def _print_rows(rows, iters):
@@ -279,9 +282,13 @@ def _print_rows(rows, iters):
     # bandwidth-bound (GB/s near spec) vs compute/serial-dependency-bound
     # (GB/s far below; the big Pallas kernels land here, see
     # docs/architecture.md's roofline table)
+    # cyc% = XLA cost model's estimated_cycles at ~940 MHz over measured
+    # time — the compiler's own "how fast should this fusion be" check
+    # (only meaningful for XLA fusions; Pallas custom calls have no cost
+    # model and get their floors from ``--floors`` instead)
     print(
         f"{'fusion':44s} {'ms/iter':>8s} {'hbm_MB':>8s} {'GB/s':>7s} "
-        f"{'est_Mcyc':>9s} {'source':36s}"
+        f"{'est_Mcyc':>9s} {'cyc%':>5s} {'source':36s}"
     )
     total = 0.0
     total_mb = 0.0
@@ -292,19 +299,297 @@ def _print_rows(rows, iters):
         total_mb += mb
         gbps = f"{mb / ms_i:7.0f}" if ms_i > 0 and mb else f"{'':>7s}"
         cyc_s = f"{cyc / 1e6:9.2f}" if cyc else f"{'':>9s}"
+        est_ms = (cyc / V5E_HZ * 1e3) if cyc else None
+        eff = (
+            f"{100 * est_ms / ms_i:5.0f}"
+            if est_ms and ms_i > 0
+            else f"{'':>5s}"
+        )
         print(
-            f"{name[:44]:44s} {ms_i:8.3f} {mb:8.1f} {gbps} {cyc_s} "
+            f"{name[:44]:44s} {ms_i:8.3f} {mb:8.1f} {gbps} {cyc_s} {eff} "
             f"{src[:36]:36s}"
         )
     print(f"{'TOTAL (top 40)':44s} {total:8.3f} {total_mb:8.1f}")
+
+
+# ---------------------------------------------------------------------------
+# op-count floors (``--floors``): measured ms vs a hand-countable lower bound
+#
+# Each step's math is re-traced with ``DSPEED_TPU_PALLAS=0`` — the XLA
+# fallback branches implement the *same formulas* the Pallas kernels do
+# (same prefix matmuls under blocked accumulation, same window algebra) —
+# and the jaxpr is walked to tally VPU element-ops and MXU MACs. The floor
+# is then ``max(vpu_ms, mxu_ms, hbm_ms)``: VPU, MXU and HBM engines overlap
+# on the TensorCore, so a kernel cannot beat its slowest engine at 100%
+# utilization with zero dependency stalls. Real kernels have serial
+# dependencies, odd shapes and layout moves, so eff% < 100 always; what the
+# column buys is a *quantitative* answer to "is X ms fast for this math?".
+#
+# v5e engine rates (spec; dispatch/HBM measured in BENCH curves):
+#   VPU   8 sublanes x 128 lanes @ ~940 MHz = 0.963e12 f32 lane-ops/s
+#   MXU   197 TFLOPS bf16 = 98.5e12 MAC/s; f32 HIGHEST = 6 bf16 passes
+#   HBM   819 GB/s
+# ---------------------------------------------------------------------------
+
+V5E_VPU_OPS = 0.963e12
+V5E_MXU_BF16 = 98.5e12
+V5E_HIGHEST_MULT = 6.0
+V5E_HBM = 819e9
+V5E_HZ = 0.94e9
+
+_VPU_ELEM = frozenset(
+    """add sub mul div rem pow max min and or xor not neg abs sign
+    select_n clamp eq ne lt le gt ge floor ceil round convert_element_type
+    integer_pow exp exp2 log log1p expm1 tanh logistic sqrt rsqrt cbrt erf
+    erf_inv erfc sin cos atan2 is_finite nextafter shift_left
+    shift_right_logical shift_right_arithmetic population_count clz
+    real imag square reduce_precision stop_gradient""".split()
+)
+_FREE_MOVES = frozenset(
+    """broadcast_in_dim reshape squeeze slice pad concatenate transpose rev
+    iota copy device_put convert_layout expand_dims bitcast_convert_type
+    split empty""".split()
+)
+
+
+def _jaxpr_counts(jaxpr, mult=1.0, counts=None):
+    """Tally {vpu lane-ops, MXU bf16-equivalent MACs} over a jaxpr.
+
+    Data movement (reshape/slice/pad/...) is free — this is a compute
+    floor. ``scan`` multiplies its body by the trip count; ``while``
+    bodies count once and set a flag (floor only).
+    """
+    if counts is None:
+        counts = {"vpu": 0.0, "mxu": 0.0, "flags": set()}
+
+    def elems(vs):
+        # dtype-width weighting: the VPU packs sub-word lanes (uint8/bool
+        # ops run 4 per f32 lane-slot, f64 splits into 2) — without this
+        # the uint8-heavy rank cascade over-counts ~4x vs its measured time
+        total = 0.0
+        for v in vs:
+            n_el = float(np.prod(v.aval.shape)) if v.aval.shape else 1.0
+            w = max(np.dtype(v.aval.dtype).itemsize, 1) / 4.0
+            total += n_el * min(max(w, 0.25), 2.0)
+        return total
+
+    for eqn in jaxpr.eqns:
+        p = eqn.primitive.name
+        if p in ("pjit", "jit", "closed_call", "core_call", "remat2",
+                 "custom_jvp_call", "custom_vjp_call"):
+            sub = eqn.params.get("jaxpr") or eqn.params.get("call_jaxpr")
+            if sub is not None:
+                _jaxpr_counts(getattr(sub, "jaxpr", sub), mult, counts)
+            continue
+        if p == "scan":
+            _jaxpr_counts(
+                eqn.params["jaxpr"].jaxpr,
+                mult * eqn.params.get("length", 1),
+                counts,
+            )
+            continue
+        if p == "while":
+            counts["flags"].add("while: body counted once (floor)")
+            for key in ("cond_jaxpr", "body_jaxpr"):
+                sub = eqn.params.get(key)
+                if sub is not None:
+                    _jaxpr_counts(sub.jaxpr, mult, counts)
+            continue
+        if p == "cond":
+            for br in eqn.params["branches"]:
+                _jaxpr_counts(br.jaxpr, mult, counts)
+            continue
+        if p == "dot_general":
+            (lc, rc), (lb, rb) = eqn.params["dimension_numbers"]
+            a = eqn.invars[0].aval
+            bv = eqn.invars[1].aval
+            k = float(np.prod([a.shape[d] for d in lc])) if lc else 1.0
+            bb = float(np.prod([a.shape[d] for d in lb])) if lb else 1.0
+            m = float(
+                np.prod(
+                    [
+                        a.shape[d]
+                        for d in range(a.ndim)
+                        if d not in lc and d not in lb
+                    ]
+                )
+                or 1.0
+            )
+            nn = float(
+                np.prod(
+                    [
+                        bv.shape[d]
+                        for d in range(bv.ndim)
+                        if d not in rc and d not in rb
+                    ]
+                )
+                or 1.0
+            )
+            f32in = any(
+                np.dtype(v.aval.dtype) == np.float32 for v in eqn.invars
+            )
+            hi = "HIGHEST" in str(eqn.params.get("precision"))
+            w = V5E_HIGHEST_MULT if (hi and f32in) else 1.0
+            counts["mxu"] += bb * m * nn * k * w * mult
+            continue
+        if p == "conv_general_dilated":
+            out = elems(eqn.outvars)
+            rhs = eqn.invars[1].aval
+            counts["mxu"] += (
+                out
+                * float(np.prod(rhs.shape[1:]))
+                * V5E_HIGHEST_MULT
+                * mult
+            )
+            continue
+        if p in _VPU_ELEM:
+            counts["vpu"] += elems(eqn.outvars) * mult
+        elif p.startswith("reduce_") or p in (
+            "argmax", "argmin", "cumsum", "cumprod", "cummax", "cummin",
+            "cumlogsumexp",
+        ):
+            counts["vpu"] += elems(eqn.invars[:1]) * mult
+        elif p in ("sort",):
+            n_in = elems(eqn.invars[:1])
+            counts["vpu"] += n_in * max(np.log2(max(n_in, 2.0)), 1.0) * mult
+        elif p in (
+            "gather", "scatter", "scatter-add", "scatter_add",
+            "dynamic_slice", "dynamic_update_slice", "take",
+        ):
+            counts["vpu"] += elems(eqn.outvars) * mult
+        elif p in _FREE_MOVES:
+            pass
+        else:
+            counts["flags"].add(f"uncounted:{p}")
+    return counts
+
+
+# step kernel name -> the Pallas custom-call prefix it lands as in a trace
+_STEP_TRACE_PREFIX = {
+    "fused_energy_front": "_fused_energy_call",
+    "fused_t0_front": "_fused_t0_call",
+    "chained_time_point_thresh": "_cascade_call",
+    "fused_current_front": "_fused_current_poly_call",
+    "fused_conv_bank": "_banded_conv_call",
+}
+
+
+def step_floors(n_ev: int, fused, sipm: bool = False, measured=None):
+    """Per-step op floors for the chain, joined to measured Pallas-kernel
+    device times when ``measured`` (name -> ms) is given."""
+    import jax
+
+    prev = os.environ.get("DSPEED_TPU_PALLAS")
+    os.environ["DSPEED_TPU_PALLAS"] = "0"  # trace the XLA-fallback math
+    try:
+        chain, inputs, _, _ = _build(n_ev, fused, sipm=sipm)
+        from dspeed_tpu.processing_chain import GroupStep
+
+        env_shapes = {
+            k: jax.ShapeDtypeStruct(np.shape(v), np.asarray(v).dtype)
+            for k, v in inputs.items()
+        }
+        for var in chain._vars_dict.values():
+            cv = getattr(var, "const_value", None)
+            if cv is not None and getattr(var, "is_const", False):
+                env_shapes[var.key] = jax.ShapeDtypeStruct(
+                    np.shape(cv), np.asarray(cv).dtype
+                )
+        rows = []
+        tot = {"vpu": 0.0, "mxu": 0.0, "hbm": 0.0, "floor": 0.0}
+        flags = set()
+        for step in chain._steps:
+            reads = chain._step_env_reads(step)
+            if reads is None:
+                continue
+            reads = sorted(k for k in reads if k in env_shapes)
+            shapes_in = {k: env_shapes[k] for k in reads}
+
+            def body(vals, _step=step, _base=frozenset(shapes_in)):
+                local = dict(vals)
+                _step.run(local)
+                return {k: v for k, v in local.items() if k not in _base}
+
+            try:
+                outs = jax.eval_shape(body, shapes_in)
+                jx = jax.make_jaxpr(body)(shapes_in)
+            except Exception as e:
+                flags.add(f"untraceable {step}: {e}")
+                continue
+            env_shapes.update(
+                {
+                    k: jax.ShapeDtypeStruct(v.shape, v.dtype)
+                    for k, v in outs.items()
+                }
+            )
+            c = _jaxpr_counts(jx.jaxpr)
+            flags |= c["flags"]
+            hbm_bytes = sum(
+                float(np.prod(s.shape or (1,))) * s.dtype.itemsize
+                for s in list(shapes_in.values()) + list(outs.values())
+            )
+            vpu_ms = c["vpu"] / V5E_VPU_OPS * 1e3
+            mxu_ms = c["mxu"] / V5E_MXU_BF16 * 1e3
+            hbm_ms = hbm_bytes / V5E_HBM * 1e3
+            floor = max(vpu_ms, mxu_ms, hbm_ms)
+            if floor < 1e-3:
+                continue
+            kname = getattr(getattr(step, "kernel", None), "__name__", None)
+            if isinstance(step, GroupStep):
+                kname = "fusion_group"
+            meas = None
+            if measured and kname in _STEP_TRACE_PREFIX:
+                pref = _STEP_TRACE_PREFIX[kname]
+                meas = sum(
+                    ms for nm, ms in measured.items() if nm.startswith(pref)
+                ) or None
+            rows.append(
+                (str(step)[:52], vpu_ms, mxu_ms, hbm_ms, floor, meas)
+            )
+            for key, val in (
+                ("vpu", vpu_ms), ("mxu", mxu_ms), ("hbm", hbm_ms),
+                ("floor", floor),
+            ):
+                tot[key] += val
+    finally:
+        if prev is None:
+            os.environ.pop("DSPEED_TPU_PALLAS", None)
+        else:
+            os.environ["DSPEED_TPU_PALLAS"] = prev
+
+    print(
+        f"\n{'step (op floors, XLA-fallback math)':52s} {'vpu_ms':>7s} "
+        f"{'mxu_ms':>7s} {'hbm_ms':>7s} {'floor':>7s} {'meas':>7s} "
+        f"{'eff%':>5s}"
+    )
+    rows.sort(key=lambda r: -r[4])
+    for name, vpu_ms, mxu_ms, hbm_ms, floor, meas in rows:
+        meas_s = f"{meas:7.3f}" if meas else f"{'':>7s}"
+        eff = f"{100 * floor / meas:5.0f}" if meas else f"{'':>5s}"
+        print(
+            f"{name:52s} {vpu_ms:7.3f} {mxu_ms:7.3f} {hbm_ms:7.3f} "
+            f"{floor:7.3f} {meas_s} {eff}"
+        )
+    print(
+        f"{'TOTAL (independent-step floors)':52s} {tot['vpu']:7.3f} "
+        f"{tot['mxu']:7.3f} {tot['hbm']:7.3f} {tot['floor']:7.3f}"
+    )
+    for f in sorted(flags):
+        print(f"# {f}")
 
 
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("-n", "--n-ev", type=int, default=None)
     ap.add_argument("--fused", action="store_true")
+    ap.add_argument(
+        "--mode", default=None,
+        help="literal DSPEED_TPU_FUSE mode (e.g. 'generic'); overrides --fused",
+    )
     ap.add_argument("--per-step", action="store_true")
     ap.add_argument("--fusions", action="store_true")
+    ap.add_argument("--floors", action="store_true",
+                    help="per-step op-count floors + eff%% vs measured")
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--sipm", action="store_true",
                     help="profile the SiPM pulse-finding chain instead")
@@ -314,10 +599,17 @@ def main() -> None:
 
     on_accel = jax.default_backend() not in ("cpu",)
     n_ev = args.n_ev or (4096 if on_accel else 256)
-    if args.per_step or (not args.fusions and not on_accel):
-        per_step(n_ev, args.fused)
-    else:
-        fusions(n_ev, args.fused, iters=args.iters, sipm=args.sipm)
+    fused_mode = args.mode if args.mode is not None else args.fused
+    measured = None
+    if args.per_step or (not args.fusions and not args.floors and not on_accel):
+        per_step(n_ev, fused_mode)
+        return
+    if args.fusions or not args.floors:
+        measured = fusions(
+            n_ev, fused_mode, iters=args.iters, sipm=args.sipm
+        )
+    if args.floors:
+        step_floors(n_ev, fused_mode, sipm=args.sipm, measured=measured)
 
 
 if __name__ == "__main__":
