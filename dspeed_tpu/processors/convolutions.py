@@ -153,6 +153,24 @@ def _band_matrix(kerns, blk):
     )
 
 
+# band-matrix VMEM budget inside a generic row tile (the (blk+m-1, blk)
+# matrix rides into the group's pallas_call as a resident constant)
+_TILE_BAND_BYTES = int(os.getenv("DSPEED_TPU_CONV_TILE_BAND", 1_200_000))
+
+
+def _tile_blk(m: int, p: int) -> int | None:
+    """Largest lane-friendly output-block width whose band matrix fits the
+    in-tile VMEM budget; ``None`` when even 64 columns don't fit. Outside a
+    tile the fixed 512 default stays (r1 sweep: 256 was +38% on the t0
+    conv standalone — the in-tile trade is different because the window
+    read is shared with the rest of the group)."""
+    for blk in (512, 384, 256, 192, 128, 96, 64):
+        if blk <= p or blk == 64:
+            if (min(blk, p) + m - 1) * min(blk, p) * 4 <= _TILE_BAND_BYTES:
+                return min(blk, p)
+    return None
+
+
 def _conv_banded_matmul(w, kern, lo, p, blk=512):
     """``full_conv(w, kern)[..., lo:lo+p]`` as banded matrix products.
 
@@ -286,6 +304,10 @@ def _convolve_mode(w, kern, ch, n, m, name):
                     out = banded_conv_multi(w, [kn], lo, p)
                     if out is not None:
                         return out[0], True
+                if in_tile():
+                    blk = _tile_blk(m, p)
+                    if blk is not None:
+                        return _conv_banded_matmul(w, kn, lo, p, blk=blk), False
             return _conv_banded_matmul(w, kn, lo, p), False
     return _slice_mode(_conv_full_fft(w, kern), n, m, ch), False
 
@@ -436,12 +458,14 @@ def _conv_tile_safe(step):
     _, p = _mode_window(ch, n, m)
     if p * m > _MATMUL_MAC_LIMIT:
         return False  # would route to FFT
+    if os.getenv("DSPEED_TPU_CONV_TILE", "1") == "0":
+        return False  # A/B: keep convolutions out of row-tile groups
     # banded-matmul route: the (blk+m-1, blk) band matrix becomes a VMEM-
-    # resident tile constant. Long-tap filters (CUSP/ZAC: 2.4 MB each)
-    # blow the group's scoped-VMEM budget AND already have a tuned
-    # standalone Pallas bank kernel — keep them out of row-tile groups.
-    blk = min(512, p)
-    return (blk + m - 1) * blk * 4 <= 1_200_000
+    # resident tile constant; the block width shrinks (r5, `_tile_blk`)
+    # until it fits — sharing the group's window read beats the standalone
+    # Pallas bank kernel's untiled optimum (t0 conv and the CUSP/ZAC pair
+    # both merge this way; measured on v5e, see docs/architecture.md).
+    return _tile_blk(m, p) is not None
 
 
 convolve_wf.tile_safe = _conv_tile_safe

@@ -487,14 +487,25 @@ def test_generic_mode_bit_identical_to_unfused():
 
 def test_generic_interpret_matches_unfused():
     """The Pallas row-tile path (interpret mode on CPU) reproduces the
-    unfused chain within f32 tolerance on every output."""
+    unfused chain within f32 tolerance on every output.
+
+    Outputs downstream of a long-tap convolution merged into a row tile
+    (CUSP/ZAC: `_tile_blk` shrinks the banded-matmul block to fit the
+    tile's VMEM budget) get the f32 bound even under x64: a different
+    output-block width regroups the same exactly-banded f32 contraction,
+    so the two routes differ at ULP scale — equally exact, not an error
+    (the XLA fallback path runs out-of-tile routes and stays bit-identical,
+    covered by test_generic_mode_bit_identical_to_unfused)."""
     config, db = _flagship_config()
     _, out_g = _outputs_mode(config, db, "generic", n=8, interpret=True)
     _, out_u = _outputs(config, db, fuse=False, n=8)
     assert set(out_g) == set(out_u)
     x64 = jax.config.jax_enable_x64
-    tol = dict(rtol=1e-9, atol=1e-9) if x64 else dict(rtol=5e-5, atol=5e-5)
+    tight = dict(rtol=1e-9, atol=1e-9) if x64 else dict(rtol=5e-5, atol=5e-5)
+    f32ulp = dict(rtol=5e-6, atol=5e-6)
+    reblocked = {"cuspEmax", "cuspEftp", "zacEmax", "zacEftp"}
     for k in out_u:
+        tol = f32ulp if (x64 and k in reblocked) else tight
         np.testing.assert_allclose(
             np.nan_to_num(out_g[k], nan=-12345.0),
             np.nan_to_num(out_u[k], nan=-12345.0),
