@@ -45,6 +45,12 @@ def upsampler(w_in, upsample, dims):
         if lo < hi:
             src[lo:hi] = t_in
     valid = src >= 0
+    # poison on the INPUT domain: every output slot is a copy of some input
+    # sample (or the NaN fill below), so all-NaN input rows give all-NaN
+    # output rows — bit-identical to masking the output, at 1/up the HBM
+    # (the output-side select was a 627 MB pass on the flagship's 16x
+    # up-domain; the input-side one is ~50 MB, measured r5)
+    w_in = nanmask(isnan_any(w_in, 1), w_in)
     if up == width:
         # integer ratio: the map is a staircase src[j] = (j+half)//width —
         # repeat + static slice instead of a gather (TPU gathers lower to
@@ -57,8 +63,9 @@ def upsampler(w_in, upsample, dims):
         out = rep[..., half : half + m]
     else:
         out = w_in[..., np.where(valid, src, 0)]
-    out = jnp.where(jnp.asarray(valid), out, jnp.nan).astype(w_in.dtype)
-    return nanmask(isnan_any(w_in, 1), out)
+    if not valid.all():
+        out = jnp.where(jnp.asarray(valid), out, jnp.nan)
+    return out.astype(w_in.dtype)
 
 
 @kernel("(n),(),(m)", ["fbf", "dbd"], nout=1, static=[1], uses_dims=True)
