@@ -994,6 +994,19 @@ class FuncStep(Step):
                 out = out.astype(want)
         env[self.out_key] = out
 
+def _step_writes(s):
+    """Env keys a step writes; ``None`` for unknown step kinds."""
+    if isinstance(s, KernelStep):
+        return {sp.key for sp in s.out_specs}
+    if isinstance(s, (ConvertStep, FuncStep, SliceStep)):
+        return {s.out_key}
+    if isinstance(s, AliasStep):
+        return {s.dst_key}
+    if isinstance(s, GroupStep):
+        return set(s.escapes)
+    return None
+
+
 class GroupStep(Step):
     """A contiguous run of tile-safe steps executed as ONE Pallas row-tile
     program (the generic, pattern-free fusion pass — VERDICT r4 item 1).
@@ -1029,24 +1042,78 @@ class GroupStep(Step):
             m.run(local)
         return {k: local[k] for k in self.escapes}
 
-    def run(self, env: dict) -> None:
-        vals = {k: env[k] for k in self.ext_in if k in env}
-        outs = None
-        chain = self.proc_chain
-        interp = os.getenv("DSPEED_TPU_GENERIC_INTERPRET", "0") == "1"
-        if len(vals) == len(self.ext_in) and chain._mesh is None:
-            from .processors import _pallas
+    def _exec(self, members, env: dict, needed: set, interp: bool) -> dict:
+        """Run ``members`` producing ``needed & writes``: one Pallas row-tile
+        program when it lowers; on a probe/geometry failure BISECT the run
+        and retry each half (a giant merged group must degrade to two
+        smaller Pallas programs, not to whole-chain XLA); below 4 members,
+        plain XLA (identical traced graph)."""
+        from .processors import _pallas
 
+        reads_fn = self.proc_chain._step_env_reads
+        ext: set = set()
+        written: set = set()
+        unknown_reads = False
+        for m in members:
+            r = reads_fn(m)
+            if r is None:
+                unknown_reads = True
+                break
+            ext |= r - written
+            w = _step_writes(m)
+            written |= w or set()
+        escapes = sorted(needed & written) if not unknown_reads else None
+
+        def body(vals_in: dict) -> dict:
+            local = dict(vals_in)
+            for m in members:
+                m.run(local)
+            return {
+                k: local[k]
+                for k in (escapes if escapes is not None else local)
+                if k in local
+            }
+
+        vals = {k: env[k] for k in ext if k in env} if not unknown_reads else {
+            k: v for k, v in env.items()
+        }
+        if escapes is not None and len(vals) == len(ext):
             try:
                 outs = _pallas.generic_rows(
-                    self._body, vals, self.core_nd, interpret=interp
+                    body, vals, self.core_nd, interpret=interp
                 )
             except Exception as e:  # never let the fast path break a chain
-                log.warning("generic fusion fell back to XLA: %s", e)
+                log.warning("generic fusion fell back: %s", e)
                 outs = None
-        if outs is None:
-            outs = self._body({k: env[k] for k in self.ext_in})
-        env.update(outs)
+            if outs is not None:
+                return outs
+            if len(members) >= 4:
+                mid = len(members) // 2
+                first, second = members[:mid], members[mid:]
+                needed1 = set(needed)
+                ok = True
+                for m in second:
+                    r = reads_fn(m)
+                    if r is None:
+                        ok = False
+                        break
+                    needed1 |= r
+                if ok:
+                    out1 = self._exec(first, env, needed1, interp)
+                    out2 = self._exec(
+                        second, {**env, **out1}, needed, interp
+                    )
+                    return {**out1, **out2}
+        return body(vals)
+
+    def run(self, env: dict) -> None:
+        chain = self.proc_chain
+        interp = os.getenv("DSPEED_TPU_GENERIC_INTERPRET", "0") == "1"
+        if chain._mesh is not None or any(k not in env for k in self.ext_in):
+            env.update(self._body({k: env[k] for k in self.ext_in if k in env}))
+            return
+        outs = self._exec(self.members, env, set(self.escapes), interp)
+        env.update({k: outs[k] for k in self.escapes if k in outs})
 
     def __str__(self) -> str:
         return self.name
@@ -2171,16 +2238,7 @@ class ProcessingChain:
             needed.update(man.out_keys())
         reads_fn = self._step_env_reads
 
-        def writes_of(s):
-            if isinstance(s, KernelStep):
-                return {sp.key for sp in s.out_specs}
-            if isinstance(s, (ConvertStep, FuncStep, SliceStep)):
-                return {s.out_key}
-            if isinstance(s, AliasStep):
-                return {s.dst_key}
-            if isinstance(s, GroupStep):
-                return set(s.escapes)
-            return None
+        writes_of = _step_writes
 
         def make_group(members, later_steps):
             written: set = set()

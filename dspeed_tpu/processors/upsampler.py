@@ -184,5 +184,12 @@ def interpolating_upsampler(w_in, mode_in, dims):
 
 # NOT tile_safe: the integer-ratio repeat lowers to a (n, r) -> (n*r)
 # shape cast whose minor dim (r, e.g. 16) is not a lane multiple — Mosaic
-# rejects it ("infer-vector-layout: unsupported shape cast"). Groups split
-# around the upsampler; the window chains on either side still fuse.
+# rejects it ("infer-vector-layout: unsupported shape cast"; re-probed
+# r5, jnp.repeat and broadcast+reshape both crash the compiler and
+# pltpu.repeat has tile semantics). A bit-exact in-tile alternative — the
+# staircase as blocked one-hot MXU contractions, the banded-conv pattern —
+# lowered fine but measured a chain-level LOSS on v5e (standard flagship
+# 449k -> 300k wf/s @32768 merged; 313k even when the upsampler only led
+# the downstream group): the VMEM-computed up-domain serializes the whole
+# group where the XLA repeat streams at near-spec. Groups split around
+# the upsampler; the window chains on either side still fuse.

@@ -472,8 +472,53 @@ def test_generic_groups_form_on_flagship():
     config, db = _flagship_config()
     chain, _ = _outputs_mode(config, db, "generic")
     groups = [s for s in chain._steps if isinstance(s, GroupStep)]
+    # r5: with long-tap banded convs tile-safe the flagship generic chain
+    # is two big groups split only at the upsampler (in-tile upsampling
+    # measured a chain-level loss — see upsampler.py)
     assert len(groups) >= 2, [str(s) for s in chain._steps]
     assert sum(len(g.members) for g in groups) >= 30
+
+
+def test_generic_group_bisects_on_lowering_failure(monkeypatch):
+    """When the whole-group Pallas program fails to lower (Mosaic op gap,
+    VMEM geometry), GroupStep bisects the member run and retries each half
+    instead of dropping the entire group to XLA — outputs bit-identical
+    either way. Simulated by failing generic_rows for bodies above a
+    member-count threshold (interpret mode on CPU)."""
+    from dspeed_tpu.processing_chain import GroupStep
+    from dspeed_tpu.processors import _pallas
+
+    config, db = _flagship_config()
+    calls = []
+    orig = _pallas.generic_rows
+
+    def flaky(body, vals, core_nd, tile_b=None, interpret=False):
+        calls.append(len(vals))
+        if len(calls) == 1:  # fail the first (whole-group) attempt
+            return None
+        return orig(body, vals, core_nd, tile_b=tile_b, interpret=interpret)
+
+    monkeypatch.setattr(_pallas, "generic_rows", flaky)
+    chain, out_b = _outputs_mode(config, db, "generic", n=8, interpret=True)
+    assert any(isinstance(s, GroupStep) for s in chain._steps)
+    assert len(calls) >= 3, calls  # whole group, then >= 2 halves
+    monkeypatch.setattr(_pallas, "generic_rows", orig)
+    _, out_u = _outputs(config, db, fuse=False, n=8)
+    assert set(out_b) == set(out_u)
+    # halves regroup the same exactly-banded conv contractions as the whole
+    # group (same in-tile routes), so even conv outputs match the full
+    # interpret run; vs the unfused chain the conv ULP caveat applies
+    x64 = jax.config.jax_enable_x64
+    tight = dict(rtol=1e-9, atol=1e-9) if x64 else dict(rtol=5e-5, atol=5e-5)
+    f32ulp = dict(rtol=5e-6, atol=5e-6)
+    reblocked = {"cuspEmax", "cuspEftp", "zacEmax", "zacEftp"}
+    for k in out_u:
+        tol = f32ulp if (x64 and k in reblocked) else tight
+        np.testing.assert_allclose(
+            np.nan_to_num(out_b[k], nan=-12345.0),
+            np.nan_to_num(out_u[k], nan=-12345.0),
+            err_msg=k, **tol,
+        )
 
 
 def test_generic_mode_bit_identical_to_unfused():
