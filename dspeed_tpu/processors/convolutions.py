@@ -463,9 +463,13 @@ def _conv_tile_safe(step):
     # banded-matmul route: the (blk+m-1, blk) band matrix becomes a VMEM-
     # resident tile constant; the block width shrinks (r5, `_tile_blk`)
     # until it fits — sharing the group's window read beats the standalone
-    # Pallas bank kernel's untiled optimum (t0 conv and the CUSP/ZAC pair
-    # both merge this way; measured on v5e, see docs/architecture.md).
-    return _tile_blk(m, p) is not None
+    # kernel when the surviving block stays MXU-sized. Very long taps that
+    # shrink below 256 columns (CUSP/ZAC: m=1696 -> blk 128) measured a
+    # LOSS in-tile (462k -> 450k wf/s whole-chain @32768: many serial
+    # small matmuls starve the tile schedule) — they keep the standalone
+    # Pallas bank. The t0 filter (m=133 -> blk 384) merges and wins.
+    blk = _tile_blk(m, p)
+    return blk is not None and blk >= min(256, p)
 
 
 convolve_wf.tile_safe = _conv_tile_safe
