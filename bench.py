@@ -470,7 +470,11 @@ def main() -> None:
     # chains is GONE (generic row-tile groups + the (m1,16)-split bf16
     # histogram freed the live planes): standard(generic) 407k @16384 ->
     # 422k @32768; sipm 1.91M @16384 -> 2.47M @32768 -> 2.52M @65536.
+    # r5 cont. (t0-conv merge + upsampler input-side mask): standard
+    # 461.6k @32768 -> 472.6k @65536, so standard dispatches 65536 too
+    # (production keeps the 32768-event workload).
     n_ev = 32768 if on_accel else 1024
+    n_ev_std = 65536 if on_accel else 1024
     n_ev_fused = 65536 if on_accel else 1024
     n_ev_sipm = 65536 if on_accel else 1024
     iters = 6 if on_accel else 3
@@ -502,7 +506,7 @@ def main() -> None:
     RESULT["standard_wfps"] = phase(
         "standard",
         lambda: _bench_backend(
-            platform, n_ev, iters, trials=2, fused="generic"
+            platform, n_ev_std, iters, trials=2, fused="generic"
         ),
     )
     if not on_accel:
@@ -579,7 +583,7 @@ def main() -> None:
         extra = phase(
             "standard_retrials",
             lambda: _bench_backend(
-                platform, n_ev, iters, trials=3, fused="generic"
+                platform, n_ev_std, iters, trials=3, fused="generic"
             ),
         )
         if extra:
