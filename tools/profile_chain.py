@@ -544,7 +544,8 @@ def step_floors(n_ev: int, fused, sipm: bool = False, measured=None):
                     ms for nm, ms in measured.items() if nm.startswith(pref)
                 ) or None
             rows.append(
-                (str(step)[:52], vpu_ms, mxu_ms, hbm_ms, floor, meas)
+                (str(step)[:52], vpu_ms, mxu_ms, hbm_ms, floor, meas,
+                 isinstance(step, GroupStep))
             )
             for key, val in (
                 ("vpu", vpu_ms), ("mxu", mxu_ms), ("hbm", hbm_ms),
@@ -563,7 +564,7 @@ def step_floors(n_ev: int, fused, sipm: bool = False, measured=None):
         f"{'eff%':>5s}"
     )
     rows.sort(key=lambda r: -r[4])
-    for name, vpu_ms, mxu_ms, hbm_ms, floor, meas in rows:
+    for name, vpu_ms, mxu_ms, hbm_ms, floor, meas, _g in rows:
         meas_s = f"{meas:7.3f}" if meas else f"{'':>7s}"
         eff = f"{100 * floor / meas:5.0f}" if meas else f"{'':>5s}"
         print(
@@ -574,6 +575,20 @@ def step_floors(n_ev: int, fused, sipm: bool = False, measured=None):
         f"{'TOTAL (independent-step floors)':52s} {tot['vpu']:7.3f} "
         f"{tot['mxu']:7.3f} {tot['hbm']:7.3f} {tot['floor']:7.3f}"
     )
+    # generic row-tile groups: the trace names (chain_fn.N) don't map to
+    # step order reliably, so report the AGGREGATE group efficiency — the
+    # per-group split is visible in --fusions output
+    gfloor = sum(r[4] for r in rows if r[6])
+    if measured and gfloor:
+        gmeas = sum(
+            ms for nm, ms in measured.items() if nm.startswith("chain_fn")
+        )
+        if gmeas:
+            print(
+                f"{'GENERIC GROUPS (aggregate)':52s} {'':>7s} {'':>7s} "
+                f"{'':>7s} {gfloor:7.3f} {gmeas:7.3f} "
+                f"{100 * gfloor / gmeas:5.0f}"
+            )
     for f in sorted(flags):
         print(f"# {f}")
 
