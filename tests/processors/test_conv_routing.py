@@ -84,3 +84,50 @@ class TestBandedMatmul:
         got = np.asarray(_conv_full_direct_only(batch, taps))
         monkeypatch.undo()
         np.testing.assert_array_equal(got, ref)
+
+
+class TestTileBlk:
+    """Geometry of the in-tile banded block chooser (r5: adaptive width
+    gates which convolutions may join generic row-tile groups)."""
+
+    def test_flagship_geometries(self):
+        from dspeed_tpu.processors.convolutions import _tile_blk
+
+        # t0 filter: m=133 over 4096 outputs -> 384 (512's band matrix is
+        # ~1.32 MB, just over the budget; 384 fits and is lane-aligned)
+        assert _tile_blk(133, 4096) == 384
+        # CUSP/ZAC: m=1696 over 301 outputs -> 128 (the tile-safety gate
+        # then rejects them: < 256 columns starves the schedule)
+        assert _tile_blk(1696, 301) == 128
+        # short dplms kernel: full 512 block fits
+        assert _tile_blk(50, 974) == 512
+        # tiny output window: clamped to p
+        assert _tile_blk(50, 25) == 25
+
+    def test_budget_respected(self):
+        from dspeed_tpu.processors.convolutions import (
+            _TILE_BAND_BYTES, _tile_blk,
+        )
+
+        for m in (17, 133, 500, 1696, 4000):
+            for p in (25, 301, 974, 4096):
+                blk = _tile_blk(m, p)
+                if blk is not None:
+                    assert (blk + m - 1) * blk * 4 <= _TILE_BAND_BYTES
+                    assert blk <= p or blk == 64
+
+    def test_tile_safety_gate(self):
+        """The step-level predicate admits the t0 conv and rejects the
+        CUSP/ZAC geometry (blk < 256) and FFT-sized MAC counts."""
+        import types
+
+        from dspeed_tpu.processors.convolutions import _conv_tile_safe
+
+        def step(m, n, mode, p=None):
+            kern = np.ones(m, np.float64)
+            w = types.SimpleNamespace(shape=(n,))
+            return types.SimpleNamespace(params=[w, kern, mode])
+
+        assert _conv_tile_safe(step(133, 4096, "s"))
+        assert not _conv_tile_safe(step(1696, 1996, "v"))
+        assert _conv_tile_safe(step(9, 4096, "s"))  # direct shifted-adds
