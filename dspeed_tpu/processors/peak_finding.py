@@ -46,8 +46,16 @@ def _cdim(x):
     return x
 
 
-def _peakdet_scan(w, delta_max, delta_min, abs_max, abs_min, m_max, m_min):
+def _peakdet_scan(w, delta_max, delta_min, abs_max, abs_min, m_max, m_min,
+                  reverse=False):
     """One-direction Billauer sweep over batched waveforms ``w`` (B, n).
+
+    ``reverse=True`` runs the right-to-left sweep via ``lax.scan``'s own
+    reverse traversal — identical declarations to scanning ``w[:, ::-1]``
+    (same visit order, same strict-inequality updates) but without
+    materializing a flipped copy of the plane (a 0.22 ms ``reverse`` pass
+    at 16384x1019 on v5e, r5), and slots record TRUE sample indices so the
+    caller's ``(n-1) - pos`` back-mapping disappears.
 
     Returns (vt_max (B, m_max), vt_min (B, m_min), n_max (B,), n_min (B,))
     with NaN-padded slot arrays holding *sample indices* in declaration
@@ -120,7 +128,7 @@ def _peakdet_scan(w, delta_max, delta_min, abs_max, abs_min, m_max, m_min):
         jnp.full((B, m_min), jnp.nan, w.dtype),
     )
     xs = (w.T, jnp.arange(n, dtype=jnp.int32))
-    carry, _ = jax.lax.scan(step, init, xs, unroll=8)
+    carry, _ = jax.lax.scan(step, init, xs, unroll=8, reverse=reverse)
     (vx, ix, vn, im, fm, nmx, nmn, smax, smin) = carry
     return smax, smin, nmx, nmn
 
@@ -206,12 +214,11 @@ def get_multi_local_extrema(
             wf, dm, dn, am, an, m_max, m_min
         )
     if direction in (1, 2, 3):
-        vr_max_r, vr_min_r, nr_max, nr_min = _peakdet_scan(
-            wf[:, ::-1], dm, dn, am, an, m_max, m_min
+        # right-to-left sweep without materializing a flipped plane; slots
+        # already hold true forward indices (see _peakdet_scan)
+        vr_max, vr_min, nr_max, nr_min = _peakdet_scan(
+            wf, dm, dn, am, an, m_max, m_min, reverse=True
         )
-        # map reversed positions back to forward indices
-        vr_max = jnp.where(jnp.isnan(vr_max_r), jnp.nan, (n - 1) - vr_max_r)
-        vr_min = jnp.where(jnp.isnan(vr_min_r), jnp.nan, (n - 1) - vr_min_r)
     if direction == 0:
         vmax, vmin, nmx, nmn = vl_max, vl_min, nl_max, nl_min
     elif direction == 1:
