@@ -198,3 +198,9 @@ wf_alignment.check_messages = {
     3: "shift must be positive",
     4: "shift must be shorter than input waveform size",
 }
+
+# generic row-tile fusion (r5 audit): elementwise/reduce/small-matmul bodies
+# with no scans, sorts, FFTs or per-row dynamic gathers — Mosaic-lowerable;
+# the two-tile probe compile still guards every group at trace time
+get_wf_centroid.tile_safe = True
+wf_correction.tile_safe = True

@@ -126,3 +126,8 @@ def sort(w_in):
 time_over_threshold.tile_safe = True
 saturation.tile_safe = True
 presum.tile_safe = True
+
+# generic row-tile fusion (r5 audit): elementwise/reduce/small-matmul bodies
+# with no scans, sorts, FFTs or per-row dynamic gathers — Mosaic-lowerable;
+# the two-tile probe compile still guards every group at trace time
+log_check.tile_safe = True

@@ -96,3 +96,12 @@ def normalisation_layer(x_in, means, variances):
         jnp.asarray(variances, x_in.dtype)
     )
     return nanmask(isnan_any(x_in, 1), out.astype(x_in.dtype))
+
+# generic row-tile fusion (r5 audit): elementwise/reduce/small-matmul bodies
+# with no scans, sorts, FFTs or per-row dynamic gathers — Mosaic-lowerable;
+# the two-tile probe compile still guards every group at trace time
+dense_layer_no_bias.tile_safe = True
+dense_layer_with_bias.tile_safe = True
+classification_layer_no_bias.tile_safe = True
+classification_layer_with_bias.tile_safe = True
+normalisation_layer.tile_safe = True

@@ -73,3 +73,9 @@ def poly_exp_rms(w_in, poly_pars):
     rms = jnp.sqrt(jnp.sum(resid**2, axis=-1) / (n - 1))
     bad = isnan_any(w_in, 1) | isnan_any(poly_pars, 1)
     return nanmask(bad, mean), nanmask(bad, rms)
+
+# generic row-tile fusion (r5 audit): elementwise/reduce/small-matmul bodies
+# with no scans, sorts, FFTs or per-row dynamic gathers — Mosaic-lowerable;
+# the two-tile probe compile still guards every group at trace time
+poly_diff.tile_safe = True
+poly_exp_rms.tile_safe = True

@@ -107,3 +107,9 @@ def inject_general_logistic(wf_in, a, t0, rt, q, v, decay):
         | isnan_any(jnp.asarray(q)) | isnan_any(jnp.asarray(v))
     )
     return nanmask(bad, (wf_in + pulse).astype(wf_in.dtype))
+
+# generic row-tile fusion (r5 audit): elementwise/reduce/small-matmul bodies
+# with no scans, sorts, FFTs or per-row dynamic gathers — Mosaic-lowerable;
+# the two-tile probe compile still guards every group at trace time
+inject_sig_pulse.tile_safe = True
+inject_exp_pulse.tile_safe = True

@@ -75,3 +75,9 @@ def soft_pileup_corr_bl(w_in, n_in, tau_in, b_in):
         | isnan_any(jnp.asarray(b_in))
     )
     return nanmask(bad, out)
+
+# generic row-tile fusion (r5 audit): elementwise/reduce/small-matmul bodies
+# with no scans, sorts, FFTs or per-row dynamic gathers — Mosaic-lowerable;
+# the two-tile probe compile still guards every group at trace time
+soft_pileup_corr.tile_safe = True
+soft_pileup_corr_bl.tile_safe = True
