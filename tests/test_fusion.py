@@ -479,6 +479,25 @@ def test_generic_groups_form_on_flagship():
     assert sum(len(g.members) for g in groups) >= 30
 
 
+def test_cse_collapses_duplicate_trapezoid():
+    """The flagship config computes the 10us/3.008us trapezoid of wf_pz
+    twice (wf_trap -> trapTmax, wf_etrap -> trapEmax — mirroring the
+    reference's icpc config, whose interpreter runs both). Step-level CSE
+    aliases the second trap AND its amax (consumer keys are rewritten to
+    the canonical plane, so the duplicate reduction becomes structurally
+    identical and merges too), bit-identically."""
+    config, db = _flagship_config()
+    chain, out_c = _outputs(config, db, fuse=True)
+    from dspeed_tpu.processing_chain import AliasStep
+
+    aliases = [s for s in chain._steps if isinstance(s, AliasStep)]
+    alias_names = {s.dst_key.split("#")[0] for s in aliases}
+    assert "trapEmax" in alias_names, [str(s) for s in aliases]
+    np.testing.assert_array_equal(out_c["trapEmax"], out_c["trapTmax"])
+    _, out_u = _outputs(config, db, fuse=False)
+    _assert_bit_identical(out_c, out_u)
+
+
 def test_generic_group_bisects_on_lowering_failure(monkeypatch):
     """When the whole-group Pallas program fails to lower (Mosaic op gap,
     VMEM geometry), GroupStep bisects the member run and retries each half
