@@ -2292,8 +2292,26 @@ class ProcessingChain:
                     for k in step.in_keys
                 ]
 
+        def freeze_sl(sl):
+            if isinstance(sl, slice):
+                return ("sl", sl.start, sl.stop, sl.step)
+            return freeze(sl)
+
         for step in self._steps:
             rewrite_reads(step)
+            if isinstance(step, SliceStep):
+                # identical views of one plane (the flagship slices
+                # wf_blsub[:1996] once each for CUSP and ZAC)
+                key = ("slice", step.src_key, freeze_sl(step.sl))
+                prev = seen.get(key)
+                if prev is not None:
+                    new_steps.append(AliasStep(prev.out_key, step.out_key))
+                    ren[step.out_key] = prev.out_key
+                    applied.append(f"cse[{step.name}]")
+                else:
+                    seen[key] = step
+                    new_steps.append(step)
+                continue
             if (
                 not isinstance(step, KernelStep)
                 or getattr(step.kernel, "checker", None) is not None
