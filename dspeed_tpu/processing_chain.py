@@ -2337,6 +2337,11 @@ class ProcessingChain:
                     )),
                     tuple(sorted(step.dims.items())),
                     step.badrow_key,
+                    # outputs bind through the vars' dtype/shape casts — a
+                    # twin with different output metadata must not merge
+                    tuple(
+                        (str(sp.dtype), sp.shape) for sp in step.out_specs
+                    ),
                 )
             except Exception:
                 new_steps.append(step)
