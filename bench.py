@@ -245,10 +245,43 @@ def _write_bench_raw(n_ev: int, n_chan: int = 1) -> tuple[str, str, dict]:
 
 PROD_CHUNK = 2048  # build_dsp buffer_len in the production phases; the
 # transport-floor phase measures the relay at this same chunk size.
-# Pinned to the measured transport-floor optimum (r4 curve: 6137 wf/s at
-# 2048 vs 5778 at the old 4096; VERDICT r4 item 5) — re-measured r5 on
-# axon/v5e: production 5983 wf/s at 2048 vs 4913 at 4096 (1024 is a
-# statistical tie with 2048 at 5993), landing within 2.5% of the floor.
+# Default pinned to the r4/r5 measured optimum (curve: 6137 wf/s at 2048
+# vs 5778 at 4096; VERDICT r4 item 5) — but the relay's sweet spot MOVES
+# between sessions (a later r5 run measured 32 MB/s at 2048 while 8192
+# hit 54 the same hour), so on accelerators `_pick_prod_chunk` re-probes
+# the floor briefly at bench start and production rides today's optimum.
+
+
+def _pick_prod_chunk(candidates=(1024, 2048, 8192), trials=2) -> int:
+    """~15s mini transport probe: upload the production payload at each
+    candidate chunk size, keep the fastest. Robust to day-to-day relay
+    drift that a static pin cannot track."""
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _make_inputs
+
+    @jax.jit
+    def trivial(w):
+        return w.astype(jnp.float32).sum(axis=1)
+
+    best_chunk, best_rate = PROD_CHUNK, 0.0
+    for n_ev in candidates:
+        payloads = []
+        for t in range(trials):
+            wf, _ = _make_inputs(n_ev, seed=7 + t)
+            payloads.append(np.clip(np.round(wf), 0, 65535).astype(np.uint16))
+        _ = np.asarray(trivial(payloads[0]))  # compile + warm per shape
+        best = None
+        for c in payloads:
+            t0 = time.perf_counter()
+            _ = np.asarray(trivial(c))
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        rate = n_ev / best
+        if rate > best_rate:
+            best_chunk, best_rate = n_ev, rate
+    return best_chunk
 
 
 def _bench_production(
@@ -531,7 +564,17 @@ def main() -> None:
         except Exception as e:
             print(f"# numerics_check failed: {e}", file=sys.stderr)
 
-    # 4. production with IO (split into loading/processing/write via stats)
+    # 4. production with IO (split into loading/processing/write via stats);
+    #    re-probe the relay's chunk-size sweet spot first — it drifts
+    #    between sessions and a stale pin costs ~40% (measured r5)
+    if on_accel and remaining() > 120.0:
+        try:
+            global PROD_CHUNK
+            PROD_CHUNK = _pick_prod_chunk()
+            RESULT["prod_chunk"] = PROD_CHUNK
+            print(f"# prod_chunk probe picked {PROD_CHUNK}", file=sys.stderr)
+        except Exception as e:
+            print(f"# prod_chunk probe failed: {e}", file=sys.stderr)
     RESULT["production_wfps_with_io"] = phase(
         "production",
         lambda: _bench_production(n_ev, trials=1),
