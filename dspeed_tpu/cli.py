@@ -69,8 +69,11 @@ def dspeed_cli(argv=None) -> None:
     parser.add_argument("--block", "-b", default=16, type=int,
                         help="waveforms to process simultaneously (API parity; "
                         "the TPU build batches whole chunks)")
-    parser.add_argument("--chunk", "-k", default=3200, type=int,
-                        help="waveforms per disk read / device dispatch")
+    parser.add_argument("--chunk", "-k", default=3200,
+                        type=lambda s: s if s == "auto" else int(s),
+                        help="waveforms per disk read / device dispatch; "
+                             "'auto' probes the host<->device transport and "
+                             "picks today's fastest chunk size")
     parser.add_argument("--checked", action="store_true",
                         help="halt with DSPFatal + entry range on "
                              "data-dependent kernel errors (reference "

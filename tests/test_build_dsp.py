@@ -124,6 +124,21 @@ def test_chunked_matches_single(raw_file):
         )
 
 
+def test_buffer_len_auto(raw_file):
+    """``buffer_len="auto"`` probes the transport on accelerators and keeps
+    the reference default on CPU — results identical either way."""
+    from dspeed_tpu.build_dsp import _auto_buffer_len
+
+    assert _auto_buffer_len() == 3200  # CPU backend: reference default
+    path, _, _ = raw_file
+    auto = build_dsp(path, None, CONFIG, database=DB, buffer_len="auto")
+    ref = build_dsp(path, None, CONFIG, database=DB)
+    for name in ("trapEmax", "tp_50"):
+        np.testing.assert_array_equal(
+            auto["geds"]["dsp"][name].nda, ref["geds"]["dsp"][name].nda
+        )
+
+
 def test_outputs_subset_and_n_entries(raw_file):
     path, _, _ = raw_file
     st = build_dsp(
