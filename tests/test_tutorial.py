@@ -23,6 +23,27 @@ def quickstart():
     return qs
 
 
+@pytest.fixture(scope="module")
+def sipm_tutorial():
+    sys.path.insert(0, EXAMPLES)
+    try:
+        import sipm_pulse_finding as sp
+    finally:
+        sys.path.remove(EXAMPLES)
+    return sp
+
+
+def test_sipm_tutorial_end_to_end(sipm_tutorial, tmp_path_factory):
+    """Tutorial 2: SiPM pulse finding with VoV outputs and truth-matched
+    trigger efficiency (the assert lives inside step3)."""
+    sp = sipm_tutorial
+    workdir = str(tmp_path_factory.mktemp("sipm_tutorial"))
+    dsp_file, truth = sp.step2_production(workdir)
+    n_found = sp.step3_read_vov(dsp_file, truth)
+    assert n_found.sum() > 0
+    sp.step4_checked_mode(workdir)
+
+
 def test_tutorial_end_to_end(quickstart, tmp_path_factory):
     qs = quickstart
     workdir = str(tmp_path_factory.mktemp("tutorial"))
