@@ -427,9 +427,15 @@ def _bench_stacked(n_ev: int = 4096, n_chan: int = 4, trials: int = 2) -> float:
     tmp, raw, _ = _write_bench_raw(n_ev, n_chan=n_chan)
     out = os.path.join(tmp, "bench_stacked_dsp.lh5")
     tables = [f"ch{c:03d}/raw" for c in range(n_chan)]
-    # chunked buffer: 4 chunks pipeline read/H2D/compute/D2H/write across
-    # the writer thread (measured ~6k wf/s vs ~5k single-chunk on v5e/axon)
-    kw = dict(database=DB, write_mode="r", buffer_len=1024)
+    # chunked buffer: several chunks pipeline read/H2D/compute/D2H/write
+    # across the writer thread (measured ~6k wf/s vs ~5k single-chunk on
+    # v5e/axon); per-channel chunk follows the probed transport optimum
+    # (PROD_CHUNK counts waveforms per dispatch — a stacked dispatch
+    # carries n_chan channels of each chunk)
+    kw = dict(
+        database=DB, write_mode="r",
+        buffer_len=max(512, PROD_CHUNK // n_chan),
+    )
     build_dsp_stacked(raw, out, CONFIG_PATH, tables, **kw)  # warm compile
     best_dt = None
     for _trial in range(trials):
