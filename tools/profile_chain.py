@@ -41,16 +41,65 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _build(n_ev: int, fused: bool, sipm: bool = False):
+def _build(n_ev: int, fused: bool, sipm: bool = False, dplms: bool = False):
     if sipm:
         # BASELINE config 3: the scan-heavy SiPM pulse-finding chain
         from bench import _build_sipm_chain
 
         chain, inputs = _build_sipm_chain(n_ev)
         return chain, inputs, None, None
+    if dplms:
+        chain, inputs = _build_dplms_chain(n_ev)
+        return chain, inputs, None, None
     from __graft_entry__ import _build_chain
 
     return _build_chain(n_ev=n_ev, fused=fused)
+
+
+def _build_dplms_chain(n_ev: int):
+    """The reference's own sipm-dplms config (no hand pattern matches it)
+    with its two stale nodes repaired the way the test suite does
+    (tests/test_fusion.py::test_generic_sipm_dplms_bit_identical)."""
+    import json
+
+    import numpy as np
+
+    from dspeed_tpu import lh5
+    from dspeed_tpu.processing_chain import build_processing_chain
+
+    ref = "/root/reference/tests/configs/sipm-dplms-config.json"
+    if not os.path.isfile(ref):
+        raise SystemExit("--dplms needs the reference tree at /root/reference")
+    with open(ref) as f:
+        cfg = json.load(f)
+    cfg = json.loads(
+        json.dumps(cfg).replace("dspeed.processors", "dspeed_tpu.processors")
+    )
+    g = cfg["processors"][
+        "vt_max_candidate_out_d, vt_min_out_d, n_max_out_d, n_min_out_d"
+    ]
+    g["args"] = g["args"][:2] + [0.1, 1] + g["args"][2:]
+    cfg["processors"]["wf_dplms"]["args"][2] = "'v'"
+    db = {
+        "dplms": {
+            "noise_matrix": (np.eye(50) * 2.0).tolist(),
+            "reference": np.exp(
+                -((np.arange(50) - 25.0) ** 2) / 18.0
+            ).tolist(),
+        }
+    }
+    rng = np.random.default_rng(5)
+    wf = rng.normal(0, 1, (n_ev, 1024)).astype("float32")
+    tb = lh5.Table(
+        {
+            "waveform": lh5.WaveformTable(
+                values=wf, t0=0.0, t0_units="ns", dt=16.0, dt_units="ns"
+            )
+        }
+    )
+    chain, _, _ = build_processing_chain(cfg, tb, db_dict=db)
+    inputs, _ = chain._gather_inputs(0, n_ev)
+    return chain, inputs
 
 
 def per_step(n_ev: int, fused: bool) -> None:
@@ -190,10 +239,11 @@ def _hlo_fusion_map(compiled_text: str):
     return info
 
 
-def fusions(n_ev: int, fused: bool, iters: int = 3, sipm: bool = False) -> None:
+def fusions(n_ev: int, fused: bool, iters: int = 3, sipm: bool = False,
+            dplms: bool = False) -> None:
     import jax
 
-    chain, inputs, _, _ = _build(n_ev, fused, sipm=sipm)
+    chain, inputs, _, _ = _build(n_ev, fused, sipm=sipm, dplms=dplms)
     fn = jax.jit(chain._build_fn())
     compiled = fn.lower(inputs).compile()
     hlo_info = _hlo_fusion_map(compiled.as_text())
@@ -474,7 +524,8 @@ _STEP_TRACE_PREFIX = {
 }
 
 
-def step_floors(n_ev: int, fused, sipm: bool = False, measured=None):
+def step_floors(n_ev: int, fused, sipm: bool = False, dplms: bool = False,
+                measured=None):
     """Per-step op floors for the chain, joined to measured Pallas-kernel
     device times when ``measured`` (name -> ms) is given."""
     import jax
@@ -482,7 +533,7 @@ def step_floors(n_ev: int, fused, sipm: bool = False, measured=None):
     prev = os.environ.get("DSPEED_TPU_PALLAS")
     os.environ["DSPEED_TPU_PALLAS"] = "0"  # trace the XLA-fallback math
     try:
-        chain, inputs, _, _ = _build(n_ev, fused, sipm=sipm)
+        chain, inputs, _, _ = _build(n_ev, fused, sipm=sipm, dplms=dplms)
         from dspeed_tpu.processing_chain import GroupStep
 
         env_shapes = {
@@ -608,6 +659,8 @@ def main() -> None:
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--sipm", action="store_true",
                     help="profile the SiPM pulse-finding chain instead")
+    ap.add_argument("--dplms", action="store_true",
+                    help="profile the reference's sipm-dplms config instead")
     args = ap.parse_args()
 
     import jax
@@ -621,10 +674,12 @@ def main() -> None:
         return
     if args.fusions or not args.floors:
         measured = fusions(
-            n_ev, fused_mode, iters=args.iters, sipm=args.sipm
+            n_ev, fused_mode, iters=args.iters, sipm=args.sipm,
+            dplms=args.dplms,
         )
     if args.floors:
-        step_floors(n_ev, fused_mode, sipm=args.sipm, measured=measured)
+        step_floors(n_ev, fused_mode, sipm=args.sipm, dplms=args.dplms,
+                    measured=measured)
 
 
 if __name__ == "__main__":
