@@ -6,6 +6,8 @@ binder's broadcasting/dtype/unit plumbing across many combinations that no
 hand-written test enumerates.
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -115,7 +117,11 @@ def random_pipeline(rng, n_samples):
     return ops
 
 
-@pytest.mark.parametrize("trial", range(8))
+# DSPEED_FUZZ_TRIALS scales the corpus (an extended 200-trial sweep ran
+# clean in r5; 8 keeps CI fast)
+@pytest.mark.parametrize(
+    "trial", range(int(os.getenv("DSPEED_FUZZ_TRIALS", "8")))
+)
 def test_random_pipelines_match_direct(trial):
     rng = np.random.default_rng(1000 + trial)
     n, nsamp = 6, int(rng.choice([128, 256, 500]))
