@@ -998,6 +998,7 @@ class FuncStep(Step):
                 out = out.astype(want)
         env[self.out_key] = out
 
+
 def _step_writes(s):
     """Env keys a step writes; ``None`` for unknown step kinds."""
     if isinstance(s, KernelStep):
